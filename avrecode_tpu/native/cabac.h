@@ -1,0 +1,237 @@
+// Spec-exact H.264 CABAC arithmetic decoding + encoding engines
+// (ITU-T Rec. H.264 clauses 9.3.3.2 decode, 9.3.4 encode, 9.3.1 init).
+//
+// Reference parity: the reference *decodes* original CABAC via ffmpeg's hooked
+// ff_get_cabac (reference recode.cpp:1176) and *re-encodes* via its own
+// cabac::encoder built on a generic range coder (reference cabac_code.h:16-86).
+// Here both directions are first-class spec implementations, so the framework
+// needs no ffmpeg fork: the decoder drives our own syntax engine and the
+// encoder regenerates original slice bytes bit-exactly on decompression.
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "gen/cabac_tables.h"
+
+namespace artc {
+
+constexpr int kNumCabacContexts = 1024;
+
+// Per-slice adaptive context states: 6-bit probability state + MPS bit.
+struct CabacContexts {
+  uint8_t p_state[kNumCabacContexts];
+  uint8_t val_mps[kNumCabacContexts];
+
+  static int clip3(int lo, int hi, int v) { return v < lo ? lo : (v > hi ? hi : v); }
+
+  // Clause 9.3.1.1. slice_type semantics: I/SI -> init table I; P/SP/B -> PB
+  // table selected by cabac_init_idc.
+  void init(bool intra_slice, int cabac_init_idc, int slice_qp_y) {
+    for (int i = 0; i < kNumCabacContexts; ++i) {
+      int m = intra_slice ? kCtxInitI[i][0] : kCtxInitPB[cabac_init_idc][i][0];
+      int n = intra_slice ? kCtxInitI[i][1] : kCtxInitPB[cabac_init_idc][i][1];
+      int pre = clip3(1, 126, ((m * clip3(0, 51, slice_qp_y)) >> 4) + n);
+      if (pre <= 63) {
+        p_state[i] = uint8_t(63 - pre);
+        val_mps[i] = 0;
+      } else {
+        p_state[i] = uint8_t(pre - 64);
+        val_mps[i] = 1;
+      }
+    }
+  }
+};
+
+// Arithmetic *decoding* engine (clause 9.3.3.2). Reads bits MSB-first from an
+// RBSP buffer starting at a given bit offset. Reads past the buffer end yield
+// zero bits (tracked in overread_bits_ for diagnostics) — the final renorms of
+// a conformant stream may touch alignment bits only.
+class CabacDecoder {
+ public:
+  CabacDecoder(const uint8_t* rbsp, size_t size_bytes, size_t start_bit)
+      : data_(rbsp), size_bits_(size_bytes * 8), pos_(start_bit) {
+    cod_i_range_ = 510;
+    cod_i_offset_ = 0;
+    for (int i = 0; i < 9; ++i) cod_i_offset_ = (cod_i_offset_ << 1) | read_bit();
+  }
+
+  // DecodeDecision (9.3.3.2.1) against context state ctx.
+  int decode_decision(CabacContexts& c, int ctx_idx) {
+    uint32_t q = (cod_i_range_ >> 6) & 3;
+    uint32_t lps = kRangeTabLPS[c.p_state[ctx_idx]][q];
+    cod_i_range_ -= lps;
+    int bin;
+    if (cod_i_offset_ >= cod_i_range_) {
+      bin = 1 - c.val_mps[ctx_idx];
+      cod_i_offset_ -= cod_i_range_;
+      cod_i_range_ = lps;
+      if (c.p_state[ctx_idx] == 0) c.val_mps[ctx_idx] ^= 1;
+      c.p_state[ctx_idx] = kTransIdxLPS[c.p_state[ctx_idx]];
+    } else {
+      bin = c.val_mps[ctx_idx];
+      c.p_state[ctx_idx] = kTransIdxMPS[c.p_state[ctx_idx]];
+    }
+    renorm();
+    return bin;
+  }
+
+  // DecodeBypass (9.3.3.2.3).
+  int decode_bypass() {
+    cod_i_offset_ = (cod_i_offset_ << 1) | read_bit();
+    if (cod_i_offset_ >= cod_i_range_) {
+      cod_i_offset_ -= cod_i_range_;
+      return 1;
+    }
+    return 0;
+  }
+
+  // DecodeTerminate (9.3.3.2.4). bin==1 => end of slice data.
+  int decode_terminate() {
+    cod_i_range_ -= 2;
+    if (cod_i_offset_ >= cod_i_range_) {
+      return 1;
+    }
+    renorm();
+    return 0;
+  }
+
+  size_t bit_pos() const { return pos_; }
+  size_t overread_bits() const { return overread_bits_; }
+
+ private:
+  void renorm() {
+    while (cod_i_range_ < 256) {
+      cod_i_range_ <<= 1;
+      cod_i_offset_ = (cod_i_offset_ << 1) | read_bit();
+    }
+  }
+
+  uint32_t read_bit() {
+    if (pos_ >= size_bits_) {
+      ++pos_;
+      ++overread_bits_;
+      return 0;
+    }
+    uint32_t bit = (data_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1;
+    ++pos_;
+    return bit;
+  }
+
+  const uint8_t* data_;
+  size_t size_bits_;
+  size_t pos_;
+  size_t overread_bits_ = 0;
+  uint32_t cod_i_range_;
+  uint32_t cod_i_offset_;
+};
+
+// Arithmetic *encoding* engine (clause 9.3.4). Produces the slice-data bits
+// (MSB-first) including the flush of 9.3.4.6; the caller byte-aligns with
+// zeros afterwards (rbsp_trailing alignment).
+class CabacEncoder {
+ public:
+  CabacEncoder() { reset(); }
+
+  void reset() {
+    low_ = 0;
+    range_ = 510;
+    first_bit_ = true;
+    outstanding_ = 0;
+    bits_.clear();
+  }
+
+  void encode_decision(CabacContexts& c, int ctx_idx, int bin) {
+    uint32_t q = (range_ >> 6) & 3;
+    uint32_t lps = kRangeTabLPS[c.p_state[ctx_idx]][q];
+    range_ -= lps;
+    if (bin != c.val_mps[ctx_idx]) {
+      low_ += range_;
+      range_ = lps;
+      if (c.p_state[ctx_idx] == 0) c.val_mps[ctx_idx] ^= 1;
+      c.p_state[ctx_idx] = kTransIdxLPS[c.p_state[ctx_idx]];
+    } else {
+      c.p_state[ctx_idx] = kTransIdxMPS[c.p_state[ctx_idx]];
+    }
+    renorm();
+  }
+
+  void encode_bypass(int bin) {
+    low_ <<= 1;
+    if (bin) low_ += range_;
+    if (low_ >= 1024) {
+      put_bit(1);
+      low_ -= 1024;
+    } else if (low_ < 512) {
+      put_bit(0);
+    } else {
+      ++outstanding_;
+      low_ -= 512;
+    }
+  }
+
+  // EncodeTerminate (9.3.4.5) + EncodeFlush (9.3.4.6) when bin==1.
+  void encode_terminate(int bin) {
+    range_ -= 2;
+    if (bin) {
+      low_ += range_;
+      // flush
+      range_ = 2;
+      renorm();
+      put_bit((low_ >> 9) & 1);
+      put_bit((low_ >> 8) & 1);
+      put_bit(((low_ >> 7) & 1) | 1);
+    } else {
+      renorm();
+    }
+  }
+
+  // Finished bitstream, byte-aligned with zero bits (alignment belongs to
+  // rbsp_trailing; the flush above already emitted the stop-one bit).
+  std::vector<uint8_t> take_bytes() {
+    std::vector<uint8_t> out((bits_.size() + 7) / 8, 0);
+    for (size_t i = 0; i < bits_.size(); ++i)
+      if (bits_[i]) out[i >> 3] |= uint8_t(1u << (7 - (i & 7)));
+    return out;
+  }
+
+  size_t bit_count() const { return bits_.size(); }
+
+ private:
+  void renorm() {
+    while (range_ < 256) {
+      if (low_ >= 512) {
+        put_bit(1);
+        low_ -= 512;
+      } else if (low_ < 256) {
+        put_bit(0);
+      } else {
+        ++outstanding_;
+        low_ -= 256;
+      }
+      range_ <<= 1;
+      low_ <<= 1;
+    }
+  }
+
+  void put_bit(uint32_t b) {
+    if (first_bit_) {
+      first_bit_ = false;  // leading bit is discarded (9.3.4.3 firstBitFlag)
+    } else {
+      bits_.push_back(uint8_t(b));
+    }
+    while (outstanding_ > 0) {
+      bits_.push_back(uint8_t(1 - b));
+      --outstanding_;
+    }
+  }
+
+  uint32_t low_;
+  uint32_t range_;
+  bool first_bit_;
+  uint64_t outstanding_;
+  std::vector<uint8_t> bits_;  // one bit per entry (simple + exact; hot path is fine)
+};
+
+}  // namespace artc
