@@ -1,0 +1,794 @@
+// CABAC macroblock-layer syntax walker (ITU-T H.264 clauses 7.3.5, 7.4.5,
+// 9.3.2, 9.3.3). Decodes (or, driven by a model, replays) every CABAC bin of a
+// slice in spec order, maintaining exactly the neighbor state the *entropy*
+// layer needs — no pixel reconstruction, motion compensation, or deblocking.
+//
+// Reference parity: this replaces the forked-ffmpeg H.264 decoder the
+// reference drives via hooks (reference recode.cpp:74-230 + SURVEY.md
+// Appendix A). The IO template parameter plays the role of the reference's
+// AVCodecHooks table: compress wraps a spec CABAC decoder and records symbols
+// (reference compressor::cabac_decoder, recode.cpp:1134-1268); decompress
+// wraps the recoded-stream model and a CABAC re-encoder (reference
+// decompressor::cabac_decoder, recode.cpp:1411-1520), with no surrogate
+// stream needed because the walker is ours.
+//
+// IO concept:
+//   int decision(int ctx, BinKlass klass);   // context-coded bin
+//   int bypass(BinKlass klass);              // bypass bin
+//   int terminate();                          // end_of_slice / I_PCM bin
+//   int sig_bin(int ctx, int pos);           // significant_coeff_flag
+//   int eob_bin(int ctx, int pos);           // last_significant_coeff_flag
+//   void implicit_sig_last(int pos);         // forced-significant final coeff
+//   void begin_mb(int mb_x, int mb_y);
+//   void begin_block(int slot, int cat, int max_coeff);
+//   void end_block();
+#pragma once
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "h264_params.h"
+#include "h264_tables.h"
+#include "gen/cabac_tables.h"
+
+namespace artc {
+
+enum BinKlass : uint8_t {
+  kKlassOther = 0,     // headers, modes, cbf, mvd prefix, ...
+  kKlassSig = 1,       // significant_coeff_flag   (reference PIP_SIGNIFICANCE_MAP)
+  kKlassEob = 2,       // last_significant_coeff_flag (reference PIP_SIGNIFICANCE_EOB)
+  kKlassRes = 3,       // coeff_abs_level_minus1 decision bins (reference PIP_RESIDUALS)
+  kKlassBypassOther = 4,
+  kKlassBypassRes = 5,
+  kKlassTerminate = 6,
+  kNumBinKlasses = 7,
+};
+
+// Per-macroblock entropy-relevant state (our equivalent of the reference's
+// BlockMeta, reference block.h:9-23, but actually populated).
+struct MBInfo {
+  uint16_t slice_id = 0xffff;  // 0xffff = not yet decoded
+  uint8_t intra = 0;           // any intra type
+  uint8_t i16 = 0;             // Intra_16x16
+  uint8_t pcm = 0;
+  uint8_t skip = 0;            // P_Skip / B_Skip
+  uint8_t direct_or_skip = 0;  // B_Skip or B_Direct_16x16 (for B mb_type ctx)
+  uint8_t transform8x8 = 0;
+  uint8_t cbp_luma = 0;        // 4 bits, one per 8x8
+  uint8_t cbp_chroma = 0;      // 0..2
+  uint8_t chroma_pred_nonzero = 0;
+  uint8_t qp_delta_nonzero = 0;
+  // coded_block_flag storage: bits 0-15 luma 4x4 by grid pos (x + 4*y);
+  // bit 16 luma DC; bits 17-18 chroma DC (u,v); bits 19-26 chroma AC
+  // (comp*4 + (cx + 2*cy)).
+  uint32_t cbf = 0;
+  // |mvd| per list per 4x4 grid pos per component (entropy ctx only needs the
+  // absolute value; clamped to int16 range).
+  int16_t mvd[2][16][2];
+  // ref_idx per list per 8x8 (raster); -1 = list unused for that partition.
+  int8_t ref[2][4];
+
+  MBInfo() { clear(); }
+  void clear() {
+    slice_id = 0xffff;
+    intra = i16 = pcm = skip = direct_or_skip = transform8x8 = 0;
+    cbp_luma = cbp_chroma = chroma_pred_nonzero = qp_delta_nonzero = 0;
+    cbf = 0;
+    std::memset(mvd, 0, sizeof(mvd));
+    ref[0][0] = ref[0][1] = ref[0][2] = ref[0][3] = -1;
+    ref[1][0] = ref[1][1] = ref[1][2] = ref[1][3] = -1;
+  }
+};
+
+// Shared across all slices of one picture.
+struct PictureState {
+  int mb_width = 0, mb_height = 0;
+  std::vector<MBInfo> mbs;
+  void reset(int w, int h) {
+    mb_width = w;
+    mb_height = h;
+    mbs.assign(size_t(w) * h, MBInfo());
+  }
+};
+
+template <class IO>
+class SliceWalker {
+ public:
+  SliceWalker(const SPS& sps, const PPS& pps, const SliceHeader& sh, PictureState& pic,
+              int slice_id, IO& io)
+      : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
+    if (sps.chroma_format_idc != 1) throw UnsupportedStream("chroma_format != 4:2:0");
+    if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
+      throw UnsupportedStream("bit depth != 8");
+  }
+
+  // Walks the whole slice_data(); returns number of macroblocks decoded.
+  int run() {
+    int mb_addr = sh_.first_mb_in_slice;
+    const int num_mbs = pic_.mb_width * pic_.mb_height;
+    int count = 0;
+    bool prev_qp_delta_nonzero = false;
+    while (true) {
+      if (mb_addr >= num_mbs) throw BitstreamError("mb address out of range");
+      mb_x_ = mb_addr % pic_.mb_width;
+      mb_y_ = mb_addr / pic_.mb_width;
+      cur_ = &pic_.mbs[mb_addr];
+      cur_->clear();
+      cur_->slice_id = uint16_t(slice_id_);
+      io_.begin_mb(mb_x_, mb_y_);
+
+      bool skipped = false;
+      if (!sh_.is_intra()) {
+        int inc = 0;
+        const MBInfo* a = nb_mb(-1, 0);
+        const MBInfo* b = nb_mb(0, -1);
+        if (a && !a->skip) ++inc;
+        if (b && !b->skip) ++inc;
+        int base = sh_.is_b() ? kCtxMbSkipB : kCtxMbSkipP;
+        skipped = io_.decision(base + inc, kKlassOther) != 0;
+      }
+      if (skipped) {
+        cur_->skip = 1;
+        cur_->direct_or_skip = 1;
+        if (!sh_.is_b()) cur_->ref[0][0] = cur_->ref[0][1] = cur_->ref[0][2] = cur_->ref[0][3] = 0;
+        prev_qp_delta_nonzero = false;
+      } else {
+        decode_mb_layer(prev_qp_delta_nonzero);
+      }
+      ++count;
+      if (io_.terminate()) break;
+      ++mb_addr;
+    }
+    return count;
+  }
+
+ private:
+  // ---- neighbor access -----------------------------------------------------
+  // Returns the MB at (mb_x_+dx, mb_y_+dy) if it exists and belongs to the
+  // same slice (clause 6.4.9 availability for entropy decoding).
+  const MBInfo* nb_mb(int dx, int dy) const {
+    int x = mb_x_ + dx, y = mb_y_ + dy;
+    if (x < 0 || y < 0 || x >= pic_.mb_width || y >= pic_.mb_height) return nullptr;
+    const MBInfo& m = pic_.mbs[size_t(y) * pic_.mb_width + x];
+    if (m.slice_id != slice_id_) return nullptr;  // other/undecoded slice
+    return &m;
+  }
+
+  // ---- mb_type ------------------------------------------------------------
+  // Intra mb_type tree shared by I/P/B (ffmpeg-equivalent value-based context
+  // selection validated against conformant streams). Returns 0 = I_NxN,
+  // 1..24 = I_16x16 (value = 1 + pred + 4*cbpc + 12*(cbpl!=0)), 25 = I_PCM.
+  int decode_intra_mb_type(int ctx_base, bool intra_slice) {
+    int state = ctx_base;
+    if (intra_slice) {
+      int inc = 0;
+      const MBInfo* a = nb_mb(-1, 0);
+      const MBInfo* b = nb_mb(0, -1);
+      if (a && (a->i16 || a->pcm)) ++inc;
+      if (b && (b->i16 || b->pcm)) ++inc;
+      if (io_.decision(state + inc, kKlassOther) == 0) return 0;
+      state += 2;
+    } else {
+      if (io_.decision(state, kKlassOther) == 0) return 0;
+    }
+    if (io_.terminate()) return 25;  // I_PCM
+    int mb_type = 1;
+    mb_type += 12 * io_.decision(state + 1, kKlassOther);
+    if (io_.decision(state + 2, kKlassOther))
+      mb_type += 4 + 4 * io_.decision(state + 2 + (intra_slice ? 1 : 0), kKlassOther);
+    mb_type += 2 * io_.decision(state + 3 + (intra_slice ? 1 : 0), kKlassOther);
+    mb_type += io_.decision(state + 3 + 2 * (intra_slice ? 1 : 0), kKlassOther);
+    return mb_type;
+  }
+
+  // P-slice mb_type: 0=P_L0_16x16, 1=P_L0_16x8, 2=P_L0_8x16, 3=P_8x8,
+  // 5.. = intra (value-5 as intra code above).
+  int decode_p_mb_type() {
+    if (io_.decision(kCtxMbTypeP, kKlassOther) == 0) {
+      if (io_.decision(kCtxMbTypeP + 1, kKlassOther) == 0)
+        return 3 * io_.decision(kCtxMbTypeP + 2, kKlassOther);
+      return 2 - io_.decision(kCtxMbTypeP + 3, kKlassOther);
+    }
+    return 5 + decode_intra_mb_type(17, false);
+  }
+
+  // B-slice mb_type: 0=B_Direct_16x16, 1..21 two-partition table, 22=B_8x8,
+  // 23.. = intra (value-23).
+  int decode_b_mb_type() {
+    int inc = 0;
+    const MBInfo* a = nb_mb(-1, 0);
+    const MBInfo* b = nb_mb(0, -1);
+    if (a && !a->direct_or_skip) ++inc;
+    if (b && !b->direct_or_skip) ++inc;
+    if (!io_.decision(kCtxMbTypeB + inc, kKlassOther)) return 0;  // B_Direct_16x16
+    if (!io_.decision(kCtxMbTypeB + 3, kKlassOther))
+      return 1 + io_.decision(kCtxMbTypeB + 5, kKlassOther);  // B_L0/L1_16x16
+    int bits = io_.decision(kCtxMbTypeB + 4, kKlassOther) << 3;
+    bits |= io_.decision(kCtxMbTypeB + 5, kKlassOther) << 2;
+    bits |= io_.decision(kCtxMbTypeB + 5, kKlassOther) << 1;
+    bits |= io_.decision(kCtxMbTypeB + 5, kKlassOther);
+    if (bits < 8) return bits + 3;
+    if (bits == 13) return 23 + decode_intra_mb_type(32, false);
+    if (bits == 14) return 11;  // B_L1_L0_8x16
+    if (bits == 15) return 22;  // B_8x8
+    bits = (bits << 1) | io_.decision(kCtxMbTypeB + 5, kKlassOther);
+    return bits - 4;  // 12..21
+  }
+
+  // P sub_mb_type (Table 7-17): 0=L0_8x8, 1=L0_8x4, 2=L0_4x8, 3=L0_4x4.
+  int decode_p_sub_mb_type() {
+    if (io_.decision(kCtxSubMbTypeP, kKlassOther)) return 0;
+    if (!io_.decision(kCtxSubMbTypeP + 1, kKlassOther)) return 1;
+    if (io_.decision(kCtxSubMbTypeP + 2, kKlassOther)) return 2;
+    return 3;
+  }
+
+  // B sub_mb_type (Table 7-18): 0=Direct_8x8, 1=L0_8x8, 2=L1_8x8, 3=Bi_8x8,
+  // 4=L0_8x4, 5=L0_4x8, 6=L1_8x4, 7=L1_4x8, 8=Bi_8x4, 9=Bi_4x8,
+  // 10=L0_4x4, 11=L1_4x4, 12=Bi_4x4.
+  int decode_b_sub_mb_type() {
+    if (!io_.decision(kCtxSubMbTypeB, kKlassOther)) return 0;
+    if (!io_.decision(kCtxSubMbTypeB + 1, kKlassOther))
+      return 1 + io_.decision(kCtxSubMbTypeB + 3, kKlassOther);
+    int type = 3;
+    if (io_.decision(kCtxSubMbTypeB + 2, kKlassOther)) {
+      if (io_.decision(kCtxSubMbTypeB + 3, kKlassOther))
+        return 11 + io_.decision(kCtxSubMbTypeB + 3, kKlassOther);
+      type += 4;
+    }
+    type += 2 * io_.decision(kCtxSubMbTypeB + 3, kKlassOther);
+    type += io_.decision(kCtxSubMbTypeB + 3, kKlassOther);
+    return type;
+  }
+
+  // ---- motion syntax ------------------------------------------------------
+  // ref_idx (9.3.2.6 unary, 9.3.3.1.1.6 ctx). (bx,by): partition top-left in
+  // 4x4 grid units.
+  int decode_ref_idx(int list, int bx, int by) {
+    int inc = ref_ctx_flag(list, bx - 1, by) + 2 * ref_ctx_flag(list, bx, by - 1);
+    if (!io_.decision(kCtxRefIdx + inc, kKlassOther)) return 0;
+    int val = 1;
+    while (io_.decision(kCtxRefIdx + (val == 1 ? 4 : 5), kKlassOther)) {
+      if (++val > 32) throw BitstreamError("ref_idx too large");
+    }
+    return val;
+  }
+
+  // refIdxZeroFlagN-based condTermFlagN for a neighbor 4x4 at grid (gx,gy)
+  // (may be outside the MB).
+  int ref_ctx_flag(int list, int gx, int gy) const {
+    const MBInfo* m;
+    int lx = gx, ly = gy;
+    if (!locate(gx, gy, &m, &lx, &ly)) return 0;
+    if (m->intra || m->skip) return 0;
+    int b8 = (lx >> 1) + 2 * (ly >> 1);
+    // B_Direct_16x16 / direct 8x8 partitions store ref = -1 (list unused).
+    int r = m->ref[list][b8];
+    return r > 0 ? 1 : 0;
+  }
+
+  // mvd (9.3.2.3 UEG3 uCoff=9 + sign, 9.3.3.1.1.7 ctx). comp: 0=x,1=y.
+  int decode_mvd(int list, int comp, int bx, int by) {
+    int sum = abs_mvd_at(list, comp, bx - 1, by) + abs_mvd_at(list, comp, bx, by - 1);
+    int inc = sum < 3 ? 0 : (sum > 32 ? 2 : 1);
+    int base = comp ? kCtxMvdY : kCtxMvdX;
+    if (!io_.decision(base + inc, kKlassOther)) return 0;
+    int val = 1;
+    while (val < 9) {
+      int off = 3 + (val < 4 ? val - 1 : 3);  // binIdx 1,2,3 -> +3,+4,+5; >=4 -> +6
+      if (!io_.decision(base + off, kKlassOther)) break;
+      ++val;
+    }
+    if (val == 9) {  // EG3 suffix, bypass
+      int k = 3;
+      while (io_.bypass(kKlassBypassOther)) {
+        val += 1 << k;
+        if (++k > 24) throw BitstreamError("mvd suffix too long");
+      }
+      while (k--) val += io_.bypass(kKlassBypassOther) << k;
+    }
+    if (io_.bypass(kKlassBypassOther)) val = -val;
+    return val;
+  }
+
+  int abs_mvd_at(int list, int comp, int gx, int gy) const {
+    const MBInfo* m;
+    int lx, ly;
+    if (!locate(gx, gy, &m, &lx, &ly)) return 0;
+    if (m->intra || m->skip) return 0;
+    int v = m->mvd[list][lx + 4 * ly][comp];
+    return v < 0 ? -v : v;
+  }
+
+  // Locate a 4x4 grid position possibly outside the current MB. Returns false
+  // if the containing MB is unavailable. (lx,ly) = position within that MB.
+  bool locate(int gx, int gy, const MBInfo** m, int* lx, int* ly) const {
+    int dx = 0, dy = 0;
+    if (gx < 0) { dx = -1; gx += 4; }
+    if (gy < 0) { dy = -1; gy += 4; }
+    if (dx != 0 && dy != 0) return false;  // only A/B neighbors arise
+    const MBInfo* mb = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
+    if (!mb) return false;
+    *m = mb;
+    *lx = gx;
+    *ly = gy;
+    return true;
+  }
+
+  // ---- macroblock layer ---------------------------------------------------
+  void decode_mb_layer(bool& prev_qp_delta_nonzero) {
+    int mb_type;
+    bool is_intra_mb = false;
+    int intra_code = -1;  // 0=I_NxN, 1..24=I16, 25=PCM
+    int inter_type = -1;
+    if (sh_.is_intra()) {
+      intra_code = decode_intra_mb_type(kCtxMbTypeI, true);
+      is_intra_mb = true;
+    } else if (sh_.is_p()) {
+      mb_type = decode_p_mb_type();
+      if (mb_type >= 5) { is_intra_mb = true; intra_code = mb_type - 5; }
+      else inter_type = mb_type;
+    } else {
+      mb_type = decode_b_mb_type();
+      if (mb_type >= 23) { is_intra_mb = true; intra_code = mb_type - 23; }
+      else inter_type = mb_type;
+    }
+
+    int cbp_luma = 0, cbp_chroma = 0;
+    bool i16 = false;
+    if (is_intra_mb) {
+      cur_->intra = 1;
+      if (intra_code == 25) throw UnsupportedStream("I_PCM");
+      if (intra_code > 0) {
+        i16 = true;
+        cur_->i16 = 1;
+        int v = intra_code - 1;
+        cbp_luma = (v >= 12) ? 0xf : 0;
+        cbp_chroma = (v % 12) / 4;
+      }
+    }
+
+    // transform_size_8x8_flag for I_NxN comes before intra pred modes.
+    bool t8x8 = false;
+    if (is_intra_mb && intra_code == 0) {
+      if (pps_.transform_8x8_mode) t8x8 = decode_transform8x8();
+      cur_->transform8x8 = t8x8;
+      // Intra pred modes: 4 (8x8) or 16 (4x4) prev/rem pairs; values are
+      // pixel-prediction only — no entropy state needed beyond the bins.
+      int n = t8x8 ? 4 : 16;
+      for (int i = 0; i < n; ++i) {
+        if (!io_.decision(kCtxIntra4x4PredFlag, kKlassOther)) {
+          io_.decision(kCtxIntra4x4PredRem, kKlassOther);
+          io_.decision(kCtxIntra4x4PredRem, kKlassOther);
+          io_.decision(kCtxIntra4x4PredRem, kKlassOther);
+        }
+      }
+    }
+    if (is_intra_mb) decode_chroma_pred_mode();
+
+    bool no_small_parts = true;  // NoSubMbPartSizeLessThan8x8Flag
+    if (!is_intra_mb) {
+      if (sh_.is_b() && inter_type == 0) {
+        // B_Direct_16x16: no motion syntax.
+        cur_->direct_or_skip = 1;
+        no_small_parts = sps_.direct_8x8_inference;
+      } else if (inter_type == (sh_.is_p() ? 3 : 22)) {
+        no_small_parts = decode_sub_mb_pred();
+      } else {
+        decode_mb_pred(inter_type);
+      }
+    }
+
+    if (!i16) {
+      cbp_luma = decode_cbp_luma();
+      cbp_chroma = decode_cbp_chroma();
+      if (cbp_luma && pps_.transform_8x8_mode && !is_intra_mb && no_small_parts &&
+          (inter_type != 0 || sps_.direct_8x8_inference)) {
+        t8x8 = decode_transform8x8();
+        cur_->transform8x8 = t8x8;
+      }
+    }
+    cur_->cbp_luma = uint8_t(cbp_luma);
+    cur_->cbp_chroma = uint8_t(cbp_chroma);
+
+    if (cbp_luma || cbp_chroma || i16) {
+      decode_qp_delta(prev_qp_delta_nonzero);
+      decode_residual(i16, cbp_luma, cbp_chroma, t8x8);
+    } else {
+      prev_qp_delta_nonzero = false;
+    }
+  }
+
+  bool decode_transform8x8() {
+    const MBInfo* a = nb_mb(-1, 0);
+    const MBInfo* b = nb_mb(0, -1);
+    int inc = (a && a->transform8x8 ? 1 : 0) + (b && b->transform8x8 ? 1 : 0);
+    return io_.decision(kCtxTransform8x8 + inc, kKlassOther) != 0;
+  }
+
+  void decode_chroma_pred_mode() {
+    const MBInfo* a = nb_mb(-1, 0);
+    const MBInfo* b = nb_mb(0, -1);
+    int inc = (a && a->chroma_pred_nonzero ? 1 : 0) + (b && b->chroma_pred_nonzero ? 1 : 0);
+    int mode = 0;
+    if (io_.decision(kCtxChromaPred + inc, kKlassOther)) {
+      mode = 1;
+      if (io_.decision(kCtxChromaPred + 3, kKlassOther)) {
+        mode = 2 + io_.decision(kCtxChromaPred + 3, kKlassOther);
+      }
+    }
+    cur_->chroma_pred_nonzero = mode != 0;
+  }
+
+  void decode_mb_pred(int inter_type) {
+    // Partition layout per slice type (Table 7-13/7-14).
+    struct Part { int bx, by, w, h; int pred; };  // pred: bit0 L0, bit1 L1
+    Part parts[2];
+    int nparts = 1;
+    if (sh_.is_p()) {
+      switch (inter_type) {
+        case 0: parts[0] = {0, 0, 4, 4, 1}; nparts = 1; break;
+        case 1: parts[0] = {0, 0, 4, 2, 1}; parts[1] = {0, 2, 4, 2, 1}; nparts = 2; break;
+        case 2: parts[0] = {0, 0, 2, 4, 1}; parts[1] = {2, 0, 2, 4, 1}; nparts = 2; break;
+        default: throw BitstreamError("bad P partition type");
+      }
+    } else {
+      // B types 1..21 (Table 7-14). pred codes: 1=L0, 2=L1, 3=Bi.
+      static const int8_t kBPred[21][2] = {
+          {1, 0}, {2, 0}, {3, 0},                          // 16x16 L0/L1/Bi
+          {1, 1}, {1, 1}, {2, 2}, {2, 2}, {1, 2}, {1, 2},  // 4..9
+          {2, 1}, {2, 1}, {1, 3}, {1, 3}, {2, 3}, {2, 3},  // 10..15
+          {3, 1}, {3, 1}, {3, 2}, {3, 2}, {3, 3}, {3, 3},  // 16..21
+      };
+      int t = inter_type - 1;
+      if (t < 0 || t >= 21) throw BitstreamError("bad B partition type");
+      if (t < 3) {
+        parts[0] = {0, 0, 4, 4, kBPred[t][0]};
+        nparts = 1;
+      } else {
+        bool vert = (inter_type & 1) != 0;  // odd types 5,7,..,21 are 8x16
+        if (vert) {
+          parts[0] = {0, 0, 2, 4, kBPred[t][0]};
+          parts[1] = {2, 0, 2, 4, kBPred[t][1]};
+        } else {
+          parts[0] = {0, 0, 4, 2, kBPred[t][0]};
+          parts[1] = {0, 2, 4, 2, kBPred[t][1]};
+        }
+        nparts = 2;
+      }
+    }
+
+    // ref_idx: all L0 then all L1; commit each immediately (a later partition's
+    // context may reference an earlier partition of this same MB).
+    for (int list = 0; list < 2; ++list) {
+      int nref = list ? sh_.num_ref_idx_l1_active : sh_.num_ref_idx_l0_active;
+      for (int p = 0; p < nparts; ++p) {
+        if (!(parts[p].pred & (1 << list))) continue;
+        int r = (nref > 1) ? decode_ref_idx(list, parts[p].bx, parts[p].by) : 0;
+        for (int y = parts[p].by; y < parts[p].by + parts[p].h; y += 2)
+          for (int x = parts[p].bx; x < parts[p].bx + parts[p].w; x += 2)
+            cur_->ref[list][(x >> 1) + 2 * (y >> 1)] = int8_t(r);
+      }
+    }
+
+    for (int list = 0; list < 2; ++list)
+      for (int p = 0; p < nparts; ++p) {
+        if (!(parts[p].pred & (1 << list))) continue;
+        int mx = decode_mvd(list, 0, parts[p].bx, parts[p].by);
+        int my = decode_mvd(list, 1, parts[p].bx, parts[p].by);
+        for (int y = parts[p].by; y < parts[p].by + parts[p].h; ++y)
+          for (int x = parts[p].bx; x < parts[p].bx + parts[p].w; ++x) {
+            cur_->mvd[list][x + 4 * y][0] = int16_t(mx);
+            cur_->mvd[list][x + 4 * y][1] = int16_t(my);
+          }
+      }
+  }
+
+  // P_8x8 / B_8x8. Returns NoSubMbPartSizeLessThan8x8Flag.
+  bool decode_sub_mb_pred() {
+    int sub[4];
+    bool no_small = true;
+    for (int i = 0; i < 4; ++i) {
+      sub[i] = sh_.is_b() ? decode_b_sub_mb_type() : decode_p_sub_mb_type();
+      if (sh_.is_b()) {
+        if (sub[i] == 0) {
+          if (!sps_.direct_8x8_inference) no_small = false;
+        } else if (sub[i] >= 4) {
+          no_small = false;
+        }
+      } else if (sub[i] != 0) {
+        no_small = false;
+      }
+    }
+    // pred usage per sub block. B sub types: pred bit0=L0, bit1=L1.
+    auto sub_pred = [&](int s) -> int {
+      if (!sh_.is_b()) return 1;
+      static const int8_t kPred[13] = {0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
+      return kPred[s];
+    };
+    // Sub-partition geometry: list of (dx,dy,w,h) in 4x4 units within the 8x8.
+    auto sub_parts = [&](int s, int (*out)[4]) -> int {
+      if (!sh_.is_b()) {
+        switch (s) {
+          case 0: out[0][0]=0; out[0][1]=0; out[0][2]=2; out[0][3]=2; return 1;
+          case 1: out[0][0]=0; out[0][1]=0; out[0][2]=2; out[0][3]=1;
+                  out[1][0]=0; out[1][1]=1; out[1][2]=2; out[1][3]=1; return 2;
+          case 2: out[0][0]=0; out[0][1]=0; out[0][2]=1; out[0][3]=2;
+                  out[1][0]=1; out[1][1]=0; out[1][2]=1; out[1][3]=2; return 2;
+          default:
+            for (int k = 0; k < 4; ++k) { out[k][0]=k&1; out[k][1]=k>>1; out[k][2]=1; out[k][3]=1; }
+            return 4;
+        }
+      }
+      // B (Table 7-18): 1..3 -> 8x8; 4,6,8 -> 8x4; 5,7,9 -> 4x8; 10..12 -> 4x4.
+      if (s <= 3) { out[0][0]=0; out[0][1]=0; out[0][2]=2; out[0][3]=2; return 1; }
+      if (s == 4 || s == 6 || s == 8) {
+        out[0][0]=0; out[0][1]=0; out[0][2]=2; out[0][3]=1;
+        out[1][0]=0; out[1][1]=1; out[1][2]=2; out[1][3]=1; return 2;
+      }
+      if (s == 5 || s == 7 || s == 9) {
+        out[0][0]=0; out[0][1]=0; out[0][2]=1; out[0][3]=2;
+        out[1][0]=1; out[1][1]=0; out[1][2]=1; out[1][3]=2; return 2;
+      }
+      for (int k = 0; k < 4; ++k) { out[k][0]=k&1; out[k][1]=k>>1; out[k][2]=1; out[k][3]=1; }
+      return 4;
+    };
+
+    // ref_idx: all L0 then all L1; commit each immediately (later 8x8s'
+    // contexts may reference earlier 8x8s of this same MB).
+    for (int list = 0; list < 2; ++list) {
+      int nref = list ? sh_.num_ref_idx_l1_active : sh_.num_ref_idx_l0_active;
+      for (int i = 0; i < 4; ++i) {
+        bool direct = sh_.is_b() && sub[i] == 0;
+        if (direct || !(sub_pred(sub[i]) & (1 << list))) continue;
+        int bx = 2 * kBlk8x8X[i], by = 2 * kBlk8x8Y[i];
+        int r = (nref > 1) ? decode_ref_idx(list, bx, by) : 0;
+        cur_->ref[list][kBlk8x8X[i] + 2 * kBlk8x8Y[i]] = int8_t(r);
+      }
+    }
+
+    for (int list = 0; list < 2; ++list)
+      for (int i = 0; i < 4; ++i) {
+        bool direct = sh_.is_b() && sub[i] == 0;
+        if (direct || !(sub_pred(sub[i]) & (1 << list))) continue;
+        int parts[4][4];
+        int np = sub_parts(sub[i], parts);
+        int bx0 = 2 * kBlk8x8X[i], by0 = 2 * kBlk8x8Y[i];
+        for (int p = 0; p < np; ++p) {
+          int bx = bx0 + parts[p][0], by = by0 + parts[p][1];
+          int mx = decode_mvd(list, 0, bx, by);
+          int my = decode_mvd(list, 1, bx, by);
+          for (int y = by; y < by + parts[p][3]; ++y)
+            for (int x = bx; x < bx + parts[p][2]; ++x) {
+              cur_->mvd[list][x + 4 * y][0] = int16_t(mx);
+              cur_->mvd[list][x + 4 * y][1] = int16_t(my);
+            }
+        }
+      }
+    return no_small;
+  }
+
+  // ---- cbp / qp -----------------------------------------------------------
+  int decode_cbp_luma() {
+    const MBInfo* a = nb_mb(-1, 0);
+    const MBInfo* b = nb_mb(0, -1);
+    // condTermFlagN = 0 when the neighbor is unavailable, I_PCM, or its cbp
+    // bit is set (9.3.3.1.1.4); with the inverted !(cbp&bit) formulation that
+    // means unavailable/PCM neighbors act as fully-coded (0xf). Validated by
+    // byte-exact re-encode against x264 streams.
+    int cbp_a = a ? (a->pcm ? 0xf : a->cbp_luma) : 0xf;
+    int cbp_b = b ? (b->pcm ? 0xf : b->cbp_luma) : 0xf;
+    int cbp = 0;
+    int inc;
+    inc = !(cbp_a & 0x2) + 2 * !(cbp_b & 0x4);
+    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther);
+    inc = !(cbp & 0x1) + 2 * !(cbp_b & 0x8);
+    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << 1;
+    inc = !(cbp_a & 0x8) + 2 * !(cbp & 0x1);
+    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << 2;
+    inc = !(cbp & 0x4) + 2 * !(cbp & 0x2);
+    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << 3;
+    return cbp;
+  }
+
+  int decode_cbp_chroma() {
+    const MBInfo* a = nb_mb(-1, 0);
+    const MBInfo* b = nb_mb(0, -1);
+    int ca = a ? (a->pcm ? 2 : a->cbp_chroma) : 0;
+    int cb = b ? (b->pcm ? 2 : b->cbp_chroma) : 0;
+    int inc = (ca != 0 ? 1 : 0) + 2 * (cb != 0 ? 1 : 0);
+    if (!io_.decision(kCtxCbpChroma + inc, kKlassOther)) return 0;
+    inc = 4 + (ca == 2 ? 1 : 0) + 2 * (cb == 2 ? 1 : 0);
+    return 1 + io_.decision(kCtxCbpChroma + inc, kKlassOther);
+  }
+
+  void decode_qp_delta(bool& prev_qp_delta_nonzero) {
+    int inc = prev_qp_delta_nonzero ? 1 : 0;
+    int val = 0;
+    while (io_.decision(kCtxQpDelta + inc, kKlassOther)) {
+      inc = (val == 0) ? 2 : 3;
+      if (++val > 112) throw BitstreamError("mb_qp_delta too large");
+    }
+    prev_qp_delta_nonzero = val != 0;
+    cur_->qp_delta_nonzero = val != 0;
+  }
+
+  // ---- residuals ----------------------------------------------------------
+  void decode_residual(bool i16, int cbp_luma, int cbp_chroma, bool t8x8) {
+    if (i16) {
+      // Luma DC (cat 0) always present for I16x16.
+      decode_block(kCatLumaDC, kSlotLumaDC, 16, cbf_ctx_luma_dc(), 16 /*cbf bit*/);
+      for (int b8 = 0; b8 < 4; ++b8) {
+        for (int k = 0; k < 4; ++k) {
+          int blk = 4 * b8 + k;
+          if (cbp_luma & (1 << b8))
+            decode_block(kCatLumaAC, kSlotLuma4x4 + blk, 15, cbf_ctx_luma4x4(blk),
+                         kBlk4x4X[blk] + 4 * kBlk4x4Y[blk]);
+        }
+      }
+    } else {
+      for (int b8 = 0; b8 < 4; ++b8) {
+        if (!(cbp_luma & (1 << b8))) continue;
+        if (t8x8) {
+          // 4:2:0: no coded_block_flag for cat 5; cbf inferred 1 and mirrored
+          // into the four covered 4x4 grid positions for later neighbors.
+          decode_block(kCatLuma8x8, kSlotLuma8x8 + b8, 64, -1, -1);
+          for (int k = 0; k < 4; ++k) {
+            int gx = 2 * kBlk8x8X[b8] + (k & 1), gy = 2 * kBlk8x8Y[b8] + (k >> 1);
+            cur_->cbf |= 1u << (gx + 4 * gy);
+          }
+        } else {
+          for (int k = 0; k < 4; ++k) {
+            int blk = 4 * b8 + k;
+            decode_block(kCatLuma4x4, kSlotLuma4x4 + blk, 16, cbf_ctx_luma4x4(blk),
+                         kBlk4x4X[blk] + 4 * kBlk4x4Y[blk]);
+          }
+        }
+      }
+    }
+    if (cbp_chroma) {
+      for (int c = 0; c < 2; ++c)
+        decode_block(kCatChromaDC, kSlotChromaDC + c, 4, cbf_ctx_chroma_dc(c), 17 + c);
+      if (cbp_chroma == 2)
+        for (int c = 0; c < 2; ++c)
+          for (int k = 0; k < 4; ++k)
+            decode_block(kCatChromaAC, kSlotChromaAC + 4 * c + k, 15,
+                         cbf_ctx_chroma_ac(c, k), 19 + 4 * c + k);
+    }
+  }
+
+  // coded_block_flag ctxIdxInc helpers (9.3.3.1.1.9). Each returns the full
+  // ctxIdx for the block's cbf bin, or the condTerm pieces folded in.
+  int cbf_ctx(int cat, int cond_a, int cond_b) const {
+    return kCtxCbfBase + 4 * cat + cond_a + 2 * cond_b;
+  }
+  // condTermFlagN for an MB-level neighbor: PCM -> 1, unavailable ->
+  // (current MB intra ? 1 : 0), else the given cbf bit of the neighbor.
+  int cond_mb(const MBInfo* n, uint32_t bit_mask) const {
+    if (!n) return cur_->intra ? 1 : 0;
+    if (n->pcm) return 1;
+    return (n->cbf & bit_mask) ? 1 : 0;
+  }
+  int cbf_ctx_luma_dc() const {
+    return cbf_ctx(kCatLumaDC, cond_mb(nb_mb(-1, 0), 1u << 16), cond_mb(nb_mb(0, -1), 1u << 16));
+  }
+  int cbf_ctx_chroma_dc(int c) const {
+    return cbf_ctx(kCatChromaDC, cond_mb(nb_mb(-1, 0), 1u << (17 + c)),
+                   cond_mb(nb_mb(0, -1), 1u << (17 + c)));
+  }
+  // Luma 4x4 / I16 AC: neighbor 4x4 at grid position; cross-MB wraps to the
+  // adjacent MB's opposite column/row.
+  int cbf_ctx_luma4x4(int blk) const {
+    int gx = kBlk4x4X[blk], gy = kBlk4x4Y[blk];
+    int cat = cur_->i16 ? kCatLumaAC : kCatLuma4x4;
+    return cbf_ctx(cat, cond_luma4x4(gx - 1, gy), cond_luma4x4(gx, gy - 1));
+  }
+  int cond_luma4x4(int gx, int gy) const {
+    const MBInfo* m;
+    int lx, ly;
+    if (!locate4(gx, gy, &m, &lx, &ly)) return cur_->intra ? 1 : 0;
+    if (m->pcm) return 1;
+    return (m->cbf >> (lx + 4 * ly)) & 1;
+  }
+  bool locate4(int gx, int gy, const MBInfo** m, int* lx, int* ly) const {
+    int dx = 0, dy = 0;
+    if (gx < 0) { dx = -1; gx += 4; }
+    if (gy < 0) { dy = -1; gy += 4; }
+    const MBInfo* mb = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
+    if (!mb) return false;
+    *m = mb;
+    *lx = gx;
+    *ly = gy;
+    return true;
+  }
+  // Chroma AC: 2x2 grid per component.
+  int cbf_ctx_chroma_ac(int c, int blk) const {
+    int gx = blk & 1, gy = blk >> 1;
+    return cbf_ctx(kCatChromaAC, cond_chroma_ac(c, gx - 1, gy), cond_chroma_ac(c, gx, gy - 1));
+  }
+  int cond_chroma_ac(int c, int gx, int gy) const {
+    int dx = 0, dy = 0;
+    if (gx < 0) { dx = -1; gx += 2; }
+    if (gy < 0) { dy = -1; gy += 2; }
+    const MBInfo* mb = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
+    if (!mb) return cur_->intra ? 1 : 0;
+    if (mb->pcm) return 1;
+    return (mb->cbf >> (19 + 4 * c + gx + 2 * gy)) & 1;
+  }
+
+  // Decode one residual block: coded_block_flag (unless cat 5), significance
+  // map with zero-cost-capable EOB bins, then levels in reverse scan order
+  // (7.3.5.3.3). cbf_bit: index into cur_->cbf to set, or -1.
+  void decode_block(int cat, int slot, int max_coeff, int cbf_ctx_idx, int cbf_bit) {
+    io_.begin_block(slot, cat, max_coeff);
+    int cbf = 1;
+    if (cat != kCatLuma8x8) {
+      cbf = io_.decision(cbf_ctx_idx, kKlassOther);
+      if (cbf && cbf_bit >= 0) cur_->cbf |= 1u << cbf_bit;
+    }
+    if (cbf) {
+      uint8_t sig[64] = {0};
+      int last_pos = -1;
+      int i = 0;
+      for (; i < max_coeff - 1; ++i) {
+        if (io_.sig_bin(sig_ctx(cat, i), i)) {
+          sig[i] = 1;
+          if (io_.eob_bin(last_ctx(cat, i), i)) { last_pos = i; break; }
+        }
+      }
+      if (last_pos < 0) {
+        sig[max_coeff - 1] = 1;
+        io_.implicit_sig_last(max_coeff - 1);
+        last_pos = max_coeff - 1;
+      }
+      // Levels, reverse scan order (9.3.3.1.3 context state machine).
+      int num_eq1 = 0, num_gt1 = 0;
+      int abs_base = (cat == kCatLuma8x8) ? kCtxAbs8x8Base : kCtxAbsBase + kCatAbsOffset[cat];
+      for (int p = last_pos; p >= 0; --p) {
+        if (!sig[p]) continue;
+        int ctx0 = (num_gt1 != 0) ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
+        if (io_.decision(abs_base + ctx0, kKlassRes)) {
+          int ctx_n = 5 + (num_gt1 < 4 ? num_gt1 : 4);
+          int level = 2;
+          while (level < 15 && io_.decision(abs_base + ctx_n, kKlassRes)) ++level;
+          if (level == 15) {  // UEG0 suffix
+            int k = 0;
+            while (io_.bypass(kKlassBypassRes)) {
+              level += 1 << k;
+              if (++k > 24) throw BitstreamError("level suffix too long");
+            }
+            while (k--) level += io_.bypass(kKlassBypassRes) << k;
+          }
+          ++num_gt1;
+        } else {
+          ++num_eq1;
+        }
+        io_.bypass(kKlassBypassRes);  // coeff_sign_flag
+      }
+    }
+    io_.end_block();
+  }
+
+  int sig_ctx(int cat, int pos) const {
+    if (cat == kCatLuma8x8) return kCtxSig8x8Base + kSigCoeffFlagOffset8x8[0][pos];
+    if (cat == kCatChromaDC) return kCtxSigBase + kCatSigOffset[cat] + (pos < 2 ? pos : 2);
+    return kCtxSigBase + kCatSigOffset[cat] + pos;
+  }
+  int last_ctx(int cat, int pos) const {
+    if (cat == kCatLuma8x8) return kCtxLast8x8Base + kLastCoeffFlagOffset8x8[pos];
+    if (cat == kCatChromaDC) return kCtxLastBase + kCatSigOffset[cat] + (pos < 2 ? pos : 2);
+    return kCtxLastBase + kCatSigOffset[cat] + pos;
+  }
+
+  const SPS& sps_;
+  const PPS& pps_;
+  const SliceHeader& sh_;
+  PictureState& pic_;
+  int slice_id_;
+  IO& io_;
+  int mb_x_ = 0, mb_y_ = 0;
+  MBInfo* cur_ = nullptr;
+};
+
+}  // namespace artc

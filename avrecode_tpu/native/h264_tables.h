@@ -1,0 +1,83 @@
+// Small geometry and context-assignment tables for the H.264 CABAC
+// macroblock-layer syntax walk (ITU-T H.264 Tables 9-11, 9-40, 9-42 and the
+// 4x4/8x8 block rasterization of clause 6.4.3).
+//
+// Reference parity: the reference re-derives similar geometry (scan8 grid,
+// reference recode.cpp:233-312); here the layout is a plain (x,y) 4x4 grid per
+// macroblock, which makes neighbor derivation trivial.
+#pragma once
+
+#include <cstdint>
+
+namespace artc {
+
+// Decode order of the 16 luma 4x4 blocks: zigzag of 2x2 quads (clause 6.4.3).
+// kBlk4x4X/Y give the block's position in the MB's 4x4 grid.
+inline constexpr uint8_t kBlk4x4X[16] = {0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3};
+inline constexpr uint8_t kBlk4x4Y[16] = {0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3};
+// Inverse: 4x4 grid position (x + 4*y) -> decode-order block index.
+inline constexpr uint8_t kBlk4x4Idx[16] = {0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15};
+
+// 8x8 block positions (raster): idx 0..3 -> (x,y) in 8x8 units.
+inline constexpr uint8_t kBlk8x8X[4] = {0, 1, 0, 1};
+inline constexpr uint8_t kBlk8x8Y[4] = {0, 0, 1, 1};
+
+// Context block categories (Table 9-42), 4:2:0 subset.
+enum BlockCat : int {
+  kCatLumaDC = 0,   // Intra16x16DCLevel, 16 coeffs
+  kCatLumaAC = 1,   // Intra16x16ACLevel, 15 coeffs
+  kCatLuma4x4 = 2,  // LumaLevel4x4, 16 coeffs
+  kCatChromaDC = 3, // ChromaDCLevel, 4 coeffs (4:2:0)
+  kCatChromaAC = 4, // ChromaACLevel, 15 coeffs
+  kCatLuma8x8 = 5,  // LumaLevel8x8, 64 coeffs
+};
+
+// ctxIdxOffset bases (Table 9-11) and per-category offsets (Table 9-40).
+inline constexpr int kCtxCbfBase = 85;           // + 4*cat + inc   (cats 0-4)
+inline constexpr int kCtxSigBase = 105;          // frame-coded
+inline constexpr int kCtxLastBase = 166;         // frame-coded
+inline constexpr int kCtxAbsBase = 227;
+inline constexpr int kCtxSig8x8Base = 402;       // frame-coded, cat 5
+inline constexpr int kCtxLast8x8Base = 417;      // cat 5
+inline constexpr int kCtxAbs8x8Base = 426;       // cat 5
+inline constexpr int kCatSigOffset[5] = {0, 15, 29, 44, 47};
+inline constexpr int kCatAbsOffset[5] = {0, 10, 20, 30, 39};
+
+inline constexpr int kCtxMbTypeI = 3;
+inline constexpr int kCtxMbSkipP = 11;
+inline constexpr int kCtxMbTypeP = 14;
+inline constexpr int kCtxSubMbTypeP = 21;
+inline constexpr int kCtxMbSkipB = 24;
+inline constexpr int kCtxMbTypeB = 27;
+inline constexpr int kCtxSubMbTypeB = 36;
+inline constexpr int kCtxMvdX = 40;
+inline constexpr int kCtxMvdY = 47;
+inline constexpr int kCtxRefIdx = 54;
+inline constexpr int kCtxQpDelta = 60;
+inline constexpr int kCtxChromaPred = 64;
+inline constexpr int kCtxIntra4x4PredFlag = 68;
+inline constexpr int kCtxIntra4x4PredRem = 69;
+inline constexpr int kCtxCbpLuma = 73;
+inline constexpr int kCtxCbpChroma = 77;
+inline constexpr int kCtxEndOfSlice = 276;
+inline constexpr int kCtxTransform8x8 = 399;
+
+// Pseudo context ids for the recode model (mirrors the reference's dummy
+// bypass/terminate context addresses, reference recode.cpp:1049).
+inline constexpr int kCtxBypass = 1024;
+inline constexpr int kCtxTerminate = 1025;
+inline constexpr int kNumModelContexts = 1026;
+
+// Per-MB residual block slots for the nonzero-count frame buffer (our
+// equivalent of the reference's scan8-indexed Block/BlockMeta store,
+// reference block.h:4-23). 31 slots cover 4:2:0.
+enum BlockSlot : int {
+  kSlotLumaDC = 0,
+  kSlotLuma4x4 = 1,   // +blk_idx (0..15)
+  kSlotLuma8x8 = 17,  // +blk8x8 (0..3)
+  kSlotChromaDC = 21, // +component (0..1)
+  kSlotChromaAC = 23, // +component*4+blk (0..7)
+  kNumBlockSlots = 31,
+};
+
+}  // namespace artc

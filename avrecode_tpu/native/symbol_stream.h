@@ -1,0 +1,114 @@
+// Flat per-slice symbol-stream representation plus the compress-side IO that
+// records it while spec-decoding original CABAC.
+//
+// This is the host->device interchange format: the syntax walk happens once on
+// host, producing dense tensors of (ctx, klass, bin, pos) plus block/MB events;
+// the adaptive-model + entropy-coding passes consume these either serially
+// (C++) or batched on TPU. It replaces the reference's hook-callback coupling
+// (reference recode.cpp:212-228) with a replayable stream.
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+#include "cabac.h"
+#include "h264_slice.h"
+#include "h264_tables.h"
+
+namespace artc {
+
+enum EventType : uint8_t {
+  kEvBeginMB = 0,      // a = mb_x, b = mb_y
+  kEvBeginBlock = 1,   // a = slot, b = cat, c = max_coeff
+  kEvEndBlock = 2,
+  kEvImplicitLast = 3, // a = pos
+  kEvBeginSlice = 4,   // a = intra flag, b = new_picture flag, c = mb_width, d = mb_height
+};
+
+struct SymbolStream {
+  struct Bin {
+    uint16_t ctx;   // spec ctxIdx, or kCtxBypass / kCtxTerminate
+    uint8_t klass;  // BinKlass
+    uint8_t bin;
+    int16_t pos;    // scan position for sig/eob bins, else -1
+  };
+  struct Event {
+    uint32_t at;  // fires before bins[at]
+    uint8_t type;
+    int32_t a = 0, b = 0, c = 0, d = 0;
+  };
+  std::vector<Bin> bins;
+  std::vector<Event> events;
+
+  void event(EventType t, int32_t a = 0, int32_t b = 0, int32_t c = 0, int32_t d = 0) {
+    events.push_back({uint32_t(bins.size()), uint8_t(t), a, b, c, d});
+  }
+};
+
+// Compress-side IO: spec-decodes original CABAC bins and records them.
+// (Reference analogue: compressor::cabac_decoder, recode.cpp:1134-1268, minus
+// the queueing — stream reordering happens in the model pass instead.)
+class RecordingSource {
+ public:
+  RecordingSource(const uint8_t* rbsp, size_t size, size_t start_bit, bool intra_slice,
+                  int cabac_init_idc, int slice_qp, SymbolStream* out)
+      : dec_(rbsp, size, start_bit), out_(out) {
+    ctxs_.init(intra_slice, cabac_init_idc, slice_qp);
+  }
+
+  int decision(int ctx, BinKlass klass) {
+    int b = dec_.decode_decision(ctxs_, ctx);
+    out_->bins.push_back({uint16_t(ctx), klass, uint8_t(b), -1});
+    return b;
+  }
+  int bypass(BinKlass klass) {
+    int b = dec_.decode_bypass();
+    out_->bins.push_back({uint16_t(kCtxBypass), klass, uint8_t(b), -1});
+    return b;
+  }
+  int terminate() {
+    int b = dec_.decode_terminate();
+    out_->bins.push_back({uint16_t(kCtxTerminate), kKlassTerminate, uint8_t(b), -1});
+    return b;
+  }
+  int sig_bin(int ctx, int pos) {
+    int b = dec_.decode_decision(ctxs_, ctx);
+    out_->bins.push_back({uint16_t(ctx), kKlassSig, uint8_t(b), int16_t(pos)});
+    return b;
+  }
+  int eob_bin(int ctx, int pos) {
+    int b = dec_.decode_decision(ctxs_, ctx);
+    out_->bins.push_back({uint16_t(ctx), kKlassEob, uint8_t(b), int16_t(pos)});
+    return b;
+  }
+  void implicit_sig_last(int pos) { out_->event(kEvImplicitLast, pos); }
+  void begin_mb(int mb_x, int mb_y) { out_->event(kEvBeginMB, mb_x, mb_y); }
+  void begin_block(int slot, int cat, int max_coeff) {
+    out_->event(kEvBeginBlock, slot, cat, max_coeff);
+  }
+  void end_block() { out_->event(kEvEndBlock); }
+
+  const CabacDecoder& decoder() const { return dec_; }
+
+ private:
+  CabacDecoder dec_;
+  CabacContexts ctxs_;
+  SymbolStream* out_;
+};
+
+// Replays a recorded SymbolStream through the spec CABAC encoder, regenerating
+// the original slice-data bytes. Used for validation and by the decompressor.
+inline std::vector<uint8_t> reencode_symbol_stream(const SymbolStream& ss, bool intra_slice,
+                                                   int cabac_init_idc, int slice_qp) {
+  CabacContexts ctxs;
+  ctxs.init(intra_slice, cabac_init_idc, slice_qp);
+  CabacEncoder enc;
+  for (const auto& b : ss.bins) {
+    if (b.ctx == kCtxBypass) enc.encode_bypass(b.bin);
+    else if (b.ctx == kCtxTerminate) enc.encode_terminate(b.bin);
+    else enc.encode_decision(ctxs, b.ctx, b.bin);
+  }
+  return enc.take_bytes();
+}
+
+}  // namespace artc
