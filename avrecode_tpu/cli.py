@@ -1,0 +1,80 @@
+"""CLI: recode [compress|decompress|roundtrip] <input> [output]
+
+Command surface matches the reference (reference recode.cpp:1627-1659);
+roundtrip prints the compression ratio and container overhead like the
+reference's report (recode.cpp:1606-1618), as JSON.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import pipeline
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="avrecode-tpu", description=__doc__)
+    p.add_argument("command", choices=["compress", "decompress", "roundtrip"])
+    p.add_argument("input")
+    p.add_argument("output", nargs="?")
+    p.add_argument("--lanes", type=int, default=16, help="rANS entropy lanes per chunk")
+    p.add_argument("--chunk-mode", type=int, default=0, choices=[0, 1],
+                   help="0 = whole-file chunk (max ratio); 1 = chunk per IDR GOP (parallel)")
+    p.add_argument("--bill", action="store_true", help="print per-class bit accounting")
+    args = p.parse_args(argv)
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+
+    if args.command == "compress":
+        out, st = pipeline.compress(data, lanes=args.lanes, chunk_mode=args.chunk_mode)
+        if not args.output:
+            p.error("compress requires an output path")
+        with open(args.output, "wb") as f:
+            f.write(out)
+        report = {
+            "ratio": len(out) / len(data),
+            "input_bytes": len(data),
+            "output_bytes": len(out),
+            "slices": st.n_slices,
+            "fallback_slices": st.n_fallback,
+            "chunks": st.n_chunks,
+            "bins": st.total_bins,
+        }
+        if args.bill:
+            report["bill"] = st.bill
+        print(json.dumps(report))
+        return 0
+
+    if args.command == "decompress":
+        out, st = pipeline.decompress(data)
+        if not args.output:
+            p.error("decompress requires an output path")
+        with open(args.output, "wb") as f:
+            f.write(out)
+        print(json.dumps({"output_bytes": len(out), "slices": st.n_slices}))
+        return 0
+
+    rep = pipeline.roundtrip(data, lanes=args.lanes, chunk_mode=args.chunk_mode)
+    report = {
+        "roundtrip_ok": rep.ok,
+        "ratio": rep.ratio,
+        "input_bytes": rep.input_bytes,
+        "compressed_bytes": rep.compressed_bytes,
+        "container_overhead": rep.container_overhead,
+        "slices": rep.stats.n_slices,
+        "fallback_slices": rep.stats.n_fallback,
+    }
+    if args.bill:
+        report["bill"] = rep.stats.bill
+    print(json.dumps(report))
+    if args.output and rep.ok:
+        comp, _ = pipeline.compress(data, lanes=args.lanes, chunk_mode=args.chunk_mode)
+        with open(args.output, "wb") as f:
+            f.write(comp)
+    return 0 if rep.ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,460 @@
+// Compress / decompress pipeline implementation + C ABI for the Python layer.
+// See recode.h for the architecture notes and reference-parity map.
+#include "recode.h"
+
+#include <algorithm>
+
+namespace artc {
+namespace {
+
+struct SliceRecord {
+  uint32_t chunk_idx = 0;
+  std::vector<uint8_t> header_rbsp;  // [nal header byte] + header RBSP bytes
+  uint32_t cabac_rbsp_len = 0;
+  std::vector<uint8_t> tail_patch;
+  uint8_t start_code_len = 0;
+  bool intra = false, new_picture = false;
+  int cabac_init_idc = 0, slice_qp = 26;
+  SymbolStream ss;
+};
+
+struct Segment {
+  int kind;  // 0 literal, 1 slice
+  size_t lit_off = 0, lit_len = 0;
+  size_t slice_idx = 0;
+};
+
+struct ParamSet {
+  uint8_t nal_type;
+  std::vector<uint8_t> payload;  // EBSP payload incl. NAL header byte
+};
+
+constexpr size_t kMaxTailPatch = 16;
+
+}  // namespace
+
+std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& opt,
+                              Stats* stats) {
+  Stats st;
+  st.input_bytes = size;
+
+  // ---- enumerate NAL units (file order) ----------------------------------
+  std::vector<NalUnit> nals;
+  std::vector<ParamSet> paramsets;
+  std::map<int, SPS> sps_map;
+  std::map<int, PPS> pps_map;
+
+  bool is_mp4 = Mp4Reader::looks_like_mp4(data, size);
+  if (is_mp4) {
+    auto tracks = Mp4Reader::read_tracks(data, size);
+    for (const auto& t : tracks) {
+      if (!t.is_avc) continue;
+      for (const auto& s : t.sps) {
+        paramsets.push_back({7, s});
+        try {
+          auto rbsp = ebsp_to_rbsp(s.data() + 1, s.size() - 1);
+          SPS sps = parse_sps(rbsp.data(), rbsp.size());
+          sps_map[sps.sps_id] = sps;
+        } catch (...) {}
+      }
+      for (const auto& s : t.pps) {
+        paramsets.push_back({8, s});
+        try {
+          auto rbsp = ebsp_to_rbsp(s.data() + 1, s.size() - 1);
+          PPS pps = parse_pps(rbsp.data(), rbsp.size());
+          pps_map[pps.pps_id] = pps;
+        } catch (...) {}
+      }
+      for (size_t i = 0; i < t.sample_offsets.size(); ++i) {
+        uint64_t off = t.sample_offsets[i];
+        uint32_t len = t.sample_sizes[i];
+        if (off + len > size) continue;
+        auto sn = find_nals_avcc(data + off, len, t.nal_length_size);
+        for (auto nu : sn) {
+          nu.offset += off;
+          nals.push_back(nu);
+        }
+      }
+    }
+    std::sort(nals.begin(), nals.end(),
+              [](const NalUnit& a, const NalUnit& b) { return a.offset < b.offset; });
+  } else {
+    nals = find_nals_annexb(data, size);
+  }
+
+  // ---- pass 1: walk slices, build segments -------------------------------
+  std::vector<SliceRecord> slices;
+  std::vector<Segment> segments;
+  PictureState pic;
+  int slice_id = 0;
+  uint32_t chunk_idx = 0;
+  bool chunk_started = false;
+  size_t lit_start = 0;  // current literal run start
+
+  auto flush_literal = [&](size_t upto) {
+    if (upto > lit_start) {
+      segments.push_back({0, lit_start, upto - lit_start, 0});
+      st.literal_bytes += upto - lit_start;
+    }
+  };
+
+  for (const auto& nal : nals) {
+    if (nal.offset < lit_start) continue;  // overlap guard
+    const uint8_t* p = data + nal.offset;
+    if (nal.type == 7 || nal.type == 8) {
+      try {
+        std::vector<uint8_t> rbsp = ebsp_to_rbsp(p + 1, nal.size - 1);
+        if (nal.type == 7) {
+          SPS s = parse_sps(rbsp.data(), rbsp.size());
+          sps_map[s.sps_id] = s;
+        } else {
+          PPS q = parse_pps(rbsp.data(), rbsp.size());
+          pps_map[q.pps_id] = q;
+        }
+        paramsets.push_back({uint8_t(nal.type), std::vector<uint8_t>(p, p + nal.size)});
+      } catch (...) {}
+      continue;  // stays in literal run
+    }
+    if (nal.type != 1 && nal.type != 5) continue;
+    try {
+      std::vector<uint8_t> rbsp = ebsp_to_rbsp(p + 1, nal.size - 1);
+      const SPS* sps;
+      const PPS* pps;
+      SliceHeader sh =
+          parse_slice_header(rbsp.data(), rbsp.size(), nal.type, nal.ref_idc, sps_map,
+                             pps_map, &sps, &pps);
+      if (!pps->entropy_coding_mode) throw UnsupportedStream("CAVLC slice");
+      bool new_picture = sh.first_mb_in_slice == 0;
+      if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
+      ++slice_id;
+
+      SliceRecord rec;
+      rec.ss.event(kEvBeginSlice, sh.is_intra(), new_picture, sps->mb_width(),
+                   sps->mb_height());
+      RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),
+                          sh.cabac_init_idc, sh.slice_qp, &rec.ss);
+      SliceWalker<RecordingSource> walker(*sps, *pps, sh, pic, slice_id, src);
+      walker.run();
+
+      // Regenerate + tail patch + full-NAL verification.
+      size_t hb = sh.data_bit_offset / 8;
+      size_t cabac_len = rbsp.size() - hb;
+      std::vector<uint8_t> regen = reencode_symbol_stream(rec.ss, sh.is_intra(),
+                                                          sh.cabac_init_idc, sh.slice_qp);
+      if (regen.size() > cabac_len) throw UnsupportedStream("regenerated longer than source");
+      regen.resize(cabac_len, 0);
+      size_t first_diff = 0;
+      while (first_diff < cabac_len && regen[first_diff] == rbsp[hb + first_diff]) ++first_diff;
+      size_t patch_len = cabac_len - first_diff;
+      if (patch_len > kMaxTailPatch) throw UnsupportedStream("tail patch too large");
+      rec.tail_patch.assign(rbsp.begin() + hb + first_diff, rbsp.end());
+
+      // Verify byte-exact NAL reconstruction now (compress-time gate).
+      std::vector<uint8_t> full_rbsp;
+      full_rbsp.push_back(p[0]);
+      full_rbsp.insert(full_rbsp.end(), rbsp.begin(), rbsp.begin() + hb);
+      full_rbsp.insert(full_rbsp.end(), regen.begin(), regen.end());
+      std::copy(rec.tail_patch.begin(), rec.tail_patch.end(),
+                full_rbsp.end() - rec.tail_patch.size());
+      std::vector<uint8_t> ebsp = rbsp_to_ebsp(full_rbsp.data() + 1, full_rbsp.size() - 1);
+      if (ebsp.size() + 1 != nal.size || full_rbsp[0] != p[0] ||
+          memcmp(ebsp.data(), p + 1, ebsp.size()) != 0)
+        throw UnsupportedStream("NAL reconstruction mismatch");
+
+      // Chunking: new chunk at IDR picture starts (chunk_mode 1).
+      if (opt.chunk_mode == 1 && sh.is_idr && new_picture && chunk_started) ++chunk_idx;
+      chunk_started = true;
+
+      rec.chunk_idx = chunk_idx;
+      rec.header_rbsp.push_back(p[0]);
+      rec.header_rbsp.insert(rec.header_rbsp.end(), rbsp.begin(), rbsp.begin() + hb);
+      rec.cabac_rbsp_len = uint32_t(cabac_len);
+      rec.start_code_len = uint8_t(nal.start_code);
+      rec.intra = sh.is_intra();
+      rec.new_picture = new_picture;
+      rec.cabac_init_idc = sh.cabac_init_idc;
+      rec.slice_qp = sh.slice_qp;
+
+      flush_literal(nal.offset);
+      segments.push_back({1, 0, 0, slices.size()});
+      slices.push_back(std::move(rec));
+      lit_start = nal.offset + nal.size;
+      st.cabac_in_bytes += cabac_len;
+      ++st.n_slices;
+    } catch (const std::exception&) {
+      ++st.n_fallback;
+      // whole NAL remains in the literal run
+    }
+  }
+  flush_literal(size);
+  st.n_chunks = chunk_started ? int(chunk_idx) + 1 : 0;
+
+  // ---- pass 2: model + rANS per chunk ------------------------------------
+  std::vector<std::vector<uint8_t>> blobs(st.n_chunks);
+  {
+    size_t si = 0;
+    for (int c = 0; c < st.n_chunks; ++c) {
+      PriorModel model;
+      std::vector<uint8_t> bits;
+      std::vector<uint16_t> probs;
+      ModelEncoder enc(model, bits, probs);
+      for (; si < slices.size() && slices[si].chunk_idx == uint32_t(c); ++si) {
+        enc.process(slices[si].ss);
+        st.total_bins += slices[si].ss.bins.size();
+      }
+      blobs[c] = RansInterleaved::encode(bits, probs, opt.lanes);
+      st.recoded_bytes += blobs[c].size();
+      // accumulate billing
+      for (int k = 0; k < kNumBinKlasses; ++k) {
+        st.bill.mbits[k] += model.bill.mbits[k];
+        st.bill.count[k] += model.bill.count[k];
+      }
+      st.bill.nz_mbits += model.bill.nz_mbits;
+      st.bill.nz_count += model.bill.nz_count;
+      st.bill.eob_count += model.bill.eob_count;
+    }
+  }
+
+  // ---- serialize ----------------------------------------------------------
+  Writer w;
+  w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
+  w.u8(1);
+  w.u8(uint8_t(opt.lanes));
+  w.u8(uint8_t(opt.chunk_mode));
+  w.u8(0);
+  w.u32(uint32_t(paramsets.size()));
+  for (const auto& ps : paramsets) {
+    w.u8(ps.nal_type);
+    w.u32(uint32_t(ps.payload.size()));
+    w.bytes(ps.payload.data(), ps.payload.size());
+  }
+  w.u32(uint32_t(st.n_chunks));
+  w.u32(uint32_t(segments.size()));
+  for (const auto& seg : segments) {
+    if (seg.kind == 0) {
+      w.u8(0);
+      w.u64(seg.lit_len);
+      w.bytes(data + seg.lit_off, seg.lit_len);
+    } else {
+      const SliceRecord& r = slices[seg.slice_idx];
+      w.u8(1);
+      w.u32(r.chunk_idx);
+      w.u16(uint16_t(r.header_rbsp.size()));
+      w.bytes(r.header_rbsp.data(), r.header_rbsp.size());
+      w.u32(r.cabac_rbsp_len);
+      w.u8(uint8_t(r.tail_patch.size()));
+      w.bytes(r.tail_patch.data(), r.tail_patch.size());
+      w.u8(r.start_code_len);
+    }
+  }
+  for (const auto& b : blobs) {
+    w.u64(b.size());
+    w.bytes(b.data(), b.size());
+  }
+  st.output_bytes = w.buf.size();
+  if (stats) *stats = st;
+  return std::move(w.buf);
+}
+
+std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) {
+  Stats st;
+  st.input_bytes = size;
+  Reader r(data, size);
+  const uint8_t* magic = r.bytes(4);
+  if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
+  uint8_t version = r.u8();
+  if (version != 1) throw std::runtime_error("unsupported container version");
+  int lanes = r.u8();
+  r.u8();  // chunk_mode
+  r.u8();
+
+  std::map<int, SPS> sps_map;
+  std::map<int, PPS> pps_map;
+  uint32_t n_ps = r.u32();
+  for (uint32_t i = 0; i < n_ps; ++i) {
+    uint8_t t = r.u8();
+    uint32_t len = r.u32();
+    const uint8_t* p = r.bytes(len);
+    auto rbsp = ebsp_to_rbsp(p + 1, len - 1);
+    if (t == 7) {
+      SPS s = parse_sps(rbsp.data(), rbsp.size());
+      sps_map[s.sps_id] = s;
+    } else if (t == 8) {
+      PPS q = parse_pps(rbsp.data(), rbsp.size());
+      pps_map[q.pps_id] = q;
+    }
+  }
+  uint32_t n_chunks = r.u32();
+  uint32_t n_segments = r.u32();
+
+  // Segment table first, chunk blobs after — collect segment descriptors.
+  struct SegDesc {
+    int kind;
+    size_t lit_pos = 0, lit_len = 0;
+    uint32_t chunk_idx = 0;
+    std::vector<uint8_t> header_rbsp;
+    uint32_t cabac_rbsp_len = 0;
+    std::vector<uint8_t> tail_patch;
+  };
+  std::vector<SegDesc> segs(n_segments);
+  for (auto& s : segs) {
+    uint8_t tag = r.u8();
+    if (tag == 0) {
+      s.kind = 0;
+      s.lit_len = r.u64();
+      s.lit_pos = r.pos;
+      r.bytes(s.lit_len);
+    } else if (tag == 1) {
+      s.kind = 1;
+      s.chunk_idx = r.u32();
+      uint16_t hl = r.u16();
+      const uint8_t* hp = r.bytes(hl);
+      s.header_rbsp.assign(hp, hp + hl);
+      s.cabac_rbsp_len = r.u32();
+      uint8_t pl = r.u8();
+      const uint8_t* pp = r.bytes(pl);
+      s.tail_patch.assign(pp, pp + pl);
+      r.u8();  // start_code_len (informational)
+    } else {
+      throw std::runtime_error("bad segment tag");
+    }
+  }
+  struct ChunkState {
+    std::unique_ptr<PriorModel> model;
+    std::unique_ptr<RansInterleavedDecoder> rans;
+  };
+  std::vector<ChunkState> chunks(n_chunks);
+  std::vector<std::pair<size_t, size_t>> blob_extents(n_chunks);
+  for (uint32_t c = 0; c < n_chunks; ++c) {
+    uint64_t bl = r.u64();
+    blob_extents[c] = {r.pos, bl};
+    r.bytes(bl);
+  }
+
+  std::vector<uint8_t> out;
+  PictureState pic;
+  int slice_id = 0;
+  for (auto& s : segs) {
+    if (s.kind == 0) {
+      out.insert(out.end(), data + s.lit_pos, data + s.lit_pos + s.lit_len);
+      continue;
+    }
+    ChunkState& cs = chunks[s.chunk_idx];
+    if (!cs.model) {
+      cs.model = std::make_unique<PriorModel>();
+      cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[s.chunk_idx].first,
+                                                         blob_extents[s.chunk_idx].second, lanes);
+    }
+    // Parse the slice header from the stored RBSP (byte 0 is the NAL header).
+    int nal_type = s.header_rbsp[0] & 0x1f;
+    int nal_ref_idc = (s.header_rbsp[0] >> 5) & 3;
+    // The header parser needs the *full* RBSP to exist, but only reads header
+    // bits; pad with the cabac length so bit-bounds checks pass.
+    std::vector<uint8_t> hdr_rbsp(s.header_rbsp.begin() + 1, s.header_rbsp.end());
+    size_t hb = hdr_rbsp.size();
+    hdr_rbsp.resize(hb + s.cabac_rbsp_len, 0xff);
+    const SPS* sps;
+    const PPS* pps;
+    SliceHeader sh = parse_slice_header(hdr_rbsp.data(), hdr_rbsp.size(), nal_type, nal_ref_idc,
+                                        sps_map, pps_map, &sps, &pps);
+    bool new_picture = sh.first_mb_in_slice == 0;
+    if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
+    ++slice_id;
+    cs.model->begin_slice(new_picture, sps->mb_width(), sps->mb_height());
+    ModelSource src(*cs.model, *cs.rans, sh.is_intra(), sh.cabac_init_idc, sh.slice_qp);
+    SliceWalker<ModelSource> walker(*sps, *pps, sh, pic, slice_id, src);
+    walker.run();
+    std::vector<uint8_t> regen = src.cabac().take_bytes();
+    if (regen.size() > s.cabac_rbsp_len) throw std::runtime_error("regen overflow");
+    regen.resize(s.cabac_rbsp_len, 0);
+    std::copy(s.tail_patch.begin(), s.tail_patch.end(), regen.end() - s.tail_patch.size());
+    // Assemble NAL: header byte + escape(header RBSP + cabac section).
+    std::vector<uint8_t> rbsp(s.header_rbsp.begin() + 1, s.header_rbsp.end());
+    rbsp.insert(rbsp.end(), regen.begin(), regen.end());
+    std::vector<uint8_t> ebsp = rbsp_to_ebsp(rbsp.data(), rbsp.size());
+    out.push_back(s.header_rbsp[0]);
+    out.insert(out.end(), ebsp.begin(), ebsp.end());
+    ++st.n_slices;
+  }
+  st.output_bytes = out.size();
+  if (stats) *stats = st;
+  return out;
+}
+
+}  // namespace artc
+
+// ---------------------------------------------------------------------------
+// C ABI for ctypes (the Python layer loads this; no pybind11 in the image).
+extern "C" {
+
+struct ArtcStats {
+  uint64_t input_bytes, output_bytes, cabac_in_bytes, recoded_bytes, literal_bytes;
+  int32_t n_slices, n_fallback, n_chunks;
+  uint64_t total_bins;
+  uint64_t klass_mbits[artc::kNumBinKlasses];
+  uint64_t klass_count[artc::kNumBinKlasses];
+  uint64_t nz_mbits, nz_count, eob_count;
+};
+
+static void fill_stats(const artc::Stats& st, ArtcStats* out) {
+  if (!out) return;
+  out->input_bytes = st.input_bytes;
+  out->output_bytes = st.output_bytes;
+  out->cabac_in_bytes = st.cabac_in_bytes;
+  out->recoded_bytes = st.recoded_bytes;
+  out->literal_bytes = st.literal_bytes;
+  out->n_slices = st.n_slices;
+  out->n_fallback = st.n_fallback;
+  out->n_chunks = st.n_chunks;
+  out->total_bins = st.total_bins;
+  for (int i = 0; i < artc::kNumBinKlasses; ++i) {
+    out->klass_mbits[i] = st.bill.mbits[i];
+    out->klass_count[i] = st.bill.count[i];
+  }
+  out->nz_mbits = st.bill.nz_mbits;
+  out->nz_count = st.bill.nz_count;
+  out->eob_count = st.bill.eob_count;
+}
+
+static thread_local std::string g_error;
+
+const char* artc_last_error() { return g_error.c_str(); }
+
+int artc_compress(const uint8_t* data, size_t size, int lanes, int chunk_mode, uint8_t** out,
+                  size_t* out_len, ArtcStats* stats) {
+  try {
+    artc::Options opt;
+    opt.lanes = lanes > 0 ? lanes : 16;
+    opt.chunk_mode = chunk_mode;
+    artc::Stats st;
+    auto v = artc::compress(data, size, opt, &st);
+    *out = static_cast<uint8_t*>(malloc(v.size()));
+    memcpy(*out, v.data(), v.size());
+    *out_len = v.size();
+    fill_stats(st, stats);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
+int artc_decompress(const uint8_t* data, size_t size, uint8_t** out, size_t* out_len,
+                    ArtcStats* stats) {
+  try {
+    artc::Stats st;
+    auto v = artc::decompress(data, size, &st);
+    *out = static_cast<uint8_t*>(malloc(v.size()));
+    memcpy(*out, v.data(), v.size());
+    *out_len = v.size();
+    fill_stats(st, stats);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
+void artc_free(uint8_t* p) { free(p); }
+
+}  // extern "C"

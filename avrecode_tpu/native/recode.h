@@ -1,0 +1,285 @@
+// End-to-end recompression pipelines and the ARTC container format.
+//
+// Reference parity: compressor/decompressor pipelines (reference
+// recode.cpp:1102-1591) and the Recoded protobuf container (recode.proto,
+// SURVEY.md Appendix B), re-architected:
+//  - explicit file segmentation (literals + slice records) instead of
+//    memmem-located coded blocks (reference recode.cpp:1275-1297),
+//  - no surrogate streams: our own syntax walker replays the slice during
+//    decompression (reference needed dummy payloads, recode.cpp:1526-1544),
+//  - chunked model state + K-lane rANS payloads so chunks decode
+//    independently (GOP/shard parallelism; reference is strictly serial),
+//  - universal tail patches instead of the 0x80-trim / parity / last-byte
+//    quirk handling (reference recode.cpp:1345-1356, 1501-1508).
+#pragma once
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "bitstream.h"
+#include "cabac.h"
+#include "h264_params.h"
+#include "h264_slice.h"
+#include "model.h"
+#include "mp4.h"
+#include "nal.h"
+#include "rans.h"
+#include "symbol_stream.h"
+
+namespace artc {
+
+struct Options {
+  int lanes = 16;
+  // 0 = one chunk for the whole file (max compression, serial decode);
+  // 1 = new chunk at each IDR picture (GOP-parallel decode/encode).
+  int chunk_mode = 0;
+  bool collect_streams = false;  // keep per-slice SymbolStreams (device path)
+};
+
+struct Stats {
+  uint64_t input_bytes = 0;
+  uint64_t output_bytes = 0;
+  uint64_t cabac_in_bytes = 0;    // original CABAC payload bytes recompressed
+  uint64_t recoded_bytes = 0;     // rANS payload bytes produced
+  uint64_t literal_bytes = 0;
+  int n_slices = 0;
+  int n_fallback = 0;  // slice NALs stored as literals (unsupported/CAVLC/...)
+  int n_chunks = 0;
+  uint64_t total_bins = 0;
+  Billing bill;
+};
+
+// ---------------------------------------------------------------------------
+// Model encode pass: replays recorded SymbolStreams through the prior model,
+// producing the flat (bit, prob) pair stream for the rANS lanes. The reference
+// does this inline in its hooks with symbol queueing (recode.cpp:1160-1254);
+// here it is a separate pass so the TPU path can batch it.
+class ModelEncoder {
+ public:
+  ModelEncoder(PriorModel& m, std::vector<uint8_t>& bits, std::vector<uint16_t>& probs)
+      : m_(m), bits_(bits), probs_(probs) {}
+
+  void process(const SymbolStream& ss) {
+    size_t ev = 0;
+    for (size_t i = 0; i <= ss.bins.size(); ++i) {
+      while (ev < ss.events.size() && ss.events[ev].at == i) {
+        apply(ss, ss.events[ev], ev);
+        ++ev;
+      }
+      if (i == ss.bins.size()) break;
+      const SymbolStream::Bin& b = ss.bins[i];
+      switch (b.klass) {
+        case kKlassSig: {
+          ensure_nnz(ss, i, ev);
+          Estimator& e = m_.sig_estimator(b.pos);
+          push(b.bin, PriorModel::prob15(e), b.klass);
+          PriorModel::update(e, b.bin, PriorModel::kWindowSig);
+          m_.on_sig_bin(b.bin);
+          break;
+        }
+        case kKlassEob: {
+          int det = m_.eob_answer();
+          if (det != b.bin) throw std::runtime_error("model/walker EOB disagreement");
+          ++m_.bill.eob_count;  // zero bits
+          break;
+        }
+        default: {
+          Estimator& e = m_.ctx_estimator(b.ctx);
+          push(b.bin, PriorModel::prob15(e), b.klass);
+          PriorModel::update(e, b.bin, PriorModel::kWindowOther);
+          break;
+        }
+      }
+    }
+  }
+
+ private:
+  void apply(const SymbolStream& ss, const SymbolStream::Event& e, size_t ev_idx) {
+    switch (e.type) {
+      case kEvBeginSlice: m_.begin_slice(e.b != 0, e.c, e.d); break;
+      case kEvBeginMB: m_.begin_mb(e.a, e.b); break;
+      case kEvBeginBlock: m_.begin_block(e.a, e.b, e.c); break;
+      case kEvEndBlock: m_.end_block(); break;
+      case kEvImplicitLast:
+        ensure_nnz(ss, e.at, ev_idx);
+        m_.note_implicit_last();
+        break;
+    }
+  }
+
+  void ensure_nnz(const SymbolStream& ss, size_t bin_idx, size_t ev_idx) {
+    if (!m_.needs_nnz()) return;
+    // Count the current block's significant coefficients by scanning ahead to
+    // its EndBlock event (the stream-order inversion: NZ-count bits precede
+    // the significance map, reference recode.cpp:1204-1254 / SURVEY.md §3.4).
+    size_t end_at = ss.bins.size();
+    bool implicit = false;
+    for (size_t k = ev_idx; k < ss.events.size(); ++k) {
+      if (ss.events[k].type == kEvEndBlock) { end_at = ss.events[k].at; break; }
+      if (ss.events[k].type == kEvImplicitLast) implicit = true;
+    }
+    int cnt = implicit ? 1 : 0;
+    for (size_t j = bin_idx; j < end_at; ++j)
+      if (ss.bins[j].klass == kKlassSig && ss.bins[j].bin) ++cnt;
+    m_.code_nz(
+        [this](Estimator& e, int putbit) {
+          push_nz(putbit, PriorModel::prob15(e));
+          return putbit;
+        },
+        cnt);
+    m_.set_nnz_total(cnt);
+  }
+
+  void push(int bit, uint32_t p, uint8_t klass) {
+    bits_.push_back(uint8_t(bit));
+    probs_.push_back(uint16_t(p));
+    double pp = bit ? p / double(kProbScale) : 1.0 - p / double(kProbScale);
+    m_.bill.mbits[klass] += uint64_t(-1000.0 * std::log2(pp));
+    ++m_.bill.count[klass];
+  }
+  void push_nz(int bit, uint32_t p) {
+    bits_.push_back(uint8_t(bit));
+    probs_.push_back(uint16_t(p));
+    double pp = bit ? p / double(kProbScale) : 1.0 - p / double(kProbScale);
+    m_.bill.nz_mbits += uint64_t(-1000.0 * std::log2(pp));
+    ++m_.bill.nz_count;
+  }
+
+  PriorModel& m_;
+  std::vector<uint8_t>& bits_;
+  std::vector<uint16_t>& probs_;
+};
+
+// ---------------------------------------------------------------------------
+// Decompress-side walker IO: decodes bins from the rANS lanes via the model
+// and simultaneously regenerates original CABAC (reference
+// decompressor::cabac_decoder, recode.cpp:1411-1520).
+class ModelSource {
+ public:
+  ModelSource(PriorModel& m, RansInterleavedDecoder& rans, bool intra_slice, int cabac_init_idc,
+              int slice_qp)
+      : m_(m), rans_(rans) {
+    cab_ctxs_.init(intra_slice, cabac_init_idc, slice_qp);
+  }
+
+  int decision(int ctx, BinKlass klass) {
+    (void)klass;
+    Estimator& e = m_.ctx_estimator(ctx);
+    int bit = rans_.decode(PriorModel::prob15(e));
+    PriorModel::update(e, bit, PriorModel::kWindowOther);
+    enc_.encode_decision(cab_ctxs_, ctx, bit);
+    return bit;
+  }
+  int bypass(BinKlass klass) {
+    (void)klass;
+    Estimator& e = m_.ctx_estimator(kCtxBypass);
+    int bit = rans_.decode(PriorModel::prob15(e));
+    PriorModel::update(e, bit, PriorModel::kWindowOther);
+    enc_.encode_bypass(bit);
+    return bit;
+  }
+  int terminate() {
+    Estimator& e = m_.ctx_estimator(kCtxTerminate);
+    int bit = rans_.decode(PriorModel::prob15(e));
+    PriorModel::update(e, bit, PriorModel::kWindowOther);
+    enc_.encode_terminate(bit);
+    return bit;
+  }
+  int sig_bin(int ctx, int pos) {
+    if (m_.needs_nnz()) {
+      int nnz = m_.code_nz(
+          [this](Estimator& e, int) { return rans_.decode(PriorModel::prob15(e)); }, -1);
+      m_.set_nnz_total(nnz);
+    }
+    Estimator& e = m_.sig_estimator(pos);
+    int bit = rans_.decode(PriorModel::prob15(e));
+    PriorModel::update(e, bit, PriorModel::kWindowSig);
+    m_.on_sig_bin(bit);
+    enc_.encode_decision(cab_ctxs_, ctx, bit);
+    return bit;
+  }
+  int eob_bin(int ctx, int pos) {
+    (void)pos;
+    int bit = m_.eob_answer();  // zero recoded bits
+    enc_.encode_decision(cab_ctxs_, ctx, bit);
+    return bit;
+  }
+  void implicit_sig_last(int pos) {
+    (void)pos;
+    m_.note_implicit_last();
+  }
+  void begin_mb(int x, int y) { m_.begin_mb(x, y); }
+  void begin_block(int slot, int cat, int max_coeff) { m_.begin_block(slot, cat, max_coeff); }
+  void end_block() { m_.end_block(); }
+
+  CabacEncoder& cabac() { return enc_; }
+
+ private:
+  PriorModel& m_;
+  RansInterleavedDecoder& rans_;
+  CabacEncoder enc_;
+  CabacContexts cab_ctxs_;
+};
+
+// ---------------------------------------------------------------------------
+// ARTC container (byte-oriented, little-endian).
+//
+// Layout:
+//   magic "ATRC" | u8 version=1 | u8 lanes | u8 chunk_mode | u8 reserved
+//   u32 n_paramsets | per paramset: u8 nal_type, u32 len, bytes (EBSP payload
+//                     incl. NAL header byte)
+//   u32 n_chunks
+//   u32 n_segments | segments:
+//     u8 tag=0 literal: u64 len, bytes
+//     u8 tag=1 slice:   u32 chunk_idx, u16 header_rbsp_len, bytes (incl NAL
+//                       header byte), u32 cabac_rbsp_len, u8 tail_patch_len,
+//                       bytes, u8 start_code_len (0/3/4)
+//   per chunk: u64 blob_len, bytes (RansInterleaved payload)
+struct Writer {
+  std::vector<uint8_t> buf;
+  void u8(uint8_t v) { buf.push_back(v); }
+  void u16(uint16_t v) { buf.push_back(v & 0xff); buf.push_back(v >> 8); }
+  void u32(uint32_t v) { for (int i = 0; i < 4; ++i) buf.push_back((v >> (8 * i)) & 0xff); }
+  void u64(uint64_t v) { for (int i = 0; i < 8; ++i) buf.push_back((v >> (8 * i)) & 0xff); }
+  void bytes(const uint8_t* p, size_t n) { buf.insert(buf.end(), p, p + n); }
+};
+struct Reader {
+  const uint8_t* p;
+  size_t n, pos = 0;
+  Reader(const uint8_t* p_, size_t n_) : p(p_), n(n_) {}
+  void need(size_t k) const {
+    if (pos + k > n) throw std::runtime_error("container truncated");
+  }
+  uint8_t u8() { need(1); return p[pos++]; }
+  uint16_t u16() { need(2); uint16_t v = p[pos] | (p[pos + 1] << 8); pos += 2; return v; }
+  uint32_t u32() {
+    need(4);
+    uint32_t v = 0;
+    for (int i = 0; i < 4; ++i) v |= uint32_t(p[pos + i]) << (8 * i);
+    pos += 4;
+    return v;
+  }
+  uint64_t u64() {
+    need(8);
+    uint64_t v = 0;
+    for (int i = 0; i < 8; ++i) v |= uint64_t(p[pos + i]) << (8 * i);
+    pos += 8;
+    return v;
+  }
+  const uint8_t* bytes(size_t k) {
+    need(k);
+    const uint8_t* q = p + pos;
+    pos += k;
+    return q;
+  }
+};
+
+std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& opt, Stats* stats);
+std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats);
+
+}  // namespace artc

@@ -1,0 +1,60 @@
+import os
+import shutil
+import subprocess
+
+import pytest
+
+# Sharding/mesh tests run on a virtual 8-device CPU mesh; set this before any
+# jax import (tests that need the real TPU chip opt out via env).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOLS = os.path.join(REPO, "tools")
+
+
+def _build_tool(name: str, tmp: str, extra: list[str]) -> str | None:
+    src = os.path.join(TOOLS, f"{name}.cc")
+    out = os.path.join(tmp, name)
+    try:
+        subprocess.run(
+            ["g++", "-O2", f"-I{REPO}", "-o", out, src] + extra,
+            check=True, capture_output=True,
+        )
+        return out
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(tmp_path_factory):
+    """Generates a small x264 test corpus (skips dependents if libx264 absent)."""
+    tmp = str(tmp_path_factory.mktemp("corpus"))
+    gen = _build_tool("make_corpus", tmp, ["-lavcodec", "-lavformat", "-lavutil"])
+    if gen is None:
+        pytest.skip("libavcodec/libx264 not available to generate corpus")
+    specs = {
+        "i_main.264": "w=128 h=96 frames=3 gop=1 bframes=0 profile=main qp=28",
+        "ipb_high.264": "w=160 h=128 frames=12 gop=6 bframes=2 profile=high qp=26",
+        "ipb_high.mp4": "w=160 h=128 frames=12 gop=6 bframes=2 profile=high qp=26",
+        "multislice.264": "w=320 h=240 frames=6 gop=3 bframes=1 profile=high qp=24 slices=3",
+        "cavlc.mp4": "w=128 h=96 frames=4 profile=baseline cabac=0 bframes=0",
+    }
+    for name, args in specs.items():
+        subprocess.run(
+            [gen, os.path.join(tmp, name)] + args.split(),
+            check=True, capture_output=True,
+        )
+    return tmp
+
+
+@pytest.fixture(scope="session")
+def check_syntax_tool(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("tools"))
+    tool = _build_tool("check_syntax", tmp, [])
+    if tool is None:
+        pytest.skip("could not build check_syntax")
+    return tool

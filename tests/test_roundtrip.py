@@ -1,0 +1,77 @@
+"""End-to-end bit-exactness gates (the reference's acceptance test shape,
+reference recode.cpp:1594-1624 / SURVEY.md §4)."""
+import os
+import subprocess
+
+import pytest
+
+from avrecode_tpu import pipeline
+
+CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264"]
+
+
+@pytest.mark.parametrize("clip", CLIPS)
+def test_roundtrip_bit_exact(corpus_dir, clip):
+    with open(os.path.join(corpus_dir, clip), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok, f"roundtrip not bit-exact for {clip}"
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0, "no slice should fall back on supported streams"
+
+
+@pytest.mark.parametrize("clip", ["ipb_high.264"])
+def test_roundtrip_gop_chunks(corpus_dir, clip):
+    """chunk_mode=1 (per-IDR chunks) must stay bit-exact with >1 chunk."""
+    with open(os.path.join(corpus_dir, clip), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data, chunk_mode=1)
+    assert rep.ok
+    assert rep.stats.n_chunks >= 2
+
+
+@pytest.mark.parametrize("lanes", [1, 4, 64])
+def test_roundtrip_lane_counts(corpus_dir, lanes):
+    with open(os.path.join(corpus_dir, "i_main.264"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data, lanes=lanes)
+    assert rep.ok
+
+
+def test_cavlc_passthrough(corpus_dir):
+    """CAVLC streams roundtrip via literal passthrough (reference parity:
+    skip_coded, recode.cpp:1289-1296)."""
+    with open(os.path.join(corpus_dir, "cavlc.mp4"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.stats.n_slices == 0
+    assert rep.stats.n_fallback > 0
+
+
+def test_non_video_passthrough():
+    """Arbitrary non-video bytes roundtrip as a pure-literal container."""
+    data = bytes(range(256)) * 40
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+
+
+def test_billing_populated(corpus_dir):
+    with open(os.path.join(corpus_dir, "ipb_high.264"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    bill = rep.stats.bill
+    assert bill["sig"]["count"] > 0
+    assert bill["eob_free_bins"]["count"] > 0  # zero-cost EOB bins exercised
+    assert bill["res"]["count"] > 0
+
+
+def test_syntax_engine_byte_exact(corpus_dir, check_syntax_tool):
+    """Every CABAC slice decodes + re-encodes byte-exactly (M2 gate)."""
+    for clip in ["i_main.264", "ipb_high.264", "multislice.264"]:
+        out = subprocess.run(
+            [check_syntax_tool, os.path.join(corpus_dir, clip)],
+            capture_output=True, text=True,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert " fail=0 " in out.stdout
