@@ -16,8 +16,8 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libartc.so")
 
-N_KLASSES = 7
-KLASS_NAMES = ["other", "sig", "eob", "res", "bypass_other", "bypass_res", "terminate"]
+N_KLASSES = 10
+KLASS_NAMES = ["other", "sig", "eob", "res", "bypass_other", "bypass_res", "terminate", "sign", "cbf", "skip"]
 
 
 class ArtcStatsC(ctypes.Structure):
@@ -33,6 +33,8 @@ class ArtcStatsC(ctypes.Structure):
         ("total_bins", ctypes.c_uint64),
         ("klass_mbits", ctypes.c_uint64 * N_KLASSES),
         ("klass_count", ctypes.c_uint64 * N_KLASSES),
+        ("klass_cabac_mbits", ctypes.c_uint64 * N_KLASSES),
+        ("eob_cabac_mbits", ctypes.c_uint64),
         ("nz_mbits", ctypes.c_uint64),
         ("nz_count", ctypes.c_uint64),
         ("eob_count", ctypes.c_uint64),
@@ -55,11 +57,19 @@ class Stats:
     @classmethod
     def from_c(cls, c: ArtcStatsC) -> "Stats":
         bill = {
-            KLASS_NAMES[i]: {"count": int(c.klass_count[i]), "bytes": c.klass_mbits[i] / 8000.0}
+            KLASS_NAMES[i]: {
+                "count": int(c.klass_count[i]),
+                "bytes": c.klass_mbits[i] / 8000.0,
+                "cabac_bytes": c.klass_cabac_mbits[i] / 8000.0,
+            }
             for i in range(N_KLASSES)
         }
         bill["nz"] = {"count": int(c.nz_count), "bytes": c.nz_mbits / 8000.0}
-        bill["eob_free_bins"] = {"count": int(c.eob_count), "bytes": 0.0}
+        bill["eob_free_bins"] = {
+            "count": int(c.eob_count),
+            "bytes": 0.0,
+            "cabac_bytes": c.eob_cabac_mbits / 8000.0,
+        }
         return cls(
             input_bytes=int(c.input_bytes),
             output_bytes=int(c.output_bytes),

@@ -99,6 +99,7 @@ class CabacDecoder {
 
   size_t bit_pos() const { return pos_; }
   size_t overread_bits() const { return overread_bits_; }
+  uint32_t range() const { return cod_i_range_; }
 
  private:
   void renorm() {

@@ -40,9 +40,12 @@ enum BinKlass : uint8_t {
   kKlassEob = 2,       // last_significant_coeff_flag (reference PIP_SIGNIFICANCE_EOB)
   kKlassRes = 3,       // coeff_abs_level_minus1 decision bins (reference PIP_RESIDUALS)
   kKlassBypassOther = 4,
-  kKlassBypassRes = 5,
+  kKlassBypassRes = 5,  // level UEG0 suffix bits
   kKlassTerminate = 6,
-  kNumBinKlasses = 7,
+  kKlassSign = 7,       // coeff_sign_flag
+  kKlassCbf = 8,        // coded_block_flag
+  kKlassSkip = 9,       // mb_skip_flag
+  kNumBinKlasses = 10,
 };
 
 // Per-macroblock entropy-relevant state (our equivalent of the reference's
@@ -126,7 +129,7 @@ class SliceWalker {
         if (a && !a->skip) ++inc;
         if (b && !b->skip) ++inc;
         int base = sh_.is_b() ? kCtxMbSkipB : kCtxMbSkipP;
-        skipped = io_.decision(base + inc, kKlassOther) != 0;
+        skipped = io_.decision(base + inc, kKlassSkip) != 0;
       }
       if (skipped) {
         cur_->skip = 1;
@@ -724,7 +727,7 @@ class SliceWalker {
     io_.begin_block(slot, cat, max_coeff);
     int cbf = 1;
     if (cat != kCatLuma8x8) {
-      cbf = io_.decision(cbf_ctx_idx, kKlassOther);
+      cbf = io_.decision(cbf_ctx_idx, kKlassCbf);
       if (cbf && cbf_bit >= 0) cur_->cbf |= 1u << cbf_bit;
     }
     if (cbf) {
@@ -764,7 +767,7 @@ class SliceWalker {
         } else {
           ++num_eq1;
         }
-        io_.bypass(kKlassBypassRes);  // coeff_sign_flag
+        io_.bypass(kKlassSign);  // coeff_sign_flag
       }
     }
     io_.end_block();

@@ -24,6 +24,7 @@
 #include <cstring>
 #include <vector>
 
+#include "cabac.h"
 #include "h264_slice.h"
 #include "h264_tables.h"
 #include "rans.h"
@@ -35,11 +36,22 @@ struct Estimator {
   uint16_t pos = 1, neg = 1;
 };
 
+// Two-speed estimator: average of a fast window (adapts in ~tens of bins) and
+// a slow window (low steady-state noise). Beats both single speeds on every
+// class measured; the slow half alone serves near-0.5 sources.
+struct Dual {
+  uint16_t fp = 1, fn = 1, sp = 1, sn = 1;
+};
+
 // Per-coding-class bit accounting (the reference's "Avrecode Bill",
 // recode.cpp:635-655) — information content in millibits.
 struct Billing {
   uint64_t mbits[kNumBinKlasses] = {0};
   uint64_t count[kNumBinKlasses] = {0};
+  // What the original CABAC spent on the same bins (the reference's
+  // "CABAC Bill", recode.cpp:646-654), incl. EOB bins we code for free.
+  uint64_t cabac_mbits[kNumBinKlasses] = {0};
+  uint64_t eob_cabac_mbits = 0;
   uint64_t nz_mbits = 0, nz_count = 0, eob_count = 0;
 };
 
@@ -47,21 +59,84 @@ class PriorModel {
  public:
   static constexpr int kSigPosClasses = 16;
   static constexpr int kSigThird = 2 * kSigPosClasses * 6;  // is_dc + 2*pos_class + 32*cat
+  static constexpr size_t kCtxStride = kNumModelContexts + 3;
+  static constexpr size_t kSigStride = size_t(65) * 64 * kSigThird;
+  static constexpr size_t kNzUnaryKeys = size_t(8) * 8 * 4 * 6;
+  static constexpr size_t kNzStride = kNzUnaryKeys + size_t(6) * 6;  // + suffix bits
 
   PriorModel() {
-    ctx_est_.assign(kNumModelContexts, Estimator());
-    sig_est_.assign(size_t(65) * 64 * kSigThird, Estimator());
-    nz_est_.assign(size_t(7) * 128 * 2 * 2 * 2 * 6, Estimator());
+    ctx_est_.assign(3 * kCtxStride, Dual());  // per slice class
+    sig_est_.assign(3 * kSigStride, Estimator{0, 0});
+    nz_est_.assign(3 * kNzStride, Dual());
+    res_est_.assign(3 * kResStride, Dual());
+    cbf_est_.assign(3 * size_t(20) * 2, Dual());
+    skip_est_.assign(size_t(6) * 2, Dual());  // skip ctx range already implies P vs B
+  }
+
+  // Seeds the per-ctx estimators from the H.264 context-init state so the
+  // model starts at CABAC's tuned priors instead of p=0.5 (win on short
+  // chunks; the reference always cold-starts, recode.cpp:1057).
+  void seed_from_cabac(int cabac_init_idc, int slice_qp) {
+    if (seeded_) return;
+    seeded_ = true;
+    // pLPS(sigma) ~= 0.5 * alpha^sigma, alpha = (0.01875/0.5)^(1/63).
+    constexpr int W = 24;
+    constexpr int WS = 192;
+    static const double kAlpha = 0.9491255522855953;  // pow(0.0375, 1/63.)
+    for (int cls = 0; cls < 3; ++cls) {
+      CabacContexts c;
+      c.init(cls == 0, cabac_init_idc, slice_qp);
+      size_t base = size_t(cls) * kCtxStride;
+      for (int i = 0; i < kNumCabacContexts; ++i) {
+        double plps = 0.5;
+        for (int s = 0; s < c.p_state[i]; ++s) plps *= kAlpha;
+        double p1 = c.val_mps[i] ? 1.0 - plps : plps;
+        int pos = int(p1 * W + 0.5);
+        if (pos < 1) pos = 1;
+        if (pos > W - 1) pos = W - 1;
+        ctx_est_[base + i].fp = uint16_t(pos);
+        ctx_est_[base + i].fn = uint16_t(W - pos);
+        int pos_s = int(p1 * WS + 0.5);
+        if (pos_s < 1) pos_s = 1;
+        if (pos_s > WS - 1) pos_s = WS - 1;
+        ctx_est_[base + i].sp = uint16_t(pos_s);
+        ctx_est_[base + i].sn = uint16_t(WS - pos_s);
+      }
+      // Bypass/sign bins: genuinely near 0.5 -> damp early noise hard.
+      ctx_est_[base + kCtxBypass] = Dual{128, 128, 256, 256};
+      ctx_est_[base + kNumModelContexts + 0] = Dual{128, 128, 256, 256};
+      ctx_est_[base + kNumModelContexts + 1] = Dual{128, 128, 256, 256};
+      // Terminate bins are almost always 0.
+      ctx_est_[base + kCtxTerminate] = Dual{1, 47, 1, 511};
+    }
   }
 
   // ---- picture / mb / block state ----------------------------------------
-  void begin_slice(bool new_picture, int mb_width, int mb_height) {
+  // slice_class: 0 = I, 1 = P, 2 = B. Estimator banks are separated per class
+  // (CABAC effectively does the same via per-slice-type init tables; I/P/B bin
+  // statistics differ enough that mixing them costs ~0.5%).
+  void begin_slice(int slice_class, bool new_picture, int mb_width, int mb_height) {
+    sc_ = slice_class;
     if (new_picture || frames_[cur_].w != mb_width || frames_[cur_].h != mb_height) {
       cur_ ^= 1;
       frames_[cur_].reset(mb_width, mb_height);
-      if (frames_[cur_ ^ 1].w != mb_width || frames_[cur_ ^ 1].h != mb_height)
+      skip_grid_[cur_].assign(size_t(mb_width) * mb_height, 0);
+      if (frames_[cur_ ^ 1].w != mb_width || frames_[cur_ ^ 1].h != mb_height) {
         frames_[cur_ ^ 1].reset(mb_width, mb_height);
+        skip_grid_[cur_ ^ 1].assign(size_t(mb_width) * mb_height, 0);
+      }
     }
+  }
+
+  int prev_skip() const {
+    const auto& g = skip_grid_[cur_ ^ 1];
+    size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
+    return idx < g.size() && g[idx] ? 1 : 0;
+  }
+  void set_skip(int bit) {
+    auto& g = skip_grid_[cur_];
+    size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
+    if (idx < g.size()) g[idx] = uint8_t(bit);
   }
   void begin_mb(int x, int y) {
     mb_x_ = x;
@@ -96,46 +171,165 @@ class PriorModel {
     }
   }
 
-  Estimator& ctx_estimator(int ctx) { return ctx_est_[ctx]; }
+  static constexpr int kFastWindow = 48;
+  static constexpr int kSlowWindow = 640;
+  static uint32_t dual_prob(const Dual& d, bool slow_only = false) {
+    uint32_t ps = (uint32_t(d.sp) << kProbBits) / (d.sp + d.sn);
+    uint32_t p;
+    if (slow_only) {
+      p = ps;
+    } else {
+      uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
+      p = (pf + ps) >> 1;
+    }
+    if (p < 1) p = 1;
+    if (p > kProbScale - 1) p = kProbScale - 1;
+    return p;
+  }
+  static void dual_update(Dual& d, int bit) {
+    if (bit) { ++d.fp; ++d.sp; } else { ++d.fn; ++d.sn; }
+    if (d.fp + d.fn > kFastWindow) {
+      d.fp = (d.fp + 1) >> 1;
+      d.fn = (d.fn + 1) >> 1;
+    }
+    if (d.sp + d.sn > kSlowWindow) {
+      d.sp = (d.sp + 1) >> 1;
+      d.sn = (d.sn + 1) >> 1;
+    }
+  }
 
-  Estimator& sig_estimator(int pos) {
-    assert(nnz_total_ >= 1);
+  // Routing: bypass bins get role-separated estimators (suffix bits vs generic
+  // bypass); coded_block_flag and mb_skip_flag add a temporal prior dimension
+  // (previous picture, same block/MB); signs and terminates use fixed
+  // probabilities (measured: adaptivity only adds noise there).
+  Dual* route(int ctx, BinKlass klass) {
+    size_t base = size_t(sc_) * kCtxStride;
+    switch (klass) {
+      case kKlassSign:
+        return &ctx_est_[base + kNumModelContexts + 1];
+      case kKlassBypassRes:
+        return &ctx_est_[base + kNumModelContexts + 0];
+      case kKlassRes:
+        if (ctx < kCtxBypass) return &res_estimator(ctx);
+        return &ctx_est_[base + ctx];
+      case kKlassCbf: {
+        int prev = frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_) > 0 ? 1 : 0;
+        return &cbf_est_[size_t(sc_) * 40 + size_t(ctx - kCtxCbfBase) * 2 + prev];
+      }
+      case kKlassSkip: {
+        int compact = (ctx >= kCtxMbSkipB) ? ctx - kCtxMbSkipB + 3 : ctx - kCtxMbSkipP;
+        return &skip_est_[size_t(compact) * 2 + prev_skip()];
+      }
+      default:
+        return &ctx_est_[base + ctx];
+    }
+  }
+
+  static bool slow_only(BinKlass klass) {
+    return klass == kKlassSign || klass == kKlassBypassOther ||
+           klass == kKlassBypassRes || klass == kKlassTerminate;
+  }
+  uint32_t bin_prob(int ctx, BinKlass klass) {
+    return dual_prob(*route(ctx, klass), slow_only(klass));
+  }
+  void bin_update(int ctx, BinKlass klass, int bit) {
+    dual_update(*route(ctx, klass), bit);
+    if (klass == kKlassSkip) set_skip(bit);
+  }
+
+  // Residual level bins conditioned on the block's nonzero count in addition
+  // to the spec context (a prior the reference never exploits).
+  static constexpr int kNumResCtx = 59;  // 227..275 and 426..435 compacted
+  static constexpr size_t kResStride = size_t(kNumResCtx) * 16;
+  Dual& res_estimator(int ctx) {
+    int idx = (ctx >= kCtxAbs8x8Base) ? 49 + (ctx - kCtxAbs8x8Base) : ctx - kCtxAbsBase;
+    int nnz_class = nnz_total_ >= 1 ? (nnz_total_ < 16 ? nnz_total_ : 15) : 0;
+    return res_est_[size_t(sc_) * kResStride + size_t(idx) * 16 + nnz_class];
+  }
+
+  // Significance probability = hypergeometric prior (remaining nonzeros over
+  // remaining positions — computable only because the nonzero count is coded
+  // first) mixed with a dense learned correction keyed on
+  // (cat, pos_class, nnz_class). The prior gives instant accuracy on cold
+  // contexts; the estimator learns the zigzag energy-concentration skew.
+  static constexpr int kSigMixAlpha = 1;
+  Estimator& sig_fine(int pos) {
     int pos_class = (cat_ == kCatLuma8x8) ? kSigCoeffFlagOffset8x8[0][pos]
                                           : (pos < kSigPosClasses ? pos : kSigPosClasses - 1);
     int is_dc = (cat_ == kCatLumaDC || cat_ == kCatChromaDC) ? 1 : 0;
     size_t key = (size_t(nnz_total_) * 64 + observed_) * kSigThird +
                  (is_dc + 2 * pos_class + 2 * kSigPosClasses * cat_);
-    return sig_est_[key];
+    return sig_est_[size_t(sc_) * kSigStride + key];
+  }
+  uint32_t sig_prob(int pos) {
+    assert(nnz_total_ >= 1);
+    int remaining = nnz_total_ - observed_;
+    int left = max_coeff_ - pos;
+    uint32_t prior = (uint32_t(remaining) << kProbBits) / uint32_t(left);
+    if (prior < 1) prior = 1;
+    if (prior > kProbScale - 1) prior = kProbScale - 1;
+    Estimator& e = sig_fine(pos);
+    uint32_t p = ((uint32_t(e.pos) << kProbBits) + kSigMixAlpha * prior) /
+                 (uint32_t(e.pos) + e.neg + kSigMixAlpha);
+    if (p < 1) p = 1;
+    if (p > kProbScale - 1) p = kProbScale - 1;
+    return p;
+  }
+  void sig_update(int pos, int bit) { update(sig_fine(pos), bit, kWindowSig); }
+
+  // Spatial/temporal conditioning classes for the nonzero count (the
+  // reference's per-bit neighbor flags, recode.cpp:865-884, upgraded to
+  // bucketed count predictions).
+  int nz_pred_class() const {
+    int sum = neighbor_count(-1, 0) + neighbor_count(0, -1);
+    if (sum >= 16) return 7;
+    if (sum >= 9) return 6;
+    if (sum >= 6) return 5;
+    if (sum >= 4) return 4;
+    return sum;  // 0..3
+  }
+  int nz_prev_class() const {
+    int prev = frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_);
+    return prev >= 4 ? 3 : (prev >= 2 ? 2 : prev);
+  }
+  Dual& nz_unary_est(int idx) {
+    size_t key = ((size_t(idx) * 8 + nz_pred_class()) * 4 + nz_prev_class()) * 6 + cat_;
+    return nz_est_[size_t(sc_) * kNzStride + key];
+  }
+  Dual& nz_suffix_est(int bit_i) {
+    // suffix bits live after the unary keys (kNzUnaryKeys per bank)
+    size_t key = kNzUnaryKeys + size_t(bit_i) * 6 + cat_;
+    return nz_est_[size_t(sc_) * kNzStride + key];
   }
 
-  Estimator& nz_estimator(int bit_i, int bits_so_far) {
-    int prev_bit = (frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_) >> bit_i) & 1;
-    int left_bit = (neighbor_count(-1, 0) >> bit_i) & 1;
-    int above_bit = (neighbor_count(0, -1) >> bit_i) & 1;
-    size_t key = ((((size_t(bit_i) * 128 + bits_so_far) * 2 + prev_bit) * 2 + left_bit) * 2 +
-                  above_bit) * 6 + cat_;
-    return nz_est_[key];
-  }
-
-  // Number of bits used to serialize (nnz-1) for the current block.
-  int nz_bits() const {
-    if (max_coeff_ > 16) return 6;   // 8x8: nnz-1 in 0..63
-    if (max_coeff_ > 4) return 4;    // 16/15-coeff: nnz-1 in 0..15
-    return 2;                        // chroma DC 4:2:0: nnz-1 in 0..3
-  }
-
-  // Shared NZ-count serialization (reference finished_queueing,
-  // recode.cpp:844-930). BitIO: int operator()(Estimator&, int bit_for_put).
+  // Shared NZ-count serialization (the reference's finished_queueing,
+  // recode.cpp:844-930, re-binarized): (nnz-1) as truncated unary up to 8
+  // with per-index neighbor-conditioned contexts, then an LSB-first
+  // fixed-width suffix. BitIO: int operator()(Dual&, int bit_for_put).
   template <class BitIO>
   int code_nz(BitIO&& io, int put_value /*-1 when decoding*/) {
-    int bits = nz_bits();
+    int enc = put_value >= 0 ? put_value - 1 : -1;
+    int cap = max_coeff_ - 1 < 8 ? max_coeff_ - 1 : 8;
     int val = 0;
-    int enc = put_value >= 0 ? put_value - 1 : 0;
-    for (int i = 0; i < bits; ++i) {
-      Estimator& e = nz_estimator(i, val);
-      int b = io(e, put_value >= 0 ? ((enc >> i) & 1) : -1);
-      update(e, b, 0x60);
-      val |= b << i;
+    while (val < cap) {
+      Dual& e = nz_unary_est(val);
+      int b = io(e, enc >= 0 ? (enc > val ? 1 : 0) : -1);
+      dual_update(e, b);
+      if (!b) break;
+      ++val;
+    }
+    if (val == cap && cap == 8) {
+      // suffix: (nnz-1-8) in ceil(log2(max_coeff-8)) bits, LSB first
+      int span = max_coeff_ - 8;  // 8 or 56
+      int sbits = span > 32 ? 6 : (span > 16 ? 5 : (span > 8 ? 4 : 3));
+      int suffix = 0;
+      for (int i = 0; i < sbits; ++i) {
+        Dual& e = nz_suffix_est(i);
+        int b = io(e, enc >= 0 ? ((enc - 8) >> i) & 1 : -1);
+        dual_update(e, b);
+        suffix |= b << i;
+      }
+      val += suffix;
     }
     return val + 1;
   }
@@ -232,12 +426,18 @@ class PriorModel {
     return f.get(mb_x_ + dx, mb_y_ + dy, slot_);
   }
 
-  std::vector<Estimator> ctx_est_;
+  std::vector<Dual> ctx_est_;
   std::vector<Estimator> sig_est_;
-  std::vector<Estimator> nz_est_;
+  std::vector<Dual> nz_est_;
+  std::vector<Dual> res_est_;
+  std::vector<Dual> cbf_est_;
+  std::vector<Dual> skip_est_;
+  std::vector<uint8_t> skip_grid_[2];
+  bool seeded_ = false;
   NZFrame frames_[2];
   int cur_ = 0;
   int mb_x_ = 0, mb_y_ = 0;
+  int sc_ = 0;
   int slot_ = 0, cat_ = 0, max_coeff_ = 0;
   int nnz_total_ = -1, observed_ = 0;
   bool in_sig_ = false;

@@ -129,8 +129,11 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
       ++slice_id;
 
       SliceRecord rec;
-      rec.ss.event(kEvBeginSlice, sh.is_intra(), new_picture, sps->mb_width(),
-                   sps->mb_height());
+      int slice_class = sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1);
+      rec.ss.event(kEvBeginSlice,
+                   (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2),
+                   sps->mb_width(), sps->mb_height(),
+                   sh.slice_qp | (sh.cabac_init_idc << 16));
       RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),
                           sh.cabac_init_idc, sh.slice_qp, &rec.ss);
       SliceWalker<RecordingSource> walker(*sps, *pps, sh, pic, slice_id, src);
@@ -208,7 +211,9 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
       for (int k = 0; k < kNumBinKlasses; ++k) {
         st.bill.mbits[k] += model.bill.mbits[k];
         st.bill.count[k] += model.bill.count[k];
+        st.bill.cabac_mbits[k] += model.bill.cabac_mbits[k];
       }
+      st.bill.eob_cabac_mbits += model.bill.eob_cabac_mbits;
       st.bill.nz_mbits += model.bill.nz_mbits;
       st.bill.nz_count += model.bill.nz_count;
       st.bill.eob_count += model.bill.eob_count;
@@ -360,7 +365,9 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     bool new_picture = sh.first_mb_in_slice == 0;
     if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
     ++slice_id;
-    cs.model->begin_slice(new_picture, sps->mb_width(), sps->mb_height());
+    cs.model->seed_from_cabac(sh.cabac_init_idc, sh.slice_qp);
+    cs.model->begin_slice(sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1), new_picture,
+                          sps->mb_width(), sps->mb_height());
     ModelSource src(*cs.model, *cs.rans, sh.is_intra(), sh.cabac_init_idc, sh.slice_qp);
     SliceWalker<ModelSource> walker(*sps, *pps, sh, pic, slice_id, src);
     walker.run();
@@ -393,6 +400,8 @@ struct ArtcStats {
   uint64_t total_bins;
   uint64_t klass_mbits[artc::kNumBinKlasses];
   uint64_t klass_count[artc::kNumBinKlasses];
+  uint64_t klass_cabac_mbits[artc::kNumBinKlasses];
+  uint64_t eob_cabac_mbits;
   uint64_t nz_mbits, nz_count, eob_count;
 };
 
@@ -410,7 +419,9 @@ static void fill_stats(const artc::Stats& st, ArtcStats* out) {
   for (int i = 0; i < artc::kNumBinKlasses; ++i) {
     out->klass_mbits[i] = st.bill.mbits[i];
     out->klass_count[i] = st.bill.count[i];
+    out->klass_cabac_mbits[i] = st.bill.cabac_mbits[i];
   }
+  out->eob_cabac_mbits = st.bill.eob_cabac_mbits;
   out->nz_mbits = st.bill.nz_mbits;
   out->nz_count = st.bill.nz_count;
   out->eob_count = st.bill.eob_count;

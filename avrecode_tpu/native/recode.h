@@ -76,9 +76,9 @@ class ModelEncoder {
       switch (b.klass) {
         case kKlassSig: {
           ensure_nnz(ss, i, ev);
-          Estimator& e = m_.sig_estimator(b.pos);
-          push(b.bin, PriorModel::prob15(e), b.klass);
-          PriorModel::update(e, b.bin, PriorModel::kWindowSig);
+          m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+          push(b.bin, m_.sig_prob(b.pos), b.klass);
+          m_.sig_update(b.pos, b.bin);
           m_.on_sig_bin(b.bin);
           break;
         }
@@ -86,12 +86,13 @@ class ModelEncoder {
           int det = m_.eob_answer();
           if (det != b.bin) throw std::runtime_error("model/walker EOB disagreement");
           ++m_.bill.eob_count;  // zero bits
+          m_.bill.eob_cabac_mbits += b.cabac_mbits;
           break;
         }
         default: {
-          Estimator& e = m_.ctx_estimator(b.ctx);
-          push(b.bin, PriorModel::prob15(e), b.klass);
-          PriorModel::update(e, b.bin, PriorModel::kWindowOther);
+          m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+          push(b.bin, m_.bin_prob(b.ctx, BinKlass(b.klass)), b.klass);
+          m_.bin_update(b.ctx, BinKlass(b.klass), b.bin);
           break;
         }
       }
@@ -101,7 +102,10 @@ class ModelEncoder {
  private:
   void apply(const SymbolStream& ss, const SymbolStream::Event& e, size_t ev_idx) {
     switch (e.type) {
-      case kEvBeginSlice: m_.begin_slice(e.b != 0, e.c, e.d); break;
+      case kEvBeginSlice:
+        m_.seed_from_cabac((e.d >> 16) & 0xffff, e.d & 0xffff);
+        m_.begin_slice((e.a >> 2) & 3, (e.a & 2) != 0, e.b, e.c);
+        break;
       case kEvBeginMB: m_.begin_mb(e.a, e.b); break;
       case kEvBeginBlock: m_.begin_block(e.a, e.b, e.c); break;
       case kEvEndBlock: m_.end_block(); break;
@@ -127,8 +131,8 @@ class ModelEncoder {
     for (size_t j = bin_idx; j < end_at; ++j)
       if (ss.bins[j].klass == kKlassSig && ss.bins[j].bin) ++cnt;
     m_.code_nz(
-        [this](Estimator& e, int putbit) {
-          push_nz(putbit, PriorModel::prob15(e));
+        [this](Dual& e, int putbit) {
+          push_nz(putbit, PriorModel::dual_prob(e));
           return putbit;
         },
         cnt);
@@ -168,37 +172,31 @@ class ModelSource {
   }
 
   int decision(int ctx, BinKlass klass) {
-    (void)klass;
-    Estimator& e = m_.ctx_estimator(ctx);
-    int bit = rans_.decode(PriorModel::prob15(e));
-    PriorModel::update(e, bit, PriorModel::kWindowOther);
+    int bit = rans_.decode(m_.bin_prob(ctx, klass));
+    m_.bin_update(ctx, klass, bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;
   }
   int bypass(BinKlass klass) {
-    (void)klass;
-    Estimator& e = m_.ctx_estimator(kCtxBypass);
-    int bit = rans_.decode(PriorModel::prob15(e));
-    PriorModel::update(e, bit, PriorModel::kWindowOther);
+    int bit = rans_.decode(m_.bin_prob(kCtxBypass, klass));
+    m_.bin_update(kCtxBypass, klass, bit);
     enc_.encode_bypass(bit);
     return bit;
   }
   int terminate() {
-    Estimator& e = m_.ctx_estimator(kCtxTerminate);
-    int bit = rans_.decode(PriorModel::prob15(e));
-    PriorModel::update(e, bit, PriorModel::kWindowOther);
+    int bit = rans_.decode(m_.bin_prob(kCtxTerminate, kKlassTerminate));
+    m_.bin_update(kCtxTerminate, kKlassTerminate, bit);
     enc_.encode_terminate(bit);
     return bit;
   }
   int sig_bin(int ctx, int pos) {
     if (m_.needs_nnz()) {
       int nnz = m_.code_nz(
-          [this](Estimator& e, int) { return rans_.decode(PriorModel::prob15(e)); }, -1);
+          [this](Dual& e, int) { return rans_.decode(PriorModel::dual_prob(e)); }, -1);
       m_.set_nnz_total(nnz);
     }
-    Estimator& e = m_.sig_estimator(pos);
-    int bit = rans_.decode(PriorModel::prob15(e));
-    PriorModel::update(e, bit, PriorModel::kWindowSig);
+    int bit = rans_.decode(m_.sig_prob(pos));
+    m_.sig_update(pos, bit);
     m_.on_sig_bin(bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;

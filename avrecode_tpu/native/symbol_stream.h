@@ -8,6 +8,7 @@
 // (reference recode.cpp:212-228) with a replayable stream.
 #pragma once
 
+#include <cmath>
 #include <cstdint>
 #include <vector>
 
@@ -22,7 +23,9 @@ enum EventType : uint8_t {
   kEvBeginBlock = 1,   // a = slot, b = cat, c = max_coeff
   kEvEndBlock = 2,
   kEvImplicitLast = 3, // a = pos
-  kEvBeginSlice = 4,   // a = intra flag, b = new_picture flag, c = mb_width, d = mb_height
+  kEvBeginSlice = 4,   // a = flags (bit0 intra, bit1 new_picture),
+                       // b = mb_width, c = mb_height,
+                       // d = slice_qp | (cabac_init_idc << 16)
 };
 
 struct SymbolStream {
@@ -31,6 +34,7 @@ struct SymbolStream {
     uint8_t klass;  // BinKlass
     uint8_t bin;
     int16_t pos;    // scan position for sig/eob bins, else -1
+    uint16_t cabac_mbits;  // what the original CABAC paid for this bin
   };
   struct Event {
     uint32_t at;  // fires before bins[at]
@@ -56,29 +60,43 @@ class RecordingSource {
     ctxs_.init(intra_slice, cabac_init_idc, slice_qp);
   }
 
+  // Exact fractional CABAC cost of the bin just decoded: delta of the coder's
+  // information potential (consumed bits minus log2 of the range width).
+  uint16_t cost_mbits(double pot_before) {
+    double pot = dec_.bit_pos() - std::log2(double(dec_.range()));
+    double d = (pot - pot_before) * 1000.0;
+    return uint16_t(d < 0 ? 0 : (d > 65535 ? 65535 : d));
+  }
+  double potential() const { return dec_.bit_pos() - std::log2(double(dec_.range())); }
+
   int decision(int ctx, BinKlass klass) {
+    double p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
-    out_->bins.push_back({uint16_t(ctx), klass, uint8_t(b), -1});
+    out_->bins.push_back({uint16_t(ctx), klass, uint8_t(b), -1, cost_mbits(p0)});
     return b;
   }
   int bypass(BinKlass klass) {
+    double p0 = potential();
     int b = dec_.decode_bypass();
-    out_->bins.push_back({uint16_t(kCtxBypass), klass, uint8_t(b), -1});
+    out_->bins.push_back({uint16_t(kCtxBypass), klass, uint8_t(b), -1, cost_mbits(p0)});
     return b;
   }
   int terminate() {
+    double p0 = potential();
     int b = dec_.decode_terminate();
-    out_->bins.push_back({uint16_t(kCtxTerminate), kKlassTerminate, uint8_t(b), -1});
+    out_->bins.push_back({uint16_t(kCtxTerminate), kKlassTerminate, uint8_t(b), -1, cost_mbits(p0)});
     return b;
   }
   int sig_bin(int ctx, int pos) {
+    double p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
-    out_->bins.push_back({uint16_t(ctx), kKlassSig, uint8_t(b), int16_t(pos)});
+    out_->bins.push_back({uint16_t(ctx), kKlassSig, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;
   }
   int eob_bin(int ctx, int pos) {
+    double p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
-    out_->bins.push_back({uint16_t(ctx), kKlassEob, uint8_t(b), int16_t(pos)});
+    out_->bins.push_back({uint16_t(ctx), kKlassEob, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;
   }
   void implicit_sig_last(int pos) { out_->event(kEvImplicitLast, pos); }

@@ -59,8 +59,11 @@ int main(int argc, char** argv) {
         }
         ++slice_id;
         SymbolStream ss;
-        ss.event(kEvBeginSlice, sh.is_intra(), sh.first_mb_in_slice == 0,
-                 sps->mb_width(), sps->mb_height());
+        int slice_class = sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1);
+        ss.event(kEvBeginSlice,
+                 (sh.is_intra() ? 1 : 0) | (sh.first_mb_in_slice == 0 ? 2 : 0) | (slice_class << 2),
+                 sps->mb_width(), sps->mb_height(),
+                 sh.slice_qp | (sh.cabac_init_idc << 16));
         RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),
                             sh.cabac_init_idc, sh.slice_qp, &ss);
         SliceWalker<RecordingSource> walker(*sps, *pps, sh, pic, slice_id, src);

@@ -54,7 +54,7 @@ int main(int argc, char** argv) {
       {"w", "320"},      {"h", "240"},     {"frames", "30"}, {"crf", ""},
       {"qp", "26"},      {"preset", "medium"}, {"profile", "high"},
       {"bframes", "2"},  {"slices", "1"},  {"cabac", "1"},   {"seed", "1"},
-      {"gop", "10"},
+      {"gop", "10"},     {"raw", ""},
   };
   for (int i = 2; i < argc; ++i) {
     std::string a = argv[i];
@@ -115,9 +115,17 @@ int main(int argc, char** argv) {
     }
   };
 
+  FILE* rawf = kv["raw"].empty() ? nullptr : fopen(kv["raw"].c_str(), "rb");
   for (int i = 0; i < nframes; ++i) {
     av_frame_make_writable(frame);
-    fill_frame(frame, i, seed);
+    if (rawf) {
+      for (int y = 0; y < c->height; ++y)
+        if (fread(frame->data[0] + y * frame->linesize[0], 1, c->width, rawf) != size_t(c->width)) { nframes = i; break; }
+      for (int pl = 1; pl <= 2; ++pl)
+        for (int y = 0; y < c->height / 2; ++y)
+          if (fread(frame->data[pl] + y * frame->linesize[pl], 1, c->width / 2, rawf) != size_t(c->width / 2)) { nframes = i; break; }
+      if (nframes == i) break;
+    } else fill_frame(frame, i, seed);
     frame->pts = i;
     if (avcodec_send_frame(c, frame) < 0) { fprintf(stderr, "send err\n"); return 1; }
     drain(c);
