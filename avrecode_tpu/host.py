@@ -120,7 +120,7 @@ def lib() -> ctypes.CDLL:
         _lib = ctypes.CDLL(build_native())
         _lib.artc_compress.restype = ctypes.c_int
         _lib.artc_compress.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ArtcStatsC),
         ]
@@ -153,8 +153,9 @@ def _call(fn, data: bytes, *args) -> tuple[bytes, Stats]:
     return result, Stats.from_c(st)
 
 
-def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0) -> tuple[bytes, Stats]:
-    return _call(lib().artc_compress, data, lanes, chunk_mode)
+def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
+             batch_size: int = 1) -> tuple[bytes, Stats]:
+    return _call(lib().artc_compress, data, lanes, chunk_mode, batch_size)
 
 
 def decompress(data: bytes) -> tuple[bytes, Stats]:

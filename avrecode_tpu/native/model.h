@@ -19,6 +19,7 @@
 //    64-bit range coder; measured cost of quantization is <0.1%).
 #pragma once
 
+#include <algorithm>
 #include <cassert>
 #include <cstdint>
 #include <cstring>
@@ -63,14 +64,37 @@ class PriorModel {
   static constexpr size_t kSigStride = size_t(65) * 64 * kSigThird;
   static constexpr size_t kNzUnaryKeys = size_t(8) * 8 * 4 * 6;
   static constexpr size_t kNzStride = kNzUnaryKeys + size_t(6) * 6;  // + suffix bits
+  static constexpr int kNumResCtx = 59;  // 227..275 and 426..435 compacted
+  static constexpr size_t kResStride = size_t(kNumResCtx) * 16;
+
+  // Unified Dual table layout (global key space, shared with the TPU path):
+  //   [0, 3*kCtxStride)                       per-class ctx estimators
+  //   [kNzBase, +3*kNzStride)                 nonzero-count estimators
+  //   [kResBase, +3*kResStride)               residual-level estimators
+  //   [kCbfBase2, +3*40)                      coded_block_flag estimators
+  //   [kSkipBase, +12)                        mb_skip estimators
+  static constexpr size_t kNzBase = 3 * kCtxStride;
+  static constexpr size_t kResBase = kNzBase + 3 * kNzStride;
+  static constexpr size_t kCbfBase2 = kResBase + 3 * kResStride;
+  static constexpr size_t kSkipBase = kCbfBase2 + 3 * 40;
+  static constexpr size_t kNumDualKeys = kSkipBase + 12;
+  static constexpr size_t kNumSigKeys = 3 * kSigStride;
 
   PriorModel() {
-    ctx_est_.assign(3 * kCtxStride, Dual());  // per slice class
-    sig_est_.assign(3 * kSigStride, Estimator{0, 0});
-    nz_est_.assign(3 * kNzStride, Dual());
-    res_est_.assign(3 * kResStride, Dual());
-    cbf_est_.assign(3 * size_t(20) * 2, Dual());
-    skip_est_.assign(size_t(6) * 2, Dual());  // skip ctx range already implies P vs B
+    dual_.assign(kNumDualKeys, Dual());
+    sig_est_.assign(kNumSigKeys, Estimator{0, 0});
+  }
+
+  // Batched ("deferred") estimator updates: with batch B > 1, probabilities
+  // within a batch come from tables frozen at the last batch boundary, and all
+  // of a batch's updates are applied at once (per-key aggregate, then
+  // halve-while-over-window). This makes the model pass a gather + scatter-add
+  // per batch — the TPU formulation — while the serial decoder replicates the
+  // identical integer semantics. B is a container format parameter; B=1 gives
+  // classic per-bin adaptation.
+  void set_batch_size(uint32_t b) {
+    batch_ = b ? b : 1;
+    if (batch_ > 32768) batch_ = 32768;  // uint16 counter headroom
   }
 
   // Seeds the per-ctx estimators from the H.264 context-init state so the
@@ -94,20 +118,20 @@ class PriorModel {
         int pos = int(p1 * W + 0.5);
         if (pos < 1) pos = 1;
         if (pos > W - 1) pos = W - 1;
-        ctx_est_[base + i].fp = uint16_t(pos);
-        ctx_est_[base + i].fn = uint16_t(W - pos);
+        dual_[base + i].fp = uint16_t(pos);
+        dual_[base + i].fn = uint16_t(W - pos);
         int pos_s = int(p1 * WS + 0.5);
         if (pos_s < 1) pos_s = 1;
         if (pos_s > WS - 1) pos_s = WS - 1;
-        ctx_est_[base + i].sp = uint16_t(pos_s);
-        ctx_est_[base + i].sn = uint16_t(WS - pos_s);
+        dual_[base + i].sp = uint16_t(pos_s);
+        dual_[base + i].sn = uint16_t(WS - pos_s);
       }
       // Bypass/sign bins: genuinely near 0.5 -> damp early noise hard.
-      ctx_est_[base + kCtxBypass] = Dual{128, 128, 256, 256};
-      ctx_est_[base + kNumModelContexts + 0] = Dual{128, 128, 256, 256};
-      ctx_est_[base + kNumModelContexts + 1] = Dual{128, 128, 256, 256};
+      dual_[base + kCtxBypass] = Dual{128, 128, 256, 256};
+      dual_[base + kNumModelContexts + 0] = Dual{128, 128, 256, 256};
+      dual_[base + kNumModelContexts + 1] = Dual{128, 128, 256, 256};
       // Terminate bins are almost always 0.
-      ctx_est_[base + kCtxTerminate] = Dual{1, 47, 1, 511};
+      dual_[base + kCtxTerminate] = Dual{1, 47, 1, 511};
     }
   }
 
@@ -202,26 +226,26 @@ class PriorModel {
   // bypass); coded_block_flag and mb_skip_flag add a temporal prior dimension
   // (previous picture, same block/MB); signs and terminates use fixed
   // probabilities (measured: adaptivity only adds noise there).
-  Dual* route(int ctx, BinKlass klass) {
+  size_t route(int ctx, BinKlass klass) {
     size_t base = size_t(sc_) * kCtxStride;
     switch (klass) {
       case kKlassSign:
-        return &ctx_est_[base + kNumModelContexts + 1];
+        return base + kNumModelContexts + 1;
       case kKlassBypassRes:
-        return &ctx_est_[base + kNumModelContexts + 0];
+        return base + kNumModelContexts + 0;
       case kKlassRes:
-        if (ctx < kCtxBypass) return &res_estimator(ctx);
-        return &ctx_est_[base + ctx];
+        if (ctx < kCtxBypass) return res_key(ctx);
+        return base + ctx;
       case kKlassCbf: {
         int prev = frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_) > 0 ? 1 : 0;
-        return &cbf_est_[size_t(sc_) * 40 + size_t(ctx - kCtxCbfBase) * 2 + prev];
+        return kCbfBase2 + size_t(sc_) * 40 + size_t(ctx - kCtxCbfBase) * 2 + prev;
       }
       case kKlassSkip: {
         int compact = (ctx >= kCtxMbSkipB) ? ctx - kCtxMbSkipB + 3 : ctx - kCtxMbSkipP;
-        return &skip_est_[size_t(compact) * 2 + prev_skip()];
+        return kSkipBase + size_t(compact) * 2 + prev_skip();
       }
       default:
-        return &ctx_est_[base + ctx];
+        return base + ctx;
     }
   }
 
@@ -229,22 +253,91 @@ class PriorModel {
     return klass == kKlassSign || klass == kKlassBypassOther ||
            klass == kKlassBypassRes || klass == kKlassTerminate;
   }
+
+  // Coded-bin trace record: the (kind, key, prior) triple fully determines the
+  // probability given the frozen tables — the host->device interchange.
+  enum BinKind : uint8_t { kKindDual = 0, kKindDualSlow = 1, kKindSig = 2 };
+  struct Coded {
+    uint8_t bit, kind;
+    uint32_t key;
+    uint16_t prior;  // sig mix prior (kKindSig only)
+  };
+
+  uint32_t prob_for(uint8_t kind, uint32_t key, uint16_t prior) const {
+    if (kind == kKindSig) {
+      const Estimator& e = sig_est_[key];
+      uint32_t p = ((uint32_t(e.pos) << kProbBits) + kSigMixAlpha * prior) /
+                   (uint32_t(e.pos) + e.neg + kSigMixAlpha);
+      if (p < 1) p = 1;
+      if (p > kProbScale - 1) p = kProbScale - 1;
+      return p;
+    }
+    return dual_prob(dual_[key], kind == kKindDualSlow);
+  }
+
+  // Registers a coded bin: count increments apply IMMEDIATELY (on the device
+  // this is a within-batch segmented prefix-sum — still parallel), while the
+  // window-halving normalization is deferred to the batch boundary. With B=1
+  // this is exactly classic per-bin adaptation. MUST be called once per coded
+  // bin, in pair-stream order, on both encode and decode paths.
+  void note_coded(uint8_t kind, uint32_t key, int bit) {
+    if (kind == kKindSig) {
+      Estimator& e = sig_est_[key];
+      if (bit) ++e.pos; else ++e.neg;
+    } else {
+      Dual& d = dual_[key];
+      if (bit) { ++d.fp; ++d.sp; } else { ++d.fn; ++d.sn; }
+    }
+    pending_.push_back({uint8_t(bit), kind, key, 0});
+    if (pending_.size() >= batch_) flush_updates();
+  }
+
+  // Batch-boundary normalization: halve every touched estimator while it is
+  // over its window (commutative; device equivalent is a masked elementwise
+  // pass over the tables).
+  void flush_updates() {
+    for (const Coded& c : pending_) {
+      if (c.kind == kKindSig) {
+        Estimator& e = sig_est_[c.key];
+        while (e.pos + e.neg > kWindowSig) {
+          e.pos = (e.pos + 1) >> 1;
+          e.neg = (e.neg + 1) >> 1;
+        }
+      } else {
+        Dual& d = dual_[c.key];
+        while (d.fp + d.fn > kFastWindow) {
+          d.fp = (d.fp + 1) >> 1;
+          d.fn = (d.fn + 1) >> 1;
+        }
+        while (d.sp + d.sn > kSlowWindow) {
+          d.sp = (d.sp + 1) >> 1;
+          d.sn = (d.sn + 1) >> 1;
+        }
+      }
+    }
+    pending_.clear();
+  }
+
   uint32_t bin_prob(int ctx, BinKlass klass) {
-    return dual_prob(*route(ctx, klass), slow_only(klass));
+    uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
+    return prob_for(kind, uint32_t(route(ctx, klass)), 0);
   }
   void bin_update(int ctx, BinKlass klass, int bit) {
-    dual_update(*route(ctx, klass), bit);
+    uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
+    note_coded(kind, uint32_t(route(ctx, klass)), bit);
     if (klass == kKlassSkip) set_skip(bit);
+  }
+  // (kind,key,prior) of the last bin_prob/sig_prob computation, for tracing.
+  uint8_t last_kind(BinKlass klass) const {
+    return slow_only(klass) ? kKindDualSlow : kKindDual;
   }
 
   // Residual level bins conditioned on the block's nonzero count in addition
   // to the spec context (a prior the reference never exploits).
-  static constexpr int kNumResCtx = 59;  // 227..275 and 426..435 compacted
-  static constexpr size_t kResStride = size_t(kNumResCtx) * 16;
-  Dual& res_estimator(int ctx) {
+  size_t res_key(int ctx) const {
     int idx = (ctx >= kCtxAbs8x8Base) ? 49 + (ctx - kCtxAbs8x8Base) : ctx - kCtxAbsBase;
     int nnz_class = nnz_total_ >= 1 ? (nnz_total_ < 16 ? nnz_total_ : 15) : 0;
-    return res_est_[size_t(sc_) * kResStride + size_t(idx) * 16 + nnz_class];
+    return kResBase + size_t(sc_) * kResStride + size_t(idx) * 16 + nnz_class;
   }
 
   // Significance probability = hypergeometric prior (remaining nonzeros over
@@ -253,29 +346,27 @@ class PriorModel {
   // (cat, pos_class, nnz_class). The prior gives instant accuracy on cold
   // contexts; the estimator learns the zigzag energy-concentration skew.
   static constexpr int kSigMixAlpha = 1;
-  Estimator& sig_fine(int pos) {
+  size_t sig_key(int pos) const {
     int pos_class = (cat_ == kCatLuma8x8) ? kSigCoeffFlagOffset8x8[0][pos]
                                           : (pos < kSigPosClasses ? pos : kSigPosClasses - 1);
     int is_dc = (cat_ == kCatLumaDC || cat_ == kCatChromaDC) ? 1 : 0;
     size_t key = (size_t(nnz_total_) * 64 + observed_) * kSigThird +
                  (is_dc + 2 * pos_class + 2 * kSigPosClasses * cat_);
-    return sig_est_[size_t(sc_) * kSigStride + key];
+    return size_t(sc_) * kSigStride + key;
   }
-  uint32_t sig_prob(int pos) {
-    assert(nnz_total_ >= 1);
+  uint16_t sig_prior(int pos) const {
     int remaining = nnz_total_ - observed_;
     int left = max_coeff_ - pos;
     uint32_t prior = (uint32_t(remaining) << kProbBits) / uint32_t(left);
     if (prior < 1) prior = 1;
     if (prior > kProbScale - 1) prior = kProbScale - 1;
-    Estimator& e = sig_fine(pos);
-    uint32_t p = ((uint32_t(e.pos) << kProbBits) + kSigMixAlpha * prior) /
-                 (uint32_t(e.pos) + e.neg + kSigMixAlpha);
-    if (p < 1) p = 1;
-    if (p > kProbScale - 1) p = kProbScale - 1;
-    return p;
+    return uint16_t(prior);
   }
-  void sig_update(int pos, int bit) { update(sig_fine(pos), bit, kWindowSig); }
+  uint32_t sig_prob(int pos) {
+    assert(nnz_total_ >= 1);
+    return prob_for(kKindSig, uint32_t(sig_key(pos)), sig_prior(pos));
+  }
+  void sig_update(int pos, int bit) { note_coded(kKindSig, uint32_t(sig_key(pos)), bit); }
 
   // Spatial/temporal conditioning classes for the nonzero count (the
   // reference's per-bit neighbor flags, recode.cpp:865-884, upgraded to
@@ -292,29 +383,29 @@ class PriorModel {
     int prev = frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_);
     return prev >= 4 ? 3 : (prev >= 2 ? 2 : prev);
   }
-  Dual& nz_unary_est(int idx) {
+  size_t nz_unary_key(int idx) const {
     size_t key = ((size_t(idx) * 8 + nz_pred_class()) * 4 + nz_prev_class()) * 6 + cat_;
-    return nz_est_[size_t(sc_) * kNzStride + key];
+    return kNzBase + size_t(sc_) * kNzStride + key;
   }
-  Dual& nz_suffix_est(int bit_i) {
-    // suffix bits live after the unary keys (kNzUnaryKeys per bank)
-    size_t key = kNzUnaryKeys + size_t(bit_i) * 6 + cat_;
-    return nz_est_[size_t(sc_) * kNzStride + key];
+  size_t nz_suffix_key(int bit_i) const {
+    return kNzBase + size_t(sc_) * kNzStride + kNzUnaryKeys + size_t(bit_i) * 6 + cat_;
   }
 
   // Shared NZ-count serialization (the reference's finished_queueing,
   // recode.cpp:844-930, re-binarized): (nnz-1) as truncated unary up to 8
   // with per-index neighbor-conditioned contexts, then an LSB-first
   // fixed-width suffix. BitIO: int operator()(Dual&, int bit_for_put).
+  // BitIO: int operator()(uint32_t dual_key, int bit_for_put) — codes one bin
+  // with the Dual estimator at dual_key; the model queues the update here.
   template <class BitIO>
   int code_nz(BitIO&& io, int put_value /*-1 when decoding*/) {
     int enc = put_value >= 0 ? put_value - 1 : -1;
     int cap = max_coeff_ - 1 < 8 ? max_coeff_ - 1 : 8;
     int val = 0;
     while (val < cap) {
-      Dual& e = nz_unary_est(val);
-      int b = io(e, enc >= 0 ? (enc > val ? 1 : 0) : -1);
-      dual_update(e, b);
+      uint32_t key = uint32_t(nz_unary_key(val));
+      int b = io(key, enc >= 0 ? (enc > val ? 1 : 0) : -1);
+      note_coded(kKindDual, key, b);
       if (!b) break;
       ++val;
     }
@@ -324,9 +415,9 @@ class PriorModel {
       int sbits = span > 32 ? 6 : (span > 16 ? 5 : (span > 8 ? 4 : 3));
       int suffix = 0;
       for (int i = 0; i < sbits; ++i) {
-        Dual& e = nz_suffix_est(i);
-        int b = io(e, enc >= 0 ? ((enc - 8) >> i) & 1 : -1);
-        dual_update(e, b);
+        uint32_t key = uint32_t(nz_suffix_key(i));
+        int b = io(key, enc >= 0 ? ((enc - 8) >> i) & 1 : -1);
+        note_coded(kKindDual, key, b);
         suffix |= b << i;
       }
       val += suffix;
@@ -357,6 +448,9 @@ class PriorModel {
   static constexpr int kWindowOther = 0x60;
 
   Billing bill;
+
+  const std::vector<Dual>& dual_table() const { return dual_; }
+  const std::vector<Estimator>& sig_table() const { return sig_est_; }
 
  private:
   struct NZFrame {
@@ -426,12 +520,10 @@ class PriorModel {
     return f.get(mb_x_ + dx, mb_y_ + dy, slot_);
   }
 
-  std::vector<Dual> ctx_est_;
+  std::vector<Dual> dual_;
   std::vector<Estimator> sig_est_;
-  std::vector<Dual> nz_est_;
-  std::vector<Dual> res_est_;
-  std::vector<Dual> cbf_est_;
-  std::vector<Dual> skip_est_;
+  std::vector<Coded> pending_;
+  uint32_t batch_ = 1;
   std::vector<uint8_t> skip_grid_[2];
   bool seeded_ = false;
   NZFrame frames_[2];

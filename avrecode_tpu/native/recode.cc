@@ -198,6 +198,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
     size_t si = 0;
     for (int c = 0; c < st.n_chunks; ++c) {
       PriorModel model;
+      model.set_batch_size(opt.batch_size);
       std::vector<uint8_t> bits;
       std::vector<uint16_t> probs;
       ModelEncoder enc(model, bits, probs);
@@ -223,10 +224,10 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   // ---- serialize ----------------------------------------------------------
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
-  w.u8(1);
-  w.u8(uint8_t(opt.lanes));
+  w.u8(2);  // version 2: +batch_size, u16 lanes
+  w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
-  w.u8(0);
+  w.u32(opt.batch_size);
   w.u32(uint32_t(paramsets.size()));
   for (const auto& ps : paramsets) {
     w.u8(ps.nal_type);
@@ -268,10 +269,10 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   const uint8_t* magic = r.bytes(4);
   if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
   uint8_t version = r.u8();
-  if (version != 1) throw std::runtime_error("unsupported container version");
-  int lanes = r.u8();
+  if (version != 2) throw std::runtime_error("unsupported container version");
+  int lanes = r.u16();
   r.u8();  // chunk_mode
-  r.u8();
+  uint32_t batch_size = r.u32();
 
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
@@ -347,6 +348,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     ChunkState& cs = chunks[s.chunk_idx];
     if (!cs.model) {
       cs.model = std::make_unique<PriorModel>();
+      cs.model->set_batch_size(batch_size);
       cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[s.chunk_idx].first,
                                                          blob_extents[s.chunk_idx].second, lanes);
     }
@@ -431,12 +433,13 @@ static thread_local std::string g_error;
 
 const char* artc_last_error() { return g_error.c_str(); }
 
-int artc_compress(const uint8_t* data, size_t size, int lanes, int chunk_mode, uint8_t** out,
-                  size_t* out_len, ArtcStats* stats) {
+int artc_compress(const uint8_t* data, size_t size, int lanes, int chunk_mode,
+                  uint32_t batch_size, uint8_t** out, size_t* out_len, ArtcStats* stats) {
   try {
     artc::Options opt;
     opt.lanes = lanes > 0 ? lanes : 16;
     opt.chunk_mode = chunk_mode;
+    opt.batch_size = batch_size;
     artc::Stats st;
     auto v = artc::compress(data, size, opt, &st);
     *out = static_cast<uint8_t*>(malloc(v.size()));

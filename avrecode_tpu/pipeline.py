@@ -21,16 +21,18 @@ class RoundtripReport:
     stats: host.Stats
 
 
-def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0) -> tuple[bytes, host.Stats]:
-    return host.compress(data, lanes=lanes, chunk_mode=chunk_mode)
+def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
+             batch_size: int = 1) -> tuple[bytes, host.Stats]:
+    return host.compress(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size)
 
 
 def decompress(data: bytes) -> tuple[bytes, host.Stats]:
     return host.decompress(data)
 
 
-def roundtrip(data: bytes, lanes: int = 16, chunk_mode: int = 0) -> RoundtripReport:
-    comp, st = compress(data, lanes=lanes, chunk_mode=chunk_mode)
+def roundtrip(data: bytes, lanes: int = 16, chunk_mode: int = 0,
+              batch_size: int = 1) -> RoundtripReport:
+    comp, st = compress(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size)
     dec, _ = decompress(comp)
     ok = dec == data
     payload = st.literal_bytes + st.recoded_bytes

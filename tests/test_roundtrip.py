@@ -75,3 +75,12 @@ def test_syntax_engine_byte_exact(corpus_dir, check_syntax_tool):
         )
         assert out.returncode == 0, out.stdout + out.stderr
         assert " fail=0 " in out.stdout
+
+
+@pytest.mark.parametrize("batch", [1, 4096, 32768])
+def test_roundtrip_batched_model(corpus_dir, batch):
+    """Batched estimator updates (TPU formulation) stay bit-exact at any B."""
+    with open(os.path.join(corpus_dir, "ipb_high.264"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data, batch_size=batch)
+    assert rep.ok
