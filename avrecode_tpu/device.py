@@ -1,0 +1,164 @@
+"""Device (TPU) compress path: host analysis -> JAX model pass + rANS lanes ->
+container assembly.
+
+The host C++ does the serial syntax walk and exports, per chunk, the coded-bin
+stream (bit, kind, key, prior) plus the seeded estimator tables
+(artc_analyze); the device computes all probabilities (ops/model_pass.py) and
+encodes the rANS lanes (ops/lanes.py); the host packs the container
+(artc_compress_external). The C++ serial decompressor reads the result — a
+genuine cross-implementation roundtrip.
+"""
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import host
+
+
+@dataclass
+class ChunkAnalysis:
+    bit: np.ndarray    # uint8[n]
+    kind: np.ndarray   # uint8[n]
+    key: np.ndarray    # uint32[n]
+    prior: np.ndarray  # uint16[n]
+    host_probs: np.ndarray  # uint16[n] — C++ reference, for differential tests
+    dual0: np.ndarray  # int32[n_dual, 4]
+
+
+@dataclass
+class Analysis:
+    chunks: list[ChunkAnalysis]
+    lanes: int
+    batch: int
+    n_dual: int
+    n_sig: int
+    fast_w: int
+    slow_w: int
+    sig_w: int
+    sig_alpha: int
+
+
+def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int = 1) -> Analysis:
+    lib = host.lib()
+    if not hasattr(lib, "_analyze_ready"):
+        lib.artc_analyze.restype = ctypes.c_int
+        lib.artc_analyze.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib._analyze_ready = True
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.artc_analyze(data, len(data), lanes, chunk_mode, batch_size,
+                          ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        raise host.NativeError(lib.artc_last_error().decode())
+    try:
+        raw = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.artc_free(out)
+
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    pos = 0
+
+    def u32():
+        nonlocal pos
+        v = int(buf[pos:pos + 4].view(np.uint32)[0])
+        pos += 4
+        return v
+
+    def u64():
+        nonlocal pos
+        v = int(buf[pos:pos + 8].view(np.uint64)[0])
+        pos += 8
+        return v
+
+    def arr(dtype, count):
+        nonlocal pos
+        nbytes = np.dtype(dtype).itemsize * count
+        v = buf[pos:pos + nbytes].view(dtype).copy()
+        pos += nbytes
+        return v
+
+    magic = u32()
+    assert magic == 0x5A4C4E41, hex(magic)
+    n_chunks = u32()
+    lanes_out = u32()
+    batch = u32()
+    n_dual = u32()
+    n_sig = u32()
+    fast_w = u32()
+    slow_w = u32()
+    sig_w = u32()
+    sig_alpha = u32()
+    chunks = []
+    for _ in range(n_chunks):
+        n = u64()
+        bit = arr(np.uint8, n)
+        kind = arr(np.uint8, n)
+        key = arr(np.uint32, n)
+        prior = arr(np.uint16, n)
+        probs = arr(np.uint16, n)
+        dual0 = arr(np.uint16, 4 * n_dual).astype(np.int32).reshape(n_dual, 4)
+        chunks.append(ChunkAnalysis(bit, kind, key, prior, probs, dual0))
+    return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha)
+
+
+def device_probs(an: Analysis, chunk: ChunkAnalysis) -> np.ndarray:
+    """Runs the JAX model pass for one chunk; returns uint16 probs."""
+    from .ops import model_pass as mp
+    return mp.run_chunk(chunk.bit, chunk.kind, chunk.key, chunk.prior, chunk.dual0,
+                        an.batch, an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig)
+
+
+def pick_lanes(n_pairs: int) -> int:
+    """Adaptive lane count: wide enough to keep the TPU scan short, lean
+    enough that per-lane flush overhead (~6 B) stays <0.5% of payload."""
+    k = 16
+    while k < 1024 and n_pairs // k > 8192:
+        k *= 2
+    return k
+
+
+def device_blob(an: Analysis, chunk: ChunkAnalysis, probs: np.ndarray | None = None) -> bytes:
+    """Encodes one chunk's rANS blob on device; byte-identical to the C++
+    RansInterleaved format (the blob self-describes its lane count)."""
+    from .ops import lanes as lx
+    if probs is None:
+        probs = device_probs(an, chunk)
+    return lx.encode_interleaved(chunk.bit, probs, pick_lanes(len(chunk.bit)))
+
+
+def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
+             batch_size: int = 16384) -> tuple[bytes, host.Stats]:
+    """Full device-path compression (model + entropy on TPU/JAX)."""
+    an = analyze(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size)
+    blobs = [device_blob(an, c) for c in an.chunks]
+    lib = host.lib()
+    if not hasattr(lib, "_ext_ready"):
+        lib.artc_compress_external.restype = ctypes.c_int
+        lib.artc_compress_external.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(host.ArtcStatsC),
+        ]
+        lib._ext_ready = True
+    blob_cat = b"".join(blobs)
+    lens = (ctypes.c_uint64 * len(blobs))(*[len(b) for b in blobs])
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    st = host.ArtcStatsC()
+    rc = lib.artc_compress_external(data, len(data), lanes, chunk_mode, batch_size,
+                                    blob_cat, lens, len(blobs),
+                                    ctypes.byref(out), ctypes.byref(out_len), ctypes.byref(st))
+    if rc != 0:
+        raise host.NativeError(lib.artc_last_error().decode())
+    try:
+        result = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.artc_free(out)
+    return result, host.Stats.from_c(st)

@@ -18,6 +18,7 @@
 //   int terminate();                          // end_of_slice / I_PCM bin
 //   int sig_bin(int ctx, int pos);           // significant_coeff_flag
 //   int eob_bin(int ctx, int pos);           // last_significant_coeff_flag
+//   int res_bin(int ctx, int pos);           // coeff_abs_level_minus1 decision
 //   void implicit_sig_last(int pos);         // forced-significant final coeff
 //   void begin_mb(int mb_x, int mb_y);
 //   void begin_block(int slot, int cat, int max_coeff);
@@ -751,10 +752,10 @@ class SliceWalker {
       for (int p = last_pos; p >= 0; --p) {
         if (!sig[p]) continue;
         int ctx0 = (num_gt1 != 0) ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
-        if (io_.decision(abs_base + ctx0, kKlassRes)) {
+        if (io_.res_bin(abs_base + ctx0, p)) {
           int ctx_n = 5 + (num_gt1 < 4 ? num_gt1 : 4);
           int level = 2;
-          while (level < 15 && io_.decision(abs_base + ctx_n, kKlassRes)) ++level;
+          while (level < 15 && io_.res_bin(abs_base + ctx_n, p)) ++level;
           if (level == 15) {  // UEG0 suffix
             int k = 0;
             while (io_.bypass(kKlassBypassRes)) {

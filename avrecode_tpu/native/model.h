@@ -65,7 +65,7 @@ class PriorModel {
   static constexpr size_t kNzUnaryKeys = size_t(8) * 8 * 4 * 6;
   static constexpr size_t kNzStride = kNzUnaryKeys + size_t(6) * 6;  // + suffix bits
   static constexpr int kNumResCtx = 59;  // 227..275 and 426..435 compacted
-  static constexpr size_t kResStride = size_t(kNumResCtx) * 16;
+  static constexpr size_t kResStride = size_t(kNumResCtx) * 16 * 16;  // x nnz x pos
 
   // Unified Dual table layout (global key space, shared with the TPU path):
   //   [0, 3*kCtxStride)                       per-class ctx estimators
@@ -78,7 +78,14 @@ class PriorModel {
   static constexpr size_t kCbfBase2 = kResBase + 3 * kResStride;
   static constexpr size_t kSkipBase = kCbfBase2 + 3 * 40;
   static constexpr size_t kNumDualKeys = kSkipBase + 12;
-  static constexpr size_t kNumSigKeys = 3 * kSigStride;
+  // Off-mode (classic adaptive-EOB) significance keys live after the
+  // nnz-conditioned region; same table + formula with a neutral prior.
+  static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
+  static constexpr size_t kSigOffBase = 3 * kSigStride;
+  static constexpr size_t kEobOffStride = size_t(6) * kSigPosClasses * 2;
+  static constexpr size_t kEobOffBase = kSigOffBase + 3 * kSigOffStride;
+  static constexpr size_t kNumSigKeys = kEobOffBase + 3 * kEobOffStride;
+  static constexpr uint16_t kNeutralPrior = kProbScale / 2;
 
   PriorModel() {
     dual_.assign(kNumDualKeys, Dual());
@@ -96,6 +103,13 @@ class PriorModel {
     batch_ = b ? b : 1;
     if (batch_ > 32768) batch_ = 32768;  // uint16 counter headroom
   }
+
+  // Bimodal significance coding: bit (slice_class*6 + cat) of nz_modes_
+  // selects NZ-first (1: count coded up front, EOB bins free) or classic
+  // adaptive-EOB (0: better on dense-residual content). Chosen per chunk at
+  // compress time from pass-1 statistics; stored in the container.
+  void set_nz_modes(uint32_t modes) { nz_modes_ = modes; }
+  bool nz_on() const { return (nz_modes_ >> (sc_ * 6 + cat_)) & 1; }
 
   // Seeds the per-ctx estimators from the H.264 context-init state so the
   // model starts at CABAC's tuned priors instead of p=0.5 (win on short
@@ -174,6 +188,7 @@ class PriorModel {
     observed_ = 0;
     in_sig_ = false;
   }
+  void mark_in_sig() { in_sig_ = true; }  // off-mode: sig map without NZ count
   void end_block() {
     if (in_sig_) frames_[cur_].set(mb_x_, mb_y_, slot_, uint8_t(observed_));
     in_sig_ = false;
@@ -234,7 +249,7 @@ class PriorModel {
       case kKlassBypassRes:
         return base + kNumModelContexts + 0;
       case kKlassRes:
-        if (ctx < kCtxBypass) return res_key(ctx);
+        if (ctx < kCtxBypass) return res_key(ctx, 0);
         return base + ctx;
       case kKlassCbf: {
         int prev = frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_) > 0 ? 1 : 0;
@@ -334,10 +349,13 @@ class PriorModel {
 
   // Residual level bins conditioned on the block's nonzero count in addition
   // to the spec context (a prior the reference never exploits).
-  size_t res_key(int ctx) const {
+  size_t res_key(int ctx, int pos) const {
     int idx = (ctx >= kCtxAbs8x8Base) ? 49 + (ctx - kCtxAbs8x8Base) : ctx - kCtxAbsBase;
-    int nnz_class = nnz_total_ >= 1 ? (nnz_total_ < 16 ? nnz_total_ : 15) : 0;
-    return kResBase + size_t(sc_) * kResStride + size_t(idx) * 16 + nnz_class;
+    int cnt = nnz_total_ >= 1 ? nnz_total_ : observed_;  // observed in off-mode
+    int nnz_class = cnt < 16 ? cnt : 15;
+    int pos_class = sig_pos_class(pos);
+    return kResBase + size_t(sc_) * kResStride +
+           (size_t(idx) * 16 + nnz_class) * 16 + pos_class;
   }
 
   // Significance probability = hypergeometric prior (remaining nonzeros over
@@ -346,15 +364,24 @@ class PriorModel {
   // (cat, pos_class, nnz_class). The prior gives instant accuracy on cold
   // contexts; the estimator learns the zigzag energy-concentration skew.
   static constexpr int kSigMixAlpha = 1;
+  int sig_pos_class(int pos) const {
+    return (cat_ == kCatLuma8x8) ? kSigCoeffFlagOffset8x8[0][pos]
+                                 : (pos < kSigPosClasses ? pos : kSigPosClasses - 1);
+  }
+  int sig_is_dc() const { return (cat_ == kCatLumaDC || cat_ == kCatChromaDC) ? 1 : 0; }
   size_t sig_key(int pos) const {
-    int pos_class = (cat_ == kCatLuma8x8) ? kSigCoeffFlagOffset8x8[0][pos]
-                                          : (pos < kSigPosClasses ? pos : kSigPosClasses - 1);
-    int is_dc = (cat_ == kCatLumaDC || cat_ == kCatChromaDC) ? 1 : 0;
+    if (!nz_on()) {
+      int obs = observed_ < 16 ? observed_ : 15;
+      size_t key = ((size_t(cat_) * kSigPosClasses + sig_pos_class(pos)) * 2 + sig_is_dc()) * 16 +
+                   obs;
+      return kSigOffBase + size_t(sc_) * kSigOffStride + key;
+    }
     size_t key = (size_t(nnz_total_) * 64 + observed_) * kSigThird +
-                 (is_dc + 2 * pos_class + 2 * kSigPosClasses * cat_);
+                 (sig_is_dc() + 2 * sig_pos_class(pos) + 2 * kSigPosClasses * cat_);
     return size_t(sc_) * kSigStride + key;
   }
   uint16_t sig_prior(int pos) const {
+    if (!nz_on()) return kNeutralPrior;
     int remaining = nnz_total_ - observed_;
     int left = max_coeff_ - pos;
     uint32_t prior = (uint32_t(remaining) << kProbBits) / uint32_t(left);
@@ -363,10 +390,27 @@ class PriorModel {
     return uint16_t(prior);
   }
   uint32_t sig_prob(int pos) {
-    assert(nnz_total_ >= 1);
+    assert(!nz_on() || nnz_total_ >= 1);
     return prob_for(kKindSig, uint32_t(sig_key(pos)), sig_prior(pos));
   }
   void sig_update(int pos, int bit) { note_coded(kKindSig, uint32_t(sig_key(pos)), bit); }
+
+  // Off-mode EOB (last_significant_coeff_flag) estimator.
+  size_t eob_key(int pos) const {
+    size_t key = (size_t(cat_) * kSigPosClasses + sig_pos_class(pos)) * 2 + sig_is_dc();
+    return kEobOffBase + size_t(sc_) * kEobOffStride + key;
+  }
+  uint32_t eob_prob(int pos) {
+    return prob_for(kKindSig, uint32_t(eob_key(pos)), kNeutralPrior);
+  }
+  void eob_update(int pos, int bit) { note_coded(kKindSig, uint32_t(eob_key(pos)), bit); }
+
+  uint32_t res_prob(int ctx, int pos) {
+    return prob_for(kKindDual, uint32_t(res_key(ctx, pos)), 0);
+  }
+  void res_update(int ctx, int pos, int bit) {
+    note_coded(kKindDual, uint32_t(res_key(ctx, pos)), bit);
+  }
 
   // Spatial/temporal conditioning classes for the nonzero count (the
   // reference's per-bit neighbor flags, recode.cpp:865-884, upgraded to
@@ -448,6 +492,11 @@ class PriorModel {
   static constexpr int kWindowOther = 0x60;
 
   Billing bill;
+  // Per-(slice_class, cat) accumulated cost of the significance complex
+  // (sig + eob + nz bits) in millibits — drives the empirical mode choice.
+  uint64_t sigc_mbits[3][6] = {};
+  int slice_class() const { return sc_; }
+  int cur_cat() const { return cat_; }
 
   const std::vector<Dual>& dual_table() const { return dual_; }
   const std::vector<Estimator>& sig_table() const { return sig_est_; }
@@ -524,6 +573,7 @@ class PriorModel {
   std::vector<Estimator> sig_est_;
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
+  uint32_t nz_modes_ = 0x3ffff;  // default: NZ-first everywhere
   std::vector<uint8_t> skip_grid_[2];
   bool seeded_ = false;
   NZFrame frames_[2];

@@ -92,8 +92,10 @@ class RansLaneDecoder {
 };
 
 // K-lane interleaved codec over a full (bit, prob) sequence: bin i belongs to
-// lane i % K. Wire format: [u32 n_bins][u32 lane_len[K] in u16 words][lane
-// word streams, little-endian u16].
+// lane i % K. Wire format: [u32 K][u32 n_bins][u32 lane_len[K] in u16 words]
+// [lane word streams, little-endian u16]. K is per-blob so the device path
+// can use wide lanes (TPU vector width) on large chunks while small chunks
+// stay lean.
 struct RansInterleaved {
   static std::vector<uint8_t> encode(const std::vector<uint8_t>& bits,
                                      const std::vector<uint16_t>& probs, int K) {
@@ -104,6 +106,7 @@ struct RansInterleaved {
       out.push_back((v >> 16) & 0xff);
       out.push_back((v >> 24) & 0xff);
     };
+    put32(uint32_t(K));
     put32(uint32_t(bits.size()));
     std::vector<std::vector<uint16_t>> lanes(K);
     for (int l = 0; l < K; ++l)
@@ -121,7 +124,8 @@ struct RansInterleaved {
 // Streaming K-lane decoder (forward order; used by the serial decompressor).
 class RansInterleavedDecoder {
  public:
-  RansInterleavedDecoder(const uint8_t* data, size_t size, int K) : K_(K) {
+  // The lane count comes from the blob itself.
+  explicit RansInterleavedDecoder(const uint8_t* data, size_t size) {
     auto get32 = [&]() {
       if (pos_ + 4 > size) throw std::runtime_error("rans chunk truncated");
       uint32_t v = data[pos_] | (data[pos_ + 1] << 8) | (data[pos_ + 2] << 16) |
@@ -129,8 +133,10 @@ class RansInterleavedDecoder {
       pos_ += 4;
       return v;
     };
+    K_ = int(get32());
+    if (K_ < 1 || K_ > 65536) throw std::runtime_error("bad lane count");
     n_bins_ = get32();
-    std::vector<uint32_t> lens(K);
+    std::vector<uint32_t> lens(K_);
     for (int l = 0; l < K_; ++l) lens[l] = get32();
     words_.resize(K_);
     decs_.resize(K_);

@@ -33,9 +33,15 @@ constexpr size_t kMaxTailPatch = 16;
 
 }  // namespace
 
-std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& opt,
-                              Stats* stats) {
-  Stats st;
+namespace {
+struct Pass1 {
+  std::vector<SliceRecord> slices;
+  std::vector<Segment> segments;
+  std::vector<ParamSet> paramsets;
+};
+}  // namespace
+
+static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Stats& st) {
   st.input_bytes = size;
 
   // ---- enumerate NAL units (file order) ----------------------------------
@@ -191,40 +197,108 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   }
   flush_literal(size);
   st.n_chunks = chunk_started ? int(chunk_idx) + 1 : 0;
+  Pass1 out;
+  out.slices = std::move(slices);
+  out.segments = std::move(segments);
+  out.paramsets = std::move(paramsets);
+  return out;
+}
 
-  // ---- pass 2: model + rANS per chunk ------------------------------------
-  std::vector<std::vector<uint8_t>> blobs(st.n_chunks);
-  {
-    size_t si = 0;
-    for (int c = 0; c < st.n_chunks; ++c) {
-      PriorModel model;
-      model.set_batch_size(opt.batch_size);
-      std::vector<uint8_t> bits;
-      std::vector<uint16_t> probs;
-      ModelEncoder enc(model, bits, probs);
-      for (; si < slices.size() && slices[si].chunk_idx == uint32_t(c); ++si) {
-        enc.process(slices[si].ss);
-        st.total_bins += slices[si].ss.bins.size();
-      }
-      blobs[c] = RansInterleaved::encode(bits, probs, opt.lanes);
-      st.recoded_bytes += blobs[c].size();
-      // accumulate billing
-      for (int k = 0; k < kNumBinKlasses; ++k) {
-        st.bill.mbits[k] += model.bill.mbits[k];
-        st.bill.count[k] += model.bill.count[k];
-        st.bill.cabac_mbits[k] += model.bill.cabac_mbits[k];
-      }
-      st.bill.eob_cabac_mbits += model.bill.eob_cabac_mbits;
-      st.bill.nz_mbits += model.bill.nz_mbits;
-      st.bill.nz_count += model.bill.nz_count;
-      st.bill.eob_count += model.bill.eob_count;
-    }
+
+// Runs the model+entropy pass over one chunk's slices. If trace/probs_out are
+// given, records the device-path inputs; always returns the rANS blob.
+static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slices, size_t begin,
+                                            size_t end, const Options& opt, Stats& st,
+                                            std::vector<PriorModel::Coded>* trace,
+                                            std::vector<uint16_t>* probs_out,
+                                            std::vector<Dual>* dual0, uint32_t nz_modes) {
+  PriorModel model;
+  model.set_batch_size(opt.batch_size);
+  model.set_nz_modes(nz_modes);
+  if (dual0) {
+    // Snapshot the seeded tables (device starting state).
+    model.seed_from_cabac(slices[begin].cabac_init_idc, slices[begin].slice_qp);
+    *dual0 = model.dual_table();
   }
+  std::vector<uint8_t> bits;
+  std::vector<uint16_t> probs;
+  ModelEncoder enc(model, bits, probs);
+  if (trace) enc.set_trace(trace);
+  for (size_t si = begin; si < end; ++si) {
+    enc.process(slices[si].ss);
+    st.total_bins += slices[si].ss.bins.size();
+  }
+  for (int k = 0; k < kNumBinKlasses; ++k) {
+    st.bill.mbits[k] += model.bill.mbits[k];
+    st.bill.count[k] += model.bill.count[k];
+    st.bill.cabac_mbits[k] += model.bill.cabac_mbits[k];
+  }
+  st.bill.eob_cabac_mbits += model.bill.eob_cabac_mbits;
+  st.bill.nz_mbits += model.bill.nz_mbits;
+  st.bill.nz_count += model.bill.nz_count;
+  st.bill.eob_count += model.bill.eob_count;
+  if (probs_out) *probs_out = probs;
+  return RansInterleaved::encode(bits, probs, opt.lanes);
+}
 
-  // ---- serialize ----------------------------------------------------------
+// Empirical per-(slice_class, cat) mode choice: run the model pass once with
+// NZ-first everywhere and once with adaptive-EOB everywhere, compare the
+// accumulated significance-complex cost per cell, take the cheaper mode.
+// (The cells are independent in cost: each mode's estimator tables are
+// disjoint per cell.)
+static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
+                              const Options& opt);
+
+static void chunk_ranges(const std::vector<SliceRecord>& slices, int n_chunks,
+                         std::vector<std::pair<size_t, size_t>>* ranges) {
+  size_t si = 0;
+  for (int c = 0; c < n_chunks; ++c) {
+    size_t b = si;
+    while (si < slices.size() && slices[si].chunk_idx == uint32_t(c)) ++si;
+    ranges->push_back({b, si});
+  }
+}
+
+static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
+                              const Options& opt) {
+  uint64_t on_cost[3][6], off_cost[3][6];
+  {
+    PriorModel m;
+    m.set_batch_size(opt.batch_size);
+    m.set_nz_modes(0x3ffff);
+    std::vector<uint8_t> bits;
+    std::vector<uint16_t> probs;
+    ModelEncoder enc(m, bits, probs);
+    for (size_t si = begin; si < end; ++si) enc.process(slices[si].ss);
+    memcpy(on_cost, m.sigc_mbits, sizeof(on_cost));
+  }
+  {
+    PriorModel m;
+    m.set_batch_size(opt.batch_size);
+    m.set_nz_modes(0);
+    std::vector<uint8_t> bits;
+    std::vector<uint16_t> probs;
+    ModelEncoder enc(m, bits, probs);
+    for (size_t si = begin; si < end; ++si) enc.process(slices[si].ss);
+    memcpy(off_cost, m.sigc_mbits, sizeof(off_cost));
+  }
+  uint32_t modes = 0;
+  for (int sc = 0; sc < 3; ++sc)
+    for (int cat = 0; cat < 6; ++cat)
+      if (on_cost[sc][cat] <= off_cost[sc][cat]) modes |= 1u << (sc * 6 + cat);
+  return modes;
+}
+
+static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
+                                           const std::vector<std::vector<uint8_t>>& blobs,
+                                           const std::vector<uint32_t>& nz_modes,
+                                           const Options& opt, Stats& st) {
+  const auto& slices = p1.slices;
+  const auto& segments = p1.segments;
+  const auto& paramsets = p1.paramsets;
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
-  w.u8(2);  // version 2: +batch_size, u16 lanes
+  w.u8(3);  // version 3: +batch_size, per-chunk nz-mode bitmaps
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
@@ -235,6 +309,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
     w.bytes(ps.payload.data(), ps.payload.size());
   }
   w.u32(uint32_t(st.n_chunks));
+  for (int c = 0; c < st.n_chunks; ++c) w.u32(nz_modes[c]);
   w.u32(uint32_t(segments.size()));
   for (const auto& seg : segments) {
     if (seg.kind == 0) {
@@ -258,8 +333,26 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
     w.bytes(b.data(), b.size());
   }
   st.output_bytes = w.buf.size();
-  if (stats) *stats = st;
   return std::move(w.buf);
+}
+
+std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& opt,
+                              Stats* stats) {
+  Stats st;
+  Pass1 p1 = run_pass1(data, size, opt, st);
+  std::vector<std::pair<size_t, size_t>> ranges;
+  chunk_ranges(p1.slices, st.n_chunks, &ranges);
+  std::vector<std::vector<uint8_t>> blobs;
+  std::vector<uint32_t> nz_modes;
+  for (auto [b, e] : ranges) {
+    nz_modes.push_back(pick_nz_modes(p1.slices, b, e, opt));
+    blobs.push_back(
+        run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr, nz_modes.back()));
+    st.recoded_bytes += blobs.back().size();
+  }
+  auto out = pack_container(data, p1, blobs, nz_modes, opt, st);
+  if (stats) *stats = st;
+  return out;
 }
 
 std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) {
@@ -269,8 +362,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   const uint8_t* magic = r.bytes(4);
   if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
   uint8_t version = r.u8();
-  if (version != 2) throw std::runtime_error("unsupported container version");
-  int lanes = r.u16();
+  if (version != 3) throw std::runtime_error("unsupported container version");
+  r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();
 
@@ -291,6 +384,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     }
   }
   uint32_t n_chunks = r.u32();
+  std::vector<uint32_t> nz_modes(n_chunks);
+  for (uint32_t c = 0; c < n_chunks; ++c) nz_modes[c] = r.u32();
   uint32_t n_segments = r.u32();
 
   // Segment table first, chunk blobs after — collect segment descriptors.
@@ -349,8 +444,9 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     if (!cs.model) {
       cs.model = std::make_unique<PriorModel>();
       cs.model->set_batch_size(batch_size);
+      cs.model->set_nz_modes(nz_modes[s.chunk_idx]);
       cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[s.chunk_idx].first,
-                                                         blob_extents[s.chunk_idx].second, lanes);
+                                                         blob_extents[s.chunk_idx].second);
     }
     // Parse the slice header from the stored RBSP (byte 0 is the NAL header).
     int nal_type = s.header_rbsp[0] & 0x1f;
@@ -470,5 +566,113 @@ int artc_decompress(const uint8_t* data, size_t size, uint8_t** out, size_t* out
 }
 
 void artc_free(uint8_t* p) { free(p); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Device-path C ABI: analysis export + container assembly from external blobs.
+extern "C" {
+
+// Serializes per-chunk model-pass inputs (and the host reference probs) for
+// the JAX/TPU path:
+//   header: u32 magic 'ANLZ', u32 n_chunks, u32 lanes, u32 batch,
+//           u32 n_dual_keys, u32 n_sig_keys,
+//           u32 fast_window, u32 slow_window, u32 sig_window, u32 sig_alpha
+//   per chunk: u64 n_pairs; bit u8[]; kind u8[]; key u32[]; prior u16[];
+//              prob u16[] (host-computed, for differential testing);
+//              dual0 u16[4 * n_dual_keys] (fp,fn,sp,sn per key)
+int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
+                 uint32_t batch_size, uint8_t** out, size_t* out_len) {
+  using namespace artc;
+  try {
+    Options opt;
+    opt.lanes = lanes > 0 ? lanes : 16;
+    opt.chunk_mode = chunk_mode;
+    opt.batch_size = batch_size;
+    Stats st;
+    Pass1 p1 = run_pass1(data, size, opt, st);
+    std::vector<std::pair<size_t, size_t>> ranges;
+    chunk_ranges(p1.slices, st.n_chunks, &ranges);
+    Writer w;
+    w.u32(0x5a4c4e41);  // 'ANLZ'
+    w.u32(uint32_t(st.n_chunks));
+    w.u32(uint32_t(opt.lanes));
+    w.u32(opt.batch_size ? opt.batch_size : 1);
+    w.u32(uint32_t(PriorModel::kNumDualKeys));
+    w.u32(uint32_t(PriorModel::kNumSigKeys));
+    w.u32(uint32_t(PriorModel::kFastWindow));
+    w.u32(uint32_t(PriorModel::kSlowWindow));
+    w.u32(uint32_t(PriorModel::kWindowSig));
+    w.u32(uint32_t(PriorModel::kSigMixAlpha));
+    for (auto [b, e] : ranges) {
+      std::vector<PriorModel::Coded> trace;
+      std::vector<uint16_t> probs;
+      std::vector<Dual> dual0;
+      Stats tmp;
+      uint32_t modes = pick_nz_modes(p1.slices, b, e, opt);
+      run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0, modes);
+      w.u64(trace.size());
+      for (const auto& c : trace) w.u8(c.bit);
+      for (const auto& c : trace) w.u8(c.kind);
+      for (const auto& c : trace) w.u32(c.key);
+      for (const auto& c : trace) w.u16(c.prior);
+      for (uint16_t p : probs) w.u16(p);
+      for (const auto& d : dual0) {
+        w.u16(d.fp);
+        w.u16(d.fn);
+        w.u16(d.sp);
+        w.u16(d.sn);
+      }
+    }
+    *out = static_cast<uint8_t*>(malloc(w.buf.size()));
+    memcpy(*out, w.buf.data(), w.buf.size());
+    *out_len = w.buf.size();
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
+// Assembles a full container using caller-provided chunk blobs (the device
+// path's rANS output). blob_lens has n_blobs entries into blob_data.
+int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chunk_mode,
+                           uint32_t batch_size, const uint8_t* blob_data,
+                           const uint64_t* blob_lens, int n_blobs, uint8_t** out,
+                           size_t* out_len, ArtcStats* stats) {
+  using namespace artc;
+  try {
+    Options opt;
+    opt.lanes = lanes > 0 ? lanes : 16;
+    opt.chunk_mode = chunk_mode;
+    opt.batch_size = batch_size;
+    Stats st;
+    Pass1 p1 = run_pass1(data, size, opt, st);
+    if (n_blobs != st.n_chunks) {
+      g_error = "blob count != chunk count";
+      return -1;
+    }
+    std::vector<std::vector<uint8_t>> blobs(n_blobs);
+    size_t off = 0;
+    for (int i = 0; i < n_blobs; ++i) {
+      blobs[i].assign(blob_data + off, blob_data + off + blob_lens[i]);
+      off += blob_lens[i];
+      st.recoded_bytes += blob_lens[i];
+    }
+    std::vector<std::pair<size_t, size_t>> ranges2;
+    chunk_ranges(p1.slices, st.n_chunks, &ranges2);
+    std::vector<uint32_t> nz_modes;
+    for (auto [b, e] : ranges2) nz_modes.push_back(pick_nz_modes(p1.slices, b, e, opt));
+    auto v = pack_container(data, p1, blobs, nz_modes, opt, st);
+    *out = static_cast<uint8_t*>(malloc(v.size()));
+    memcpy(*out, v.data(), v.size());
+    *out_len = v.size();
+    fill_stats(st, stats);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
 
 }  // extern "C"

@@ -68,6 +68,9 @@ class ModelEncoder {
   ModelEncoder(PriorModel& m, std::vector<uint8_t>& bits, std::vector<uint16_t>& probs)
       : m_(m), bits_(bits), probs_(probs) {}
 
+  // Optional per-pair trace of (kind, key, prior) — the device-path input.
+  void set_trace(std::vector<PriorModel::Coded>* t) { trace_ = t; }
+
   void process(const SymbolStream& ss) {
     size_t ev = 0;
     for (size_t i = 0; i <= ss.bins.size(); ++i) {
@@ -79,22 +82,50 @@ class ModelEncoder {
       const SymbolStream::Bin& b = ss.bins[i];
       switch (b.klass) {
         case kKlassSig: {
-          ensure_nnz(ss, i, ev);
+          if (m_.nz_on()) ensure_nnz(ss, i, ev);
+          else if (m_.needs_nnz()) m_.mark_in_sig();
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+          if (trace_)
+            trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.sig_key(b.pos)),
+                               m_.sig_prior(b.pos)});
           push(b.bin, m_.sig_prob(b.pos), b.klass);
           m_.sig_update(b.pos, b.bin);
           m_.on_sig_bin(b.bin);
           break;
         }
         case kKlassEob: {
-          int det = m_.eob_answer();
-          if (det != b.bin) throw std::runtime_error("model/walker EOB disagreement");
-          ++m_.bill.eob_count;  // zero bits
-          m_.bill.eob_cabac_mbits += b.cabac_mbits;
+          if (m_.nz_on()) {
+            int det = m_.eob_answer();
+            if (det != b.bin) throw std::runtime_error("model/walker EOB disagreement");
+            ++m_.bill.eob_count;  // zero bits
+            m_.bill.eob_cabac_mbits += b.cabac_mbits;
+          } else {
+            m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            if (trace_)
+              trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.eob_key(b.pos)),
+                                 PriorModel::kNeutralPrior});
+            push(b.bin, m_.eob_prob(b.pos), kKlassEob);
+            m_.eob_update(b.pos, b.bin);
+          }
           break;
+        }
+        case kKlassRes: {
+          if (b.ctx < kCtxBypass && b.pos >= 0) {
+            m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            if (trace_)
+              trace_->push_back({b.bin, PriorModel::kKindDual,
+                                 uint32_t(m_.res_key(b.ctx, b.pos)), 0});
+            push(b.bin, m_.res_prob(b.ctx, b.pos), b.klass);
+            m_.res_update(b.ctx, b.pos, b.bin);
+            break;
+          }
+          [[fallthrough]];
         }
         default: {
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+          if (trace_)
+            trace_->push_back({b.bin, m_.last_kind(BinKlass(b.klass)),
+                               uint32_t(m_.route(b.ctx, BinKlass(b.klass))), 0});
           push(b.bin, m_.bin_prob(b.ctx, BinKlass(b.klass)), b.klass);
           m_.bin_update(b.ctx, BinKlass(b.klass), b.bin);
           break;
@@ -136,6 +167,8 @@ class ModelEncoder {
       if (ss.bins[j].klass == kKlassSig && ss.bins[j].bin) ++cnt;
     m_.code_nz(
         [this](uint32_t key, int putbit) {
+          if (trace_)
+            trace_->push_back({uint8_t(putbit), PriorModel::kKindDual, key, 0});
           push_nz(putbit, m_.prob_for(PriorModel::kKindDual, key, 0));
           return putbit;
         },
@@ -143,24 +176,32 @@ class ModelEncoder {
     m_.set_nnz_total(cnt);
   }
 
+  uint64_t cost_mb(int bit, uint32_t p) {
+    double pp = bit ? p / double(kProbScale) : 1.0 - p / double(kProbScale);
+    return uint64_t(-1000.0 * std::log2(pp));
+  }
   void push(int bit, uint32_t p, uint8_t klass) {
     bits_.push_back(uint8_t(bit));
     probs_.push_back(uint16_t(p));
-    double pp = bit ? p / double(kProbScale) : 1.0 - p / double(kProbScale);
-    m_.bill.mbits[klass] += uint64_t(-1000.0 * std::log2(pp));
+    uint64_t mb = cost_mb(bit, p);
+    m_.bill.mbits[klass] += mb;
     ++m_.bill.count[klass];
+    if (klass == kKlassSig || klass == kKlassEob)
+      m_.sigc_mbits[m_.slice_class()][m_.cur_cat()] += mb;
   }
   void push_nz(int bit, uint32_t p) {
     bits_.push_back(uint8_t(bit));
     probs_.push_back(uint16_t(p));
-    double pp = bit ? p / double(kProbScale) : 1.0 - p / double(kProbScale);
-    m_.bill.nz_mbits += uint64_t(-1000.0 * std::log2(pp));
+    uint64_t mb = cost_mb(bit, p);
+    m_.bill.nz_mbits += mb;
     ++m_.bill.nz_count;
+    m_.sigc_mbits[m_.slice_class()][m_.cur_cat()] += mb;
   }
 
   PriorModel& m_;
   std::vector<uint8_t>& bits_;
   std::vector<uint16_t>& probs_;
+  std::vector<PriorModel::Coded>* trace_ = nullptr;
 };
 
 // ---------------------------------------------------------------------------
@@ -195,11 +236,15 @@ class ModelSource {
   }
   int sig_bin(int ctx, int pos) {
     if (m_.needs_nnz()) {
-      int nnz = m_.code_nz(
-          [this](uint32_t key, int) {
-            return rans_.decode(m_.prob_for(PriorModel::kKindDual, key, 0));
-          }, -1);
-      m_.set_nnz_total(nnz);
+      if (m_.nz_on()) {
+        int nnz = m_.code_nz(
+            [this](uint32_t key, int) {
+              return rans_.decode(m_.prob_for(PriorModel::kKindDual, key, 0));
+            }, -1);
+        m_.set_nnz_total(nnz);
+      } else {
+        m_.mark_in_sig();
+      }
     }
     int bit = rans_.decode(m_.sig_prob(pos));
     m_.sig_update(pos, bit);
@@ -208,8 +253,19 @@ class ModelSource {
     return bit;
   }
   int eob_bin(int ctx, int pos) {
-    (void)pos;
-    int bit = m_.eob_answer();  // zero recoded bits
+    int bit;
+    if (m_.nz_on()) {
+      bit = m_.eob_answer();  // zero recoded bits
+    } else {
+      bit = rans_.decode(m_.eob_prob(pos));
+      m_.eob_update(pos, bit);
+    }
+    enc_.encode_decision(cab_ctxs_, ctx, bit);
+    return bit;
+  }
+  int res_bin(int ctx, int pos) {
+    int bit = rans_.decode(m_.res_prob(ctx, pos));
+    m_.res_update(ctx, pos, bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;
   }

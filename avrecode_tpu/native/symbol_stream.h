@@ -99,6 +99,12 @@ class RecordingSource {
     out_->bins.push_back({uint16_t(ctx), kKlassEob, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;
   }
+  int res_bin(int ctx, int pos) {
+    double p0 = potential();
+    int b = dec_.decode_decision(ctxs_, ctx);
+    out_->bins.push_back({uint16_t(ctx), kKlassRes, uint8_t(b), int16_t(pos), cost_mbits(p0)});
+    return b;
+  }
   void implicit_sig_last(int pos) { out_->event(kEvImplicitLast, pos); }
   void begin_mb(int mb_x, int mb_y) { out_->event(kEvBeginMB, mb_x, mb_y); }
   void begin_block(int slot, int cat, int max_coeff) {

@@ -1,16 +1,20 @@
 import os
-import shutil
 import subprocess
 
 import pytest
 
-# Sharding/mesh tests run on a virtual 8-device CPU mesh; set this before any
-# jax import (tests that need the real TPU chip opt out via env).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Sharding/mesh tests run on a virtual 8-device CPU mesh. NOTE: the axon TPU
+# plugin ignores JAX_PLATFORMS; jax.config.update('jax_platforms', 'cpu') is
+# what actually works, and it must happen before any jax computation.
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOLS = os.path.join(REPO, "tools")
