@@ -11,11 +11,32 @@ genuine cross-implementation roundtrip.
 from __future__ import annotations
 
 import ctypes
+import os
 from dataclasses import dataclass
 
 import numpy as np
 
 from . import host
+
+_JAX_CACHE_SET = False
+
+
+def _ensure_jax_cache():
+    """Persistent XLA compilation cache: makes repeat runs (and the benchmark)
+    skip cold compiles."""
+    global _JAX_CACHE_SET
+    if _JAX_CACHE_SET:
+        return
+    _JAX_CACHE_SET = True
+    cache_dir = os.environ.get("ARTC_JAX_CACHE", "")
+    if not cache_dir:
+        return  # persistent cache off by default (hangs on the axon backend)
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 
 @dataclass
@@ -109,6 +130,7 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
 
 def device_probs(an: Analysis, chunk: ChunkAnalysis) -> np.ndarray:
     """Runs the JAX model pass for one chunk; returns uint16 probs."""
+    _ensure_jax_cache()
     from .ops import model_pass as mp
     return mp.run_chunk(chunk.bit, chunk.kind, chunk.key, chunk.prior, chunk.dual0,
                         an.batch, an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig)
@@ -118,7 +140,7 @@ def pick_lanes(n_pairs: int) -> int:
     """Adaptive lane count: wide enough to keep the TPU scan short, lean
     enough that per-lane flush overhead (~6 B) stays <0.5% of payload."""
     k = 16
-    while k < 1024 and n_pairs // k > 8192:
+    while k < 1024 and n_pairs // k > 32768:
         k *= 2
     return k
 
@@ -132,8 +154,20 @@ def device_blob(an: Analysis, chunk: ChunkAnalysis, probs: np.ndarray | None = N
     return lx.encode_interleaved(chunk.bit, probs, pick_lanes(len(chunk.bit)))
 
 
+def device_blob_fused(an: Analysis, chunk: ChunkAnalysis) -> bytes:
+    """Single-program model+lanes encode (probabilities stay on device).
+    EXPERIMENTAL: the combined program triggers a pathological first-run cost
+    on the axon backend; the separate-program path is the default."""
+    _ensure_jax_cache()
+    from .ops import fused
+    blob, _ = fused.compress_chunk(
+        chunk.bit, chunk.kind, chunk.key, chunk.prior, chunk.dual0, an.batch,
+        pick_lanes(len(chunk.bit)), an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig)
+    return blob
+
+
 def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
-             batch_size: int = 16384) -> tuple[bytes, host.Stats]:
+             batch_size: int = 4096) -> tuple[bytes, host.Stats]:
     """Full device-path compression (model + entropy on TPU/JAX)."""
     an = analyze(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size)
     blobs = [device_blob(an, c) for c in an.chunks]

@@ -261,26 +261,23 @@ static void chunk_ranges(const std::vector<SliceRecord>& slices, int n_chunks,
 
 static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
                               const Options& opt) {
+  // Probe on a prefix sample of the chunk (cap ~4M bins): mode choice is a
+  // coarse statistic; the sample keeps the two probe passes cheap.
+  constexpr uint64_t kProbeBinCap = 4'000'000;
   uint64_t on_cost[3][6], off_cost[3][6];
-  {
+  for (int mode = 0; mode < 2; ++mode) {
     PriorModel m;
     m.set_batch_size(opt.batch_size);
-    m.set_nz_modes(0x3ffff);
+    m.set_nz_modes(mode ? 0 : 0x3ffff);
     std::vector<uint8_t> bits;
     std::vector<uint16_t> probs;
     ModelEncoder enc(m, bits, probs);
-    for (size_t si = begin; si < end; ++si) enc.process(slices[si].ss);
-    memcpy(on_cost, m.sigc_mbits, sizeof(on_cost));
-  }
-  {
-    PriorModel m;
-    m.set_batch_size(opt.batch_size);
-    m.set_nz_modes(0);
-    std::vector<uint8_t> bits;
-    std::vector<uint16_t> probs;
-    ModelEncoder enc(m, bits, probs);
-    for (size_t si = begin; si < end; ++si) enc.process(slices[si].ss);
-    memcpy(off_cost, m.sigc_mbits, sizeof(off_cost));
+    uint64_t seen = 0;
+    for (size_t si = begin; si < end && seen < kProbeBinCap; ++si) {
+      enc.process(slices[si].ss);
+      seen += slices[si].ss.bins.size();
+    }
+    memcpy(mode ? off_cost : on_cost, m.sigc_mbits, sizeof(on_cost));
   }
   uint32_t modes = 0;
   for (int sc = 0; sc < 3; ++sc)

@@ -13,6 +13,7 @@
 //    quirk handling (reference recode.cpp:1345-1356, 1501-1508).
 #pragma once
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -176,9 +177,19 @@ class ModelEncoder {
     m_.set_nnz_total(cnt);
   }
 
-  uint64_t cost_mb(int bit, uint32_t p) {
-    double pp = bit ? p / double(kProbScale) : 1.0 - p / double(kProbScale);
-    return uint64_t(-1000.0 * std::log2(pp));
+  // Millibit cost via a 4096-entry lookup (billing only; ~0.1% accurate,
+  // avoids a libm call per bin on the hot path).
+  static uint64_t cost_mb(int bit, uint32_t p) {
+    static const auto table = [] {
+      std::array<uint32_t, 4096> t{};
+      for (int i = 0; i < 4096; ++i) {
+        double pp = (i * 8 + 4) / double(kProbScale);
+        t[i] = uint32_t(-1000.0 * std::log2(pp));
+      }
+      return t;
+    }();
+    uint32_t pp = bit ? p : kProbScale - p;
+    return table[pp >> 3];
   }
   void push(int bit, uint32_t p, uint8_t klass) {
     bits_.push_back(uint8_t(bit));

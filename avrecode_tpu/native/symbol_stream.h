@@ -8,6 +8,7 @@
 // (reference recode.cpp:212-228) with a replayable stream.
 #pragma once
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <vector>
@@ -60,47 +61,56 @@ class RecordingSource {
     ctxs_.init(intra_slice, cabac_init_idc, slice_qp);
   }
 
-  // Exact fractional CABAC cost of the bin just decoded: delta of the coder's
-  // information potential (consumed bits minus log2 of the range width).
-  uint16_t cost_mbits(double pot_before) {
-    double pot = dec_.bit_pos() - std::log2(double(dec_.range()));
-    double d = (pot - pot_before) * 1000.0;
+  // Fractional CABAC cost of the bin just decoded: delta of the coder's
+  // information potential (consumed millibits minus log2 of the range width),
+  // via a small lookup over the 9-bit range (billing accuracy only).
+  static int32_t log2_mb(uint32_t range) {
+    static const auto table = [] {
+      std::array<int32_t, 512> t{};
+      for (int i = 2; i < 512; ++i) t[i] = int32_t(1000.0 * std::log2(double(i)));
+      return t;
+    }();
+    return table[range & 511];
+  }
+  uint16_t cost_mbits(int64_t pot_before) {
+    int64_t pot = int64_t(dec_.bit_pos()) * 1000 - log2_mb(dec_.range());
+    int64_t d = pot - pot_before;
     return uint16_t(d < 0 ? 0 : (d > 65535 ? 65535 : d));
   }
-  double potential() const { return dec_.bit_pos() - std::log2(double(dec_.range())); }
+  int64_t potential() const { return int64_t(dec_.bit_pos()) * 1000 - log2_mb(dec_.range()); }
 
   int decision(int ctx, BinKlass klass) {
-    double p0 = potential();
+    int64_t p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
     out_->bins.push_back({uint16_t(ctx), klass, uint8_t(b), -1, cost_mbits(p0)});
     return b;
   }
   int bypass(BinKlass klass) {
-    double p0 = potential();
+    int64_t p0 = potential();
     int b = dec_.decode_bypass();
     out_->bins.push_back({uint16_t(kCtxBypass), klass, uint8_t(b), -1, cost_mbits(p0)});
     return b;
   }
   int terminate() {
-    double p0 = potential();
+    int64_t p0 = potential();
     int b = dec_.decode_terminate();
     out_->bins.push_back({uint16_t(kCtxTerminate), kKlassTerminate, uint8_t(b), -1, cost_mbits(p0)});
     return b;
   }
   int sig_bin(int ctx, int pos) {
-    double p0 = potential();
+    int64_t p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
     out_->bins.push_back({uint16_t(ctx), kKlassSig, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;
   }
   int eob_bin(int ctx, int pos) {
-    double p0 = potential();
+    int64_t p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
     out_->bins.push_back({uint16_t(ctx), kKlassEob, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;
   }
   int res_bin(int ctx, int pos) {
-    double p0 = potential();
+    int64_t p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
     out_->bins.push_back({uint16_t(ctx), kKlassRes, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;

@@ -51,10 +51,17 @@ def _lane_scan(bits_tk, probs_tk, valid_tk):
     return x_final, words, emits
 
 
+def _bucket(t: int) -> int:
+    b = 1
+    while b < t:
+        b *= 2
+    return b
+
+
 def encode_interleaved(bits: np.ndarray, probs: np.ndarray, K: int) -> bytes:
     """Full chunk encode; returns the wire-format blob (see rans.h)."""
     n = len(bits)
-    T = -(-n // K) if n else 0
+    T = _bucket(-(-n // K)) if n else 0
     pad = T * K - n
     bits_p = np.concatenate([bits.astype(np.uint32), np.zeros(pad, np.uint32)])
     probs_p = np.concatenate([probs.astype(np.uint32), np.ones(pad, np.uint32)])

@@ -133,13 +133,23 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
     return probs.reshape(-1)
 
 
+def _bucket(n_batches: int) -> int:
+    # Pad the batch count to a power of two so XLA programs are reused across
+    # chunks of different sizes (padding batches only touch the scratch row).
+    b = 1
+    while b < n_batches:
+        b *= 2
+    return b
+
+
 def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_alpha, n_sig):
     """numpy in/out convenience wrapper: pads, runs the jitted pass, trims."""
     n = len(bit)
     if n == 0:
         return np.zeros(0, np.uint16)
     n_dual = dual0.shape[0]
-    pad = (-n) % batch
+    m = _bucket(-(-n // batch)) * batch
+    pad = m - n
     scratch = n_dual  # extra scratch row index
     bit_p = np.concatenate([bit.astype(np.int32), np.zeros(pad, np.int32)])
     kind_p = np.concatenate([kind.astype(np.int32), np.zeros(pad, np.int32)])

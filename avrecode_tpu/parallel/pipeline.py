@@ -1,0 +1,93 @@
+"""Sharded recompression step: GOP-parallel model pass + lane-parallel rANS
+encode over a jax.sharding.Mesh via shard_map.
+
+This is the framework's "training step" analogue — the adaptive-model scan IS
+the learning loop — jitted over the full mesh:
+  - chunk tensors shard over 'gop' (each device owns whole chunks, with their
+    own estimator tables: deterministic, zero cross-chunk state by format
+    design — recode.h chunking);
+  - the rANS lane-encode scan shards over 'lane' (lanes are independent
+    subsequences of the pair stream);
+  - global statistics (total payload words, billing sums) reduce with psum
+    over both axes (ICI collectives).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import model_pass as mp
+from ..ops import lanes as lx
+
+
+def sharded_recompress_step(mesh: Mesh, batch: int, fast_w: int = 48, slow_w: int = 640,
+                            sig_w: int = 80, sig_alpha: int = 1):
+    """Builds the jitted sharded step.
+
+    Inputs (G = number of chunk rows, a multiple of mesh 'gop' size; N = padded
+    pairs per chunk; K = lanes, a multiple of mesh 'lane' size):
+      bits, kinds, keys, priors: int32[G, N]
+      dual0: int32[G, n_dual, 4]   sig0: int32[G, n_sig, 2]
+    Returns:
+      probs: uint16[G, N]
+      x_final: uint32[G, K], words: uint16[G, T, K], emits: bool[G, T, K]
+      total_words: int32[] (psum over the whole mesh)
+    """
+
+    def per_chunk(bits, kinds, keys, priors, dual0, sig0):
+        # [G_local, ...] -> vmap the per-chunk model pass over local chunks.
+        probs = jax.vmap(
+            lambda b, k, y, p, d, s: mp.model_pass(
+                b, k, y, p, d, s, batch=batch, fast_w=fast_w, slow_w=slow_w,
+                sig_w=sig_w, sig_alpha=sig_alpha)
+        )(bits, kinds, keys, priors, dual0, sig0)
+        return probs
+
+    def step(bits, kinds, keys, priors, dual0, sig0):
+        # 'gop' axis: each device processes its local chunks.
+        probs = per_chunk(bits, kinds, keys, priors, dual0, sig0)
+        # 'lane' axis: reshape each chunk's pair stream to [T, K] and run the
+        # lane scan on the local lane shard.
+        G, N = bits.shape
+        K = jax.lax.psum(1, "lane") * _lanes_per_shard
+        T = N // K
+        k_local = _lanes_per_shard
+        lane_idx = jax.lax.axis_index("lane")
+
+        def lane_encode(b, p):
+            bt = b.reshape(T, K).astype(jnp.uint32)
+            pt = p.reshape(T, K).astype(jnp.uint32)
+            sl = lane_idx * k_local
+            bt_l = jax.lax.dynamic_slice_in_dim(bt, sl, k_local, axis=1)
+            pt_l = jax.lax.dynamic_slice_in_dim(pt, sl, k_local, axis=1)
+            valid = jnp.ones_like(bt_l, dtype=bool)
+            return lx._lane_scan(bt_l, pt_l, valid)
+
+        x_final, words, emits = jax.vmap(lane_encode)(bits, probs.astype(jnp.uint32))
+        total_words = jax.lax.psum(
+            jax.lax.psum(jnp.sum(emits.astype(jnp.int32)) + 2 * x_final.shape[0] *
+                         x_final.shape[1], "lane"), "gop")
+        return probs, x_final, words, emits, total_words
+
+    _lanes_per_shard = 0  # bound below
+
+    def build(K_total: int):
+        nonlocal _lanes_per_shard
+        n_lane = mesh.shape["lane"]
+        assert K_total % n_lane == 0
+        _lanes_per_shard = K_total // n_lane
+        sharded = shard_map(
+            step, mesh=mesh,
+            in_specs=(P("gop", None), P("gop", None), P("gop", None), P("gop", None),
+                      P("gop", None, None), P("gop", None, None)),
+            out_specs=(P("gop", None), P("gop", "lane"), P("gop", None, "lane"),
+                       P("gop", None, "lane"), P()),
+            check_rep=False,
+        )
+        return jax.jit(sharded)
+
+    return build
