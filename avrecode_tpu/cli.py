@@ -21,7 +21,9 @@ def main(argv=None) -> int:
     p.add_argument("--lanes", type=int, default=16, help="rANS entropy lanes per chunk")
     p.add_argument("--chunk-mode", type=int, default=0, choices=[0, 1],
                    help="0 = whole-file chunk (max ratio); 1 = chunk per IDR GOP (parallel)")
-    p.add_argument("--bill", action="store_true", help="print per-class bit accounting")
+    p.add_argument("--bill", action="store_true", help="print per-class bit accounting (JSON)")
+    p.add_argument("--bill-table", action="store_true",
+                   help="print a human-readable ours-vs-CABAC cost table to stderr")
     args = p.parse_args(argv)
 
     with open(args.input, "rb") as f:
@@ -57,6 +59,9 @@ def main(argv=None) -> int:
         return 0
 
     rep = pipeline.roundtrip(data, lanes=args.lanes, chunk_mode=args.chunk_mode)
+    if args.bill_table:
+        from .utils.billing import format_bill
+        print(format_bill(rep.stats), file=sys.stderr)
     report = {
         "roundtrip_ok": rep.ok,
         "ratio": rep.ratio,

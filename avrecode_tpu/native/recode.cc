@@ -3,6 +3,9 @@
 #include "recode.h"
 
 #include <algorithm>
+#include <atomic>
+#include <mutex>
+#include <thread>
 
 namespace artc {
 namespace {
@@ -339,13 +342,49 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   Pass1 p1 = run_pass1(data, size, opt, st);
   std::vector<std::pair<size_t, size_t>> ranges;
   chunk_ranges(p1.slices, st.n_chunks, &ranges);
-  std::vector<std::vector<uint8_t>> blobs;
-  std::vector<uint32_t> nz_modes;
-  for (auto [b, e] : ranges) {
-    nz_modes.push_back(pick_nz_modes(p1.slices, b, e, opt));
-    blobs.push_back(
-        run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr, nz_modes.back()));
-    st.recoded_bytes += blobs.back().size();
+  std::vector<std::vector<uint8_t>> blobs(ranges.size());
+  std::vector<uint32_t> nz_modes(ranges.size());
+  // Chunks are independent by format design — model pass + entropy encode
+  // parallelize across a thread pool (the reference is strictly single-
+  // threaded, recode.cpp:122).
+  unsigned n_workers = std::min<size_t>(std::thread::hardware_concurrency(), ranges.size());
+  if (n_workers <= 1) {
+    for (size_t c = 0; c < ranges.size(); ++c) {
+      auto [b, e] = ranges[c];
+      nz_modes[c] = pick_nz_modes(p1.slices, b, e, opt);
+      blobs[c] = run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr,
+                                 nz_modes[c]);
+      st.recoded_bytes += blobs[c].size();
+    }
+  } else {
+    std::atomic<size_t> next{0};
+    std::mutex mu;
+    std::vector<std::thread> workers;
+    for (unsigned w = 0; w < n_workers; ++w)
+      workers.emplace_back([&] {
+        for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
+          auto [b, e] = ranges[c];
+          Stats local;
+          uint32_t modes = pick_nz_modes(p1.slices, b, e, opt);
+          auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr, nullptr,
+                                      modes);
+          std::lock_guard<std::mutex> lock(mu);
+          nz_modes[c] = modes;
+          st.recoded_bytes += blob.size();
+          st.total_bins += local.total_bins;
+          for (int k = 0; k < kNumBinKlasses; ++k) {
+            st.bill.mbits[k] += local.bill.mbits[k];
+            st.bill.count[k] += local.bill.count[k];
+            st.bill.cabac_mbits[k] += local.bill.cabac_mbits[k];
+          }
+          st.bill.eob_cabac_mbits += local.bill.eob_cabac_mbits;
+          st.bill.nz_mbits += local.bill.nz_mbits;
+          st.bill.nz_count += local.bill.nz_count;
+          st.bill.eob_count += local.bill.eob_count;
+          blobs[c] = std::move(blob);
+        }
+      });
+    for (auto& t : workers) t.join();
   }
   auto out = pack_container(data, p1, blobs, nz_modes, opt, st);
   if (stats) *stats = st;
@@ -429,23 +468,10 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     r.bytes(bl);
   }
 
-  std::vector<uint8_t> out;
-  PictureState pic;
-  int slice_id = 0;
-  for (auto& s : segs) {
-    if (s.kind == 0) {
-      out.insert(out.end(), data + s.lit_pos, data + s.lit_pos + s.lit_len);
-      continue;
-    }
-    ChunkState& cs = chunks[s.chunk_idx];
-    if (!cs.model) {
-      cs.model = std::make_unique<PriorModel>();
-      cs.model->set_batch_size(batch_size);
-      cs.model->set_nz_modes(nz_modes[s.chunk_idx]);
-      cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[s.chunk_idx].first,
-                                                         blob_extents[s.chunk_idx].second);
-    }
-    // Parse the slice header from the stored RBSP (byte 0 is the NAL header).
+  // Per-slice decode: parses the stored header, replays the syntax walk from
+  // the chunk's model + rANS lanes, regenerates the original NAL bytes.
+  auto decode_slice = [&](const SegDesc& s, ChunkState& cs, PictureState& pic,
+                          int slice_id) -> std::vector<uint8_t> {
     int nal_type = s.header_rbsp[0] & 0x1f;
     int nal_ref_idc = (s.header_rbsp[0] >> 5) & 3;
     // The header parser needs the *full* RBSP to exist, but only reads header
@@ -459,7 +485,6 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
                                         sps_map, pps_map, &sps, &pps);
     bool new_picture = sh.first_mb_in_slice == 0;
     if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
-    ++slice_id;
     cs.model->seed_from_cabac(sh.cabac_init_idc, sh.slice_qp);
     cs.model->begin_slice(sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1), new_picture,
                           sps->mb_width(), sps->mb_height());
@@ -474,9 +499,83 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     std::vector<uint8_t> rbsp(s.header_rbsp.begin() + 1, s.header_rbsp.end());
     rbsp.insert(rbsp.end(), regen.begin(), regen.end());
     std::vector<uint8_t> ebsp = rbsp_to_ebsp(rbsp.data(), rbsp.size());
-    out.push_back(s.header_rbsp[0]);
-    out.insert(out.end(), ebsp.begin(), ebsp.end());
-    ++st.n_slices;
+    std::vector<uint8_t> nal;
+    nal.reserve(1 + ebsp.size());
+    nal.push_back(s.header_rbsp[0]);
+    nal.insert(nal.end(), ebsp.begin(), ebsp.end());
+    return nal;
+  };
+
+  auto init_chunk = [&](uint32_t ci) {
+    ChunkState& cs = chunks[ci];
+    cs.model = std::make_unique<PriorModel>();
+    cs.model->set_batch_size(batch_size);
+    cs.model->set_nz_modes(nz_modes[ci]);
+    cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[ci].first,
+                                                       blob_extents[ci].second);
+  };
+
+  // Chunk-parallel decode: chunks hold independent model state by format
+  // design; a chunk is picture-self-contained iff its first slice starts a
+  // picture (always true for per-IDR chunking). Otherwise fall back to the
+  // strictly serial order.
+  std::vector<std::vector<size_t>> chunk_segs(n_chunks);
+  bool parallel_ok = true;
+  for (size_t i = 0; i < segs.size(); ++i) {
+    if (segs[i].kind != 1) continue;
+    auto& cs = chunk_segs[segs[i].chunk_idx];
+    if (cs.empty()) {
+      // first_mb_in_slice is the first ue(v) after the NAL header byte:
+      // starts the picture iff its first bit is 1 (ue==0).
+      if (segs[i].header_rbsp.size() < 2 || (segs[i].header_rbsp[1] & 0x80) == 0)
+        parallel_ok = false;
+    }
+    cs.push_back(i);
+  }
+  std::vector<std::vector<uint8_t>> slice_out(segs.size());
+  unsigned n_workers = std::min<size_t>(std::thread::hardware_concurrency(), n_chunks);
+  if (parallel_ok && n_workers > 1) {
+    std::atomic<size_t> next{0};
+    std::vector<std::thread> workers;
+    std::atomic<bool> failed{false};
+    std::string err;
+    std::mutex err_mu;
+    for (unsigned w = 0; w < n_workers; ++w)
+      workers.emplace_back([&] {
+        for (size_t ci; (ci = next.fetch_add(1)) < n_chunks;) {
+          try {
+            init_chunk(uint32_t(ci));
+            PictureState pic;
+            int slice_id = 0;
+            for (size_t si : chunk_segs[ci])
+              slice_out[si] = decode_slice(segs[si], chunks[ci], pic, ++slice_id);
+          } catch (const std::exception& e) {
+            std::lock_guard<std::mutex> lock(err_mu);
+            failed = true;
+            err = e.what();
+          }
+        }
+      });
+    for (auto& t : workers) t.join();
+    if (failed) throw std::runtime_error(err);
+  } else {
+    PictureState pic;
+    int slice_id = 0;
+    for (size_t i = 0; i < segs.size(); ++i) {
+      if (segs[i].kind != 1) continue;
+      if (!chunks[segs[i].chunk_idx].model) init_chunk(segs[i].chunk_idx);
+      slice_out[i] = decode_slice(segs[i], chunks[segs[i].chunk_idx], pic, ++slice_id);
+    }
+  }
+
+  std::vector<uint8_t> out;
+  for (size_t i = 0; i < segs.size(); ++i) {
+    if (segs[i].kind == 0) {
+      out.insert(out.end(), data + segs[i].lit_pos, data + segs[i].lit_pos + segs[i].lit_len);
+    } else {
+      out.insert(out.end(), slice_out[i].begin(), slice_out[i].end());
+      ++st.n_slices;
+    }
   }
   st.output_bytes = out.size();
   if (stats) *stats = st;
