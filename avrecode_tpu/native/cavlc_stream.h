@@ -1,0 +1,159 @@
+// CAVLC value-stream transport: compress-side recorder (decodes the original
+// bits, records every syntax value) and the bit-exact writer replay.
+// The value stream is the CAVLC analogue of the CABAC SymbolStream.
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+#include "h264_cavlc.h"
+
+namespace artc {
+
+struct CavlcValue {
+  uint8_t role;
+  uint8_t aux;    // role-specific context/aux (nc_class, suffix_length, nbits...)
+  int32_t value;
+};
+
+struct CavlcStream {
+  std::vector<CavlcValue> values;
+  struct Event {
+    uint32_t at;
+    int32_t a, b;
+  };
+  std::vector<Event> mb_events;  // begin_mb positions (for model spatial state)
+};
+
+// Compress side: decode bits, record values.
+class CavlcRecorder {
+ public:
+  CavlcRecorder(const uint8_t* rbsp, size_t size, size_t start_bit, CavlcStream* out)
+      : r_(rbsp, size, start_bit), rbsp_(rbsp), size_(size), out_(out) {}
+
+  bool more_data() {
+    BitReader probe(rbsp_, size_);
+    probe.set_bit_pos(r_.bit_pos());
+    return probe.more_rbsp_data();
+  }
+  void begin_mb(int x, int y) { out_->mb_events.push_back({uint32_t(out_->values.size()), x, y}); }
+
+  uint32_t ue(CavlcRole role, int ctx) { return rec(role, ctx, int32_t(r_.ue())); }
+  int32_t se(CavlcRole role, int ctx) { return rec(role, ctx, r_.se()); }
+  uint32_t u(int n, CavlcRole role, int ctx) {
+    return rec(role, uint8_t(ctx | (n << 4)), int32_t(r_.u(n)));
+  }
+  void coeff_token(int nc_class, int model_ctx, int* total_coeff, int* t1s) {
+    r_.coeff_token(nc_class, total_coeff, t1s);
+    rec(kRTotalCoeff, uint8_t(nc_class | (model_ctx << 3)), *total_coeff);
+    rec(kRT1s, uint8_t(nc_class), *t1s);
+  }
+  uint32_t total_zeros(int tz_idx, bool chroma_dc, int ctx) {
+    uint32_t v = r_.total_zeros(tz_idx, chroma_dc);
+    rec(kRTotalZeros, uint8_t((chroma_dc ? 0x80 : 0) | tz_idx), int32_t(v));
+    return v;
+  }
+  uint32_t run_before(int zeros_left, int ctx) {
+    uint32_t v = r_.run_before(zeros_left);
+    rec(kRRunBefore, uint8_t(zeros_left < 15 ? zeros_left : 15), int32_t(v));
+    return v;
+  }
+  uint32_t level_prefix(int suffix_length) {
+    uint32_t v = r_.level_prefix();
+    rec(kRLevelPrefix, uint8_t(suffix_length), int32_t(v));
+    return v;
+  }
+  uint32_t level_suffix_bits(int nbits, int suffix_length) {
+    uint32_t v = r_.u(nbits);
+    rec(kRLevelSuffix, uint8_t(suffix_length | (nbits << 3)), int32_t(v));
+    return v;
+  }
+
+  size_t bit_pos() const { return r_.bit_pos(); }
+
+ private:
+  int32_t rec(uint8_t role, uint8_t aux, int32_t v) {
+    out_->values.push_back({role, aux, v});
+    return v;
+  }
+  CavlcBitReader r_;
+  const uint8_t* rbsp_;
+  size_t size_;
+  CavlcStream* out_;
+};
+
+// Replay side: values come from a source (recorded stream for verification,
+// or the model decoder at decompress time); bits are regenerated.
+template <class ValueSource>
+class CavlcReplayer {
+ public:
+  CavlcReplayer(ValueSource& src, BitWriter& w) : src_(src), w_(w) {}
+
+  bool more_data() { return src_.more_data(); }
+  void begin_mb(int x, int y) { src_.begin_mb(x, y); }
+
+  uint32_t ue(CavlcRole role, int ctx) {
+    uint32_t v = uint32_t(src_.next(role, uint8_t(ctx)));
+    w_.ue(v);
+    return v;
+  }
+  int32_t se(CavlcRole role, int ctx) {
+    int32_t v = src_.next(role, uint8_t(ctx));
+    w_.se(v);
+    return v;
+  }
+  uint32_t u(int n, CavlcRole role, int ctx) {
+    uint32_t v = uint32_t(src_.next(role, uint8_t(ctx | (n << 4))));
+    w_.u(n, v);
+    return v;
+  }
+  void coeff_token(int nc_class, int model_ctx, int* total_coeff, int* t1s) {
+    *total_coeff = src_.next(kRTotalCoeff, uint8_t(nc_class | (model_ctx << 3)));
+    *t1s = src_.next(kRT1s, uint8_t(nc_class));
+    w_.coeff_token(nc_class, *total_coeff, *t1s);
+  }
+  uint32_t total_zeros(int tz_idx, bool chroma_dc, int ctx) {
+    uint32_t v = uint32_t(src_.next(kRTotalZeros, uint8_t((chroma_dc ? 0x80 : 0) | tz_idx)));
+    w_.total_zeros(tz_idx, chroma_dc, v);
+    return v;
+  }
+  uint32_t run_before(int zeros_left, int ctx) {
+    uint32_t v = uint32_t(src_.next(kRRunBefore, uint8_t(zeros_left < 15 ? zeros_left : 15)));
+    w_.run_before(zeros_left, v);
+    return v;
+  }
+  uint32_t level_prefix(int suffix_length) {
+    uint32_t v = uint32_t(src_.next(kRLevelPrefix, uint8_t(suffix_length)));
+    w_.level_prefix(v);
+    return v;
+  }
+  uint32_t level_suffix_bits(int nbits, int suffix_length) {
+    uint32_t v = uint32_t(src_.next(kRLevelSuffix, uint8_t(suffix_length | (nbits << 3))));
+    w_.u(nbits, v);
+    return v;
+  }
+
+ private:
+  ValueSource& src_;
+  CavlcBitWriter w_;
+};
+
+// Verification value source: replays a recorded stream, checking order.
+class RecordedValues {
+ public:
+  explicit RecordedValues(const CavlcStream& s) : s_(s) {}
+  bool more_data() const { return pos_ < s_.values.size(); }
+  void begin_mb(int, int) {}
+  int32_t next(uint8_t role, uint8_t aux) {
+    if (pos_ >= s_.values.size()) throw BitstreamError("cavlc replay: stream exhausted");
+    const CavlcValue& v = s_.values[pos_++];
+    if (v.role != role || v.aux != aux) throw BitstreamError("cavlc replay: role mismatch");
+    return v.value;
+  }
+
+ private:
+  const CavlcStream& s_;
+  size_t pos_ = 0;
+};
+
+}  // namespace artc

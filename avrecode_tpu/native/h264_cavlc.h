@@ -1,0 +1,477 @@
+// CAVLC entropy-layer syntax engine (ITU-T H.264 clauses 7.3.5 with
+// entropy_coding_mode_flag == 0, 9.1, 9.2).
+//
+// Capability extension over the reference: avrecode passes CAVLC slices
+// through uncompressed (its hooks only fire on CABAC init — reference
+// recode.cpp:143, 1275; SURVEY.md §7 M6). Here CAVLC slices are fully
+// re-coded: the walker decodes every syntax VALUE, the model transports the
+// values through adaptive binary estimators + rANS, and the writer
+// regenerates the original bitstream bit-exactly (VLC codes are canonical,
+// so value-level transport suffices; compress-time verification guards any
+// encoder quirk).
+//
+// Scope (baseline/main CAVLC): progressive frames, 4:2:0, I/P slices
+// (I_4x4, I_16x16, P_L0_*, P_8x8[ref0], P_Skip runs), 4x4 transform.
+// B slices / 8x8 transform / MBAFF fall back to passthrough.
+//
+// VIO concept (value transport, mirrored on compress/decompress):
+//   uint32_t ue(Role, int ctx [, max]);  int32_t se(Role, int ctx);
+//   uint32_t u(int nbits, Role, int ctx);
+//   void coeff_token(int nc_class, int* total_coeff, int* t1s);
+//   int t1_sign(int idx);                         // 1 = negative
+//   int level_value(...) — handled via primitives below
+//   uint32_t total_zeros(int tzVlcIndex, bool chroma_dc);
+//   uint32_t run_before(int zeros_left);
+#pragma once
+
+#include <cstdint>
+#include <vector>
+
+#include "bitstream.h"
+#include "h264_params.h"
+#include "h264_tables.h"
+#include "gen/cavlc_tables.h"
+
+namespace artc {
+
+// Syntax roles for the value-model keys.
+enum CavlcRole : uint8_t {
+  kRMbSkipRun = 0,
+  kRMbType = 1,
+  kRIntraPredFlag = 2,   // prev_intra4x4_pred_mode_flag (1 bit)
+  kRIntraPredRem = 3,    // rem_intra4x4_pred_mode (3 bits)
+  kRChromaPred = 4,
+  kRRefIdx = 5,
+  kRMvd = 6,
+  kRCbp = 7,
+  kRQpDelta = 8,
+  kRSubMbType = 9,
+  kRTotalCoeff = 10,
+  kRT1s = 11,
+  kRT1Sign = 12,
+  kRLevelPrefix = 13,
+  kRLevelSuffix = 14,
+  kRLevelSign = 15,
+  kRTotalZeros = 16,
+  kRRunBefore = 17,
+  kNumCavlcRoles = 18,
+};
+
+// ---------------------------------------------------------------------------
+// Bit-level CAVLC primitives: reader (decode from original stream) and writer
+// (bit-exact regeneration). Both speak in syntax values.
+class CavlcBitReader {
+ public:
+  CavlcBitReader(const uint8_t* rbsp, size_t size, size_t start_bit) : r_(rbsp, size) {
+    r_.set_bit_pos(start_bit);
+  }
+  uint32_t ue() { return r_.read_ue(); }
+  int32_t se() { return r_.read_se(); }
+  uint32_t u(int n) { return r_.read_bits(n); }
+  uint32_t u1() { return r_.read_bit(); }
+
+  // coeff_token (Table 9-5). nc_class: 0..3 for luma nC ranges, 4 = chroma DC.
+  void coeff_token(int nc_class, int* total_coeff, int* t1s) {
+    const uint8_t* len = nc_class == 4 ? kChromaDcCoeffTokenLen : kCoeffTokenLen[nc_class];
+    const uint8_t* bits = nc_class == 4 ? kChromaDcCoeffTokenBits : kCoeffTokenBits[nc_class];
+    int n = nc_class == 4 ? 20 : 68;
+    match_vlc(len, bits, n, total_coeff, t1s);
+  }
+
+  uint32_t total_zeros(int tz_idx, bool chroma_dc) {
+    // tz_idx = total_coeff (1-based); tables indexed [total_coeff-1][value].
+    const uint8_t* len = chroma_dc ? kChromaDcTotalZerosLen[tz_idx - 1]
+                                   : kTotalZerosLen[tz_idx - 1];
+    const uint8_t* bits = chroma_dc ? kChromaDcTotalZerosBits[tz_idx - 1]
+                                    : kTotalZerosBits[tz_idx - 1];
+    int n = chroma_dc ? 4 : 16;
+    int a, b;
+    match_vlc1(len, bits, n, &a);
+    (void)b;
+    return uint32_t(a);
+  }
+
+  uint32_t run_before(int zeros_left) {
+    int zl = zeros_left < 7 ? zeros_left : 7;
+    int v;
+    match_vlc1(kRunBeforeLen[zl - 1], kRunBeforeBits[zl - 1], 16, &v);
+    return uint32_t(v);
+  }
+
+  // level_prefix (9.2.2.1): count of leading zeros before a 1.
+  uint32_t level_prefix() {
+    uint32_t n = 0;
+    while (r_.read_bit() == 0) {
+      if (++n > 47) throw BitstreamError("level_prefix too long");
+    }
+    return n;
+  }
+
+  size_t bit_pos() const { return r_.bit_pos(); }
+
+ private:
+  // Match a (len,bits) VLC table: codes are MSB-first, lengths <= 16.
+  void match_vlc(const uint8_t* len, const uint8_t* bits, int n, int* tc, int* t1) {
+    uint32_t acc = 0;
+    int have = 0;
+    while (have < 20) {
+      acc = (acc << 1) | r_.read_bit();
+      ++have;
+      for (int i = 0; i < n; ++i) {
+        if (len[i] == have && bits[i] == acc) {
+          *tc = i >> 2;
+          *t1 = i & 3;
+          return;
+        }
+      }
+    }
+    throw BitstreamError("bad coeff_token");
+  }
+  void match_vlc1(const uint8_t* len, const uint8_t* bits, int n, int* idx) {
+    uint32_t acc = 0;
+    int have = 0;
+    while (have < 16) {
+      acc = (acc << 1) | r_.read_bit();
+      ++have;
+      for (int i = 0; i < n; ++i) {
+        if (len[i] == have && bits[i] == acc) {
+          *idx = i;
+          return;
+        }
+      }
+    }
+    throw BitstreamError("bad vlc code");
+  }
+
+  BitReader r_;
+};
+
+class CavlcBitWriter {
+ public:
+  explicit CavlcBitWriter(BitWriter& w) : w_(w) {}
+  void ue(uint32_t v) { w_.put_ue(v); }
+  void se(int32_t v) { w_.put_se(v); }
+  void u(int n, uint32_t v) { w_.put_bits(v, n); }
+  void coeff_token(int nc_class, int total_coeff, int t1s) {
+    int idx = 4 * total_coeff + t1s;
+    if (nc_class == 4) w_.put_bits(kChromaDcCoeffTokenBits[idx], kChromaDcCoeffTokenLen[idx]);
+    else w_.put_bits(kCoeffTokenBits[nc_class][idx], kCoeffTokenLen[nc_class][idx]);
+  }
+  void total_zeros(int tz_idx, bool chroma_dc, uint32_t v) {
+    if (chroma_dc) w_.put_bits(kChromaDcTotalZerosBits[tz_idx - 1][v],
+                               kChromaDcTotalZerosLen[tz_idx - 1][v]);
+    else w_.put_bits(kTotalZerosBits[tz_idx - 1][v], kTotalZerosLen[tz_idx - 1][v]);
+  }
+  void run_before(int zeros_left, uint32_t v) {
+    int zl = zeros_left < 7 ? zeros_left : 7;
+    w_.put_bits(kRunBeforeBits[zl - 1][v], kRunBeforeLen[zl - 1][v]);
+  }
+  void level_prefix(uint32_t n) {
+    w_.put_bits(1, n + 1);  // n zeros then a 1
+  }
+
+ private:
+  BitWriter& w_;
+};
+
+// ---------------------------------------------------------------------------
+// Per-MB CAVLC state: total_coeff per 4x4 block for nC derivation (6.4.10.5 /
+// 9.2.1), plus the entropy-relevant flags shared with the walker design.
+struct CavlcMB {
+  uint16_t slice_id = 0xffff;
+  uint8_t intra16 = 0, intra = 0, skip = 0;
+  uint8_t luma_tc[16] = {0};    // total_coeff per 4x4 (grid x + 4*y)
+  uint8_t chroma_tc[2][4] = {{0}, {0}};  // per component, 2x2 grid
+};
+
+struct CavlcPicture {
+  int mb_width = 0, mb_height = 0;
+  std::vector<CavlcMB> mbs;
+  void reset(int w, int h) {
+    mb_width = w;
+    mb_height = h;
+    mbs.assign(size_t(w) * h, CavlcMB());
+  }
+};
+
+// ---------------------------------------------------------------------------
+// The CAVLC slice walker, templated on a value IO. IO must provide:
+//   uint32_t ue(CavlcRole, int ctx); int32_t se(CavlcRole, int ctx);
+//   uint32_t u(int nbits, CavlcRole, int ctx);
+//   void coeff_token(int nc_class, int luma_nc /*for model ctx*/,
+//                    int* total_coeff, int* t1s);
+//   uint32_t total_zeros(int tz_idx, bool chroma_dc, int ctx);
+//   uint32_t run_before(int zeros_left, int ctx);
+//   uint32_t level_prefix(int ctx);
+//   uint32_t level_suffix_bits(int nbits, int ctx);  // raw suffix bits
+template <class IO>
+class CavlcWalker {
+ public:
+  CavlcWalker(const SPS& sps, const PPS& pps, const SliceHeader& sh, CavlcPicture& pic,
+              int slice_id, IO& io)
+      : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
+    if (sps.chroma_format_idc != 1) throw UnsupportedStream("cavlc: chroma != 4:2:0");
+    if (sh.is_b()) throw UnsupportedStream("cavlc: B slices");
+    if (pps.transform_8x8_mode) throw UnsupportedStream("cavlc: 8x8 transform");
+  }
+
+  // Walks slice_data(); IO signals end via more_data(). Returns MB count.
+  int run() {
+    int mb_addr = sh_.first_mb_in_slice;
+    const int num_mbs = pic_.mb_width * pic_.mb_height;
+    int count = 0;
+    while (io_.more_data()) {
+      int skip_run = 0;
+      if (!sh_.is_intra()) {
+        skip_run = int(io_.ue(kRMbSkipRun, prev_skip_ctx_));
+        prev_skip_ctx_ = skip_run > 0;
+        for (int i = 0; i < skip_run; ++i) {
+          if (mb_addr >= num_mbs) throw BitstreamError("cavlc: skip past end");
+          setup_mb(mb_addr);
+          cur_->skip = 1;
+          ++mb_addr;
+          ++count;
+        }
+        if (!io_.more_data()) break;  // trailing skip run ends the slice
+      }
+      if (mb_addr >= num_mbs) throw BitstreamError("cavlc: mb past end");
+      setup_mb(mb_addr);
+      decode_mb();
+      ++mb_addr;
+      ++count;
+    }
+    return count;
+  }
+
+ private:
+  void setup_mb(int addr) {
+    mb_x_ = addr % pic_.mb_width;
+    mb_y_ = addr / pic_.mb_width;
+    cur_ = &pic_.mbs[addr];
+    *cur_ = CavlcMB();
+    cur_->slice_id = uint16_t(slice_id_);
+    io_.begin_mb(mb_x_, mb_y_);
+  }
+
+  const CavlcMB* nb_mb(int dx, int dy) const {
+    int x = mb_x_ + dx, y = mb_y_ + dy;
+    if (x < 0 || y < 0 || x >= pic_.mb_width || y >= pic_.mb_height) return nullptr;
+    const CavlcMB& m = pic_.mbs[size_t(y) * pic_.mb_width + x];
+    return m.slice_id == slice_id_ ? &m : nullptr;
+  }
+
+  void decode_mb() {
+    uint32_t mb_type = io_.ue(kRMbType, sh_.is_intra() ? 0 : 1);
+    int intra_code;
+    bool is_intra;
+    int inter_type = -1;
+    if (sh_.is_intra()) {
+      intra_code = int(mb_type);
+      is_intra = true;
+    } else if (mb_type >= 5) {
+      intra_code = int(mb_type) - 5;
+      is_intra = true;
+    } else {
+      inter_type = int(mb_type);
+      is_intra = false;
+    }
+
+    int cbp_luma = 0, cbp_chroma = 0;
+    bool i16 = false;
+    if (is_intra) {
+      if (intra_code == 25) throw UnsupportedStream("cavlc: I_PCM");
+      if (intra_code > 25) throw BitstreamError("cavlc: bad intra mb_type");
+      cur_->intra = 1;
+      if (intra_code > 0) {
+        i16 = true;
+        cur_->intra16 = 1;
+        int v = intra_code - 1;
+        cbp_luma = (v >= 12) ? 0xf : 0;
+        cbp_chroma = (v % 12) / 4;
+      } else {
+        for (int b = 0; b < 16; ++b) {
+          if (io_.u(1, kRIntraPredFlag, 0) == 0) io_.u(3, kRIntraPredRem, 0);
+        }
+      }
+      io_.ue(kRChromaPred, 0);  // intra_chroma_pred_mode
+    } else {
+      decode_inter_pred(inter_type);
+    }
+
+    if (!i16) {
+      uint32_t code = io_.ue(kRCbp, is_intra ? 0 : 1);
+      if (code > 47) throw BitstreamError("cavlc: bad cbp code");
+      int cbp = is_intra ? kGolombToIntra4x4Cbp[code] : kGolombToInterCbp[code];
+      cbp_luma = cbp & 0xf;
+      cbp_chroma = cbp >> 4;
+      if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
+    }
+
+    if (cbp_luma || cbp_chroma || i16) {
+      io_.se(kRQpDelta, 0);
+      decode_residual(i16, cbp_luma, cbp_chroma);
+    }
+  }
+
+  void decode_inter_pred(int inter_type) {
+    int nref = sh_.num_ref_idx_l0_active;
+    auto ref = [&](int ctx) {
+      if (nref <= 1) return;
+      if (nref == 2) io_.u(1, kRRefIdx, ctx);  // te(v) with cMax 1
+      else io_.ue(kRRefIdx, ctx);
+    };
+    auto mvd = [&] {
+      io_.se(kRMvd, 0);
+      io_.se(kRMvd, 1);
+    };
+    switch (inter_type) {
+      case 0:  // P_L0_16x16
+        ref(0);
+        mvd();
+        break;
+      case 1:  // P_L0_L0_16x8
+      case 2:  // P_L0_L0_8x16
+        ref(0);
+        ref(0);
+        mvd();
+        mvd();
+        break;
+      case 3:    // P_8x8
+      case 4: {  // P_8x8ref0
+        int sub[4];
+        for (int i = 0; i < 4; ++i) {
+          sub[i] = int(io_.ue(kRSubMbType, 0));
+          if (sub[i] > 3) throw BitstreamError("cavlc: bad sub_mb_type");
+        }
+        if (inter_type == 3)
+          for (int i = 0; i < 4; ++i) ref(1);
+        static const int kParts[4] = {1, 2, 2, 4};
+        for (int i = 0; i < 4; ++i)
+          for (int p = 0; p < kParts[sub[i]]; ++p) mvd();
+        break;
+      }
+      default:
+        throw BitstreamError("cavlc: bad P mb_type");
+    }
+  }
+
+  // ---- residuals (9.2) ----------------------------------------------------
+  // nC for a luma 4x4 at grid (gx,gy): mean of available left/up total_coeff.
+  int luma_nc(int gx, int gy) const {
+    int na = -1, nb = -1;
+    na = tc_at(gx - 1, gy, -1);
+    nb = tc_at(gx, gy - 1, -1);
+    if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
+    if (na >= 0) return na;
+    if (nb >= 0) return nb;
+    return 0;
+  }
+  int tc_at(int gx, int gy, int def) const {
+    int dx = 0, dy = 0;
+    if (gx < 0) { dx = -1; gx += 4; }
+    if (gy < 0) { dy = -1; gy += 4; }
+    const CavlcMB* m = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
+    if (!m) return def;
+    return m->luma_tc[gx + 4 * gy];
+  }
+  int chroma_nc(int c, int gx, int gy) const {
+    int na = ctc_at(c, gx - 1, gy, -1);
+    int nb = ctc_at(c, gx, gy - 1, -1);
+    if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
+    if (na >= 0) return na;
+    if (nb >= 0) return nb;
+    return 0;
+  }
+  int ctc_at(int c, int gx, int gy, int def) const {
+    int dx = 0, dy = 0;
+    if (gx < 0) { dx = -1; gx += 2; }
+    if (gy < 0) { dy = -1; gy += 2; }
+    const CavlcMB* m = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
+    if (!m) return def;
+    return m->chroma_tc[c][gx + 2 * gy];
+  }
+  static int nc_class(int nc) {
+    if (nc < 2) return 0;
+    if (nc < 4) return 1;
+    if (nc < 8) return 2;
+    return 3;
+  }
+
+  void decode_residual(bool i16, int cbp_luma, int cbp_chroma) {
+    if (i16) {
+      // Luma DC: 16 coefficients, nC from neighbors like block 0.
+      residual_block(nc_class(luma_nc(0, 0)), 16, /*chroma_dc=*/false, nullptr);
+    }
+    int max_luma = i16 ? 15 : 16;
+    for (int b8 = 0; b8 < 4; ++b8)
+      for (int k = 0; k < 4; ++k) {
+        int blk = 4 * b8 + k;
+        int gx = kBlk4x4X[blk], gy = kBlk4x4Y[blk];
+        if (cbp_luma & (1 << b8)) {
+          int tc = residual_block(nc_class(luma_nc(gx, gy)), max_luma, false, nullptr);
+          cur_->luma_tc[gx + 4 * gy] = uint8_t(tc);
+        }
+      }
+    if (cbp_chroma) {
+      for (int c = 0; c < 2; ++c) residual_block(4, 4, /*chroma_dc=*/true, nullptr);
+      if (cbp_chroma == 2)
+        for (int c = 0; c < 2; ++c)
+          for (int k = 0; k < 4; ++k) {
+            int gx = k & 1, gy = k >> 1;
+            int tc = residual_block(nc_class(chroma_nc(c, gx, gy)), 15, false, nullptr);
+            cur_->chroma_tc[c][gx + 2 * gy] = uint8_t(tc);
+          }
+    }
+  }
+
+  // One CAVLC residual block (9.2.1-9.2.4). Returns total_coeff.
+  int residual_block(int ncls, int max_coeff, bool chroma_dc, int* /*unused*/) {
+    int total_coeff, t1s;
+    io_.coeff_token(chroma_dc ? 4 : ncls, ncls, &total_coeff, &t1s);
+    if (total_coeff > max_coeff) throw BitstreamError("cavlc: total_coeff too large");
+    if (total_coeff == 0) return 0;
+    for (int i = 0; i < t1s; ++i) io_.u(1, kRT1Sign, 0);
+    // Levels (9.2.2): decoded high-frequency-first.
+    int suffix_length = (total_coeff > 10 && t1s < 3) ? 1 : 0;
+    for (int i = 0; i < total_coeff - t1s; ++i) {
+      uint32_t prefix = io_.level_prefix(suffix_length);
+      int level_suffix_size = suffix_length;
+      if (prefix == 14 && suffix_length == 0) level_suffix_size = 4;
+      else if (prefix >= 15) level_suffix_size = int(prefix) - 3;
+      uint32_t suffix = 0;
+      if (level_suffix_size > 0)
+        suffix = io_.level_suffix_bits(level_suffix_size, suffix_length);
+      int level_code = int((prefix < 15 ? prefix : 15) << suffix_length) + int(suffix);
+      if (prefix >= 15 && suffix_length == 0) level_code += 15;
+      if (prefix >= 16) level_code += (1 << (prefix - 3)) - 4096;
+      if (i == 0 && t1s < 3) level_code += 2;
+      int level = (level_code % 2 == 0) ? (level_code + 2) >> 1 : -((level_code + 1) >> 1);
+      if (suffix_length == 0) suffix_length = 1;
+      int abs_level = level < 0 ? -level : level;
+      if (abs_level > (3 << (suffix_length - 1)) && suffix_length < 6) ++suffix_length;
+    }
+    // total_zeros + run_before (9.2.3).
+    int zeros_left = 0;
+    if (total_coeff < max_coeff) {
+      zeros_left = int(io_.total_zeros(total_coeff, chroma_dc, chroma_dc ? 1 : 0));
+    }
+    for (int i = 0; i < total_coeff - 1 && zeros_left > 0; ++i) {
+      uint32_t run = io_.run_before(zeros_left, 0);
+      if (int(run) > zeros_left) throw BitstreamError("cavlc: bad run_before");
+      zeros_left -= int(run);
+    }
+    return total_coeff;
+  }
+
+  const SPS& sps_;
+  const PPS& pps_;
+  const SliceHeader& sh_;
+  CavlcPicture& pic_;
+  int slice_id_;
+  IO& io_;
+  int mb_x_ = 0, mb_y_ = 0;
+  CavlcMB* cur_ = nullptr;
+  int prev_skip_ctx_ = 0;
+};
+
+}  // namespace artc

@@ -77,7 +77,13 @@ class PriorModel {
   static constexpr size_t kResBase = kNzBase + 3 * kNzStride;
   static constexpr size_t kCbfBase2 = kResBase + 3 * kResStride;
   static constexpr size_t kSkipBase = kCbfBase2 + 3 * 40;
-  static constexpr size_t kNumDualKeys = kSkipBase + 12;
+  // CAVLC value-model keys: (role, aux-hash, binarization node).
+  static constexpr int kNumCavlcRolesM = 18;
+  static constexpr int kCavlcAux = 64;
+  static constexpr int kCavlcNodes = 20;
+  static constexpr size_t kCavlcBase = kSkipBase + 12;
+  static constexpr size_t kCavlcStride = size_t(kNumCavlcRolesM) * kCavlcAux * kCavlcNodes;
+  static constexpr size_t kNumDualKeys = kCavlcBase + kCavlcStride;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -497,6 +503,104 @@ class PriorModel {
   // recode.cpp:1041-1042).
   static constexpr int kWindowSig = 0x50;
   static constexpr int kWindowOther = 0x60;
+
+  // ---- CAVLC value transport (capability extension: the reference passes
+  // CAVLC through uncompressed, recode.cpp:1289-1296). Values are binarized
+  // as truncated-unary + adaptive Elias-gamma (or fixed-width for raw-bit
+  // roles), each bin an adaptive Dual estimator. BitIO as in code_nz.
+  size_t cavlc_key(uint8_t role, uint8_t aux, int node) const {
+    return kCavlcBase +
+           (size_t(role) * kCavlcAux + (aux & (kCavlcAux - 1))) * kCavlcNodes +
+           (node < kCavlcNodes ? node : kCavlcNodes - 1);
+  }
+  // Fixed-width bit count for raw-bit roles (aux packing per cavlc_stream.h).
+  static int cavlc_fixed_bits(uint8_t role, uint8_t aux) {
+    switch (role) {
+      case 2: case 3: case 12: return aux >> 4;      // IntraPredFlag/Rem, T1Sign (u-packed)
+      case 5: return aux >> 4;                       // RefIdx via u(1); 0 => ue-coded
+      case 14: return aux >> 3;                      // LevelSuffix
+      default: return 0;
+    }
+  }
+  static bool cavlc_signed(uint8_t role) { return role == 6 || role == 8; }  // Mvd, QpDelta
+
+  template <class BitIO>
+  int32_t code_cavlc(BitIO&& io, uint8_t role, uint8_t aux, int32_t put_value, bool put) {
+    int nb = cavlc_fixed_bits(role, aux);
+    auto key_at = [&](int node) { return uint32_t(cavlc_key(role, aux, node)); };
+    if (nb > 0) {
+      uint32_t v = 0;
+      for (int i = 0; i < nb; ++i) {
+        uint32_t key = key_at(i);
+        int b = io(key, put ? int((uint32_t(put_value) >> (nb - 1 - i)) & 1) : -1);
+        note_coded(kKindDual, key, b);
+        v = (v << 1) | uint32_t(b);
+      }
+      return int32_t(v);
+    }
+    uint32_t uv = 0;
+    if (put) {
+      if (cavlc_signed(role)) {
+        int64_t x = put_value;
+        uv = x <= 0 ? uint32_t(-2 * x) : uint32_t(2 * x - 1);
+      } else {
+        uv = uint32_t(put_value);
+      }
+    }
+    // Truncated unary to 8, then adaptive Elias-gamma for the tail.
+    uint32_t val = 0;
+    while (val < 8) {
+      uint32_t key = key_at(int(val));
+      int b = io(key, put ? (uv > val ? 1 : 0) : -1);
+      note_coded(kKindDual, key, b);
+      if (!b) break;
+      ++val;
+    }
+    if (val == 8) {
+      uint32_t m = put ? (uv - 8) + 1 : 1;
+      int k = 0;
+      if (put) {
+        while ((m >> (k + 1)) != 0) ++k;
+      }
+      if (put) {
+        for (int i = 0; i < k; ++i) {
+          uint32_t key = key_at(8 + (i < 7 ? i : 7));
+          io(key, 1);
+          note_coded(kKindDual, key, 1);
+        }
+        uint32_t key = key_at(8 + (k < 7 ? k : 7));
+        io(key, 0);
+        note_coded(kKindDual, key, 0);
+      } else {
+        k = 0;
+        while (true) {
+          uint32_t key = key_at(8 + (k < 7 ? k : 7));
+          int b = io(key, -1);
+          note_coded(kKindDual, key, b);
+          if (!b) break;
+          if (++k > 30) throw std::runtime_error("cavlc gamma overflow");
+        }
+      }
+      for (int i = k - 1; i >= 0; --i) {
+        uint32_t key = key_at(16 + (i < 3 ? i : 3));
+        int b = io(key, put ? int((m >> i) & 1) : -1);
+        note_coded(kKindDual, key, b);
+        if (!put) m = (m << 1) | uint32_t(b);
+      }
+      if (!put && k > 0) {
+        // m accumulated as 1 followed by k bits
+      }
+      uv = 8 + m - 1;
+      if (put) uv = uint32_t(put_value), uv = 0;  // unused on put
+    }
+    if (put) return put_value;
+    uint32_t out = (val < 8) ? val : uv;
+    if (cavlc_signed(role)) {
+      int32_t v = int32_t((out + 1) >> 1);
+      return (out & 1) ? v : -v;
+    }
+    return int32_t(out);
+  }
 
   Billing bill;
   // Per-(slice_class, cat) accumulated cost of the significance complex

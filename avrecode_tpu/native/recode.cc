@@ -12,13 +12,18 @@ namespace {
 
 struct SliceRecord {
   uint32_t chunk_idx = 0;
+  uint8_t coding = 0;  // 0 = CABAC, 1 = CAVLC
   std::vector<uint8_t> header_rbsp;  // [nal header byte] + header RBSP bytes
-  uint32_t cabac_rbsp_len = 0;
+  uint16_t header_bits = 0;          // header length in bits (CAVLC data may
+                                     // start unaligned)
+  uint32_t cabac_rbsp_len = 0;       // CABAC: payload RBSP bytes after the
+                                     // aligned header; CAVLC: total RBSP bytes
   std::vector<uint8_t> tail_patch;
   uint8_t start_code_len = 0;
   bool intra = false, new_picture = false;
   int cabac_init_idc = 0, slice_qp = 26;
-  SymbolStream ss;
+  SymbolStream ss;        // CABAC symbol stream
+  CavlcStream cstream;    // CAVLC value stream
 };
 
 struct Segment {
@@ -132,7 +137,57 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
       SliceHeader sh =
           parse_slice_header(rbsp.data(), rbsp.size(), nal.type, nal.ref_idc, sps_map,
                              pps_map, &sps, &pps);
-      if (!pps->entropy_coding_mode) throw UnsupportedStream("CAVLC slice");
+      if (!pps->entropy_coding_mode) {
+        // ---- CAVLC slice: record syntax values, verify bit-exact replay ----
+        ++slice_id;
+        SliceRecord rec;
+        rec.coding = 1;
+        CavlcPicture cpic;
+        cpic.reset(sps->mb_width(), sps->mb_height());
+        CavlcRecorder crec(rbsp.data(), rbsp.size(), sh.header_end_bit, &rec.cstream);
+        CavlcWalker<CavlcRecorder> cw(*sps, *pps, sh, cpic, slice_id, crec);
+        cw.run();
+        BitWriter bw;
+        for (size_t b = 0; b < sh.header_end_bit; ++b)
+          bw.put_bit((rbsp[b >> 3] >> (7 - (b & 7))) & 1);
+        RecordedValues rv(rec.cstream);
+        CavlcPicture cpic2;
+        cpic2.reset(sps->mb_width(), sps->mb_height());
+        CavlcReplayer<RecordedValues> rep(rv, bw);
+        CavlcWalker<CavlcReplayer<RecordedValues>> cw2(*sps, *pps, sh, cpic2, slice_id, rep);
+        cw2.run();
+        bw.put_bit(1);
+        while (!bw.byte_aligned()) bw.put_bit(0);
+        std::vector<uint8_t> regen = bw.bytes();
+        if (regen.size() > rbsp.size()) throw UnsupportedStream("cavlc regen longer");
+        regen.resize(rbsp.size(), 0);
+        size_t fd = 0;
+        while (fd < rbsp.size() && regen[fd] == rbsp[fd]) ++fd;
+        if (rbsp.size() - fd > kMaxTailPatch) throw UnsupportedStream("cavlc tail too large");
+        rec.tail_patch.assign(rbsp.begin() + fd, rbsp.end());
+        std::copy(rec.tail_patch.begin(), rec.tail_patch.end(),
+                  regen.end() - rec.tail_patch.size());
+        std::vector<uint8_t> ebsp2 = rbsp_to_ebsp(regen.data(), regen.size());
+        if (ebsp2.size() + 1 != nal.size || memcmp(ebsp2.data(), p + 1, ebsp2.size()) != 0)
+          throw UnsupportedStream("cavlc NAL reconstruction mismatch");
+        if (opt.chunk_mode == 1 && sh.is_idr && sh.first_mb_in_slice == 0 && chunk_started)
+          ++chunk_idx;
+        chunk_started = true;
+        rec.chunk_idx = chunk_idx;
+        rec.header_rbsp.push_back(p[0]);
+        size_t hdr_bytes = (sh.header_end_bit + 7) / 8;
+        rec.header_rbsp.insert(rec.header_rbsp.end(), rbsp.begin(), rbsp.begin() + hdr_bytes);
+        rec.header_bits = uint16_t(sh.header_end_bit);
+        rec.cabac_rbsp_len = uint32_t(rbsp.size());
+        rec.start_code_len = uint8_t(nal.start_code);
+        flush_literal(nal.offset);
+        segments.push_back({1, 0, 0, slices.size()});
+        slices.push_back(std::move(rec));
+        lit_start = nal.offset + nal.size;
+        st.cabac_in_bytes += rbsp.size() - hdr_bytes;
+        ++st.n_slices;
+        continue;
+      }
       bool new_picture = sh.first_mb_in_slice == 0;
       if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
       ++slice_id;
@@ -180,6 +235,7 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
       rec.chunk_idx = chunk_idx;
       rec.header_rbsp.push_back(p[0]);
       rec.header_rbsp.insert(rec.header_rbsp.end(), rbsp.begin(), rbsp.begin() + hb);
+      rec.header_bits = uint16_t(hb * 8);
       rec.cabac_rbsp_len = uint32_t(cabac_len);
       rec.start_code_len = uint8_t(nal.start_code);
       rec.intra = sh.is_intra();
@@ -228,8 +284,13 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
   ModelEncoder enc(model, bits, probs);
   if (trace) enc.set_trace(trace);
   for (size_t si = begin; si < end; ++si) {
-    enc.process(slices[si].ss);
-    st.total_bins += slices[si].ss.bins.size();
+    if (slices[si].coding == 1) {
+      enc.process_cavlc(slices[si].cstream);
+      st.total_bins += slices[si].cstream.values.size();
+    } else {
+      enc.process(slices[si].ss);
+      st.total_bins += slices[si].ss.bins.size();
+    }
   }
   for (int k = 0; k < kNumBinKlasses; ++k) {
     st.bill.mbits[k] += model.bill.mbits[k];
@@ -277,6 +338,7 @@ static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
     ModelEncoder enc(m, bits, probs);
     uint64_t seen = 0;
     for (size_t si = begin; si < end && seen < kProbeBinCap; ++si) {
+      if (slices[si].coding != 0) continue;
       enc.process(slices[si].ss);
       seen += slices[si].ss.bins.size();
     }
@@ -298,7 +360,7 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   const auto& paramsets = p1.paramsets;
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
-  w.u8(3);  // version 3: +batch_size, per-chunk nz-mode bitmaps
+  w.u8(4);  // version 4: +CAVLC slice records (coding, header_bits, n_values)
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
@@ -320,9 +382,12 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
       const SliceRecord& r = slices[seg.slice_idx];
       w.u8(1);
       w.u32(r.chunk_idx);
+      w.u8(r.coding);
+      w.u16(r.header_bits);
       w.u16(uint16_t(r.header_rbsp.size()));
       w.bytes(r.header_rbsp.data(), r.header_rbsp.size());
       w.u32(r.cabac_rbsp_len);
+      w.u32(uint32_t(r.cstream.values.size()));
       w.u8(uint8_t(r.tail_patch.size()));
       w.bytes(r.tail_patch.data(), r.tail_patch.size());
       w.u8(r.start_code_len);
@@ -398,7 +463,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   const uint8_t* magic = r.bytes(4);
   if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
   uint8_t version = r.u8();
-  if (version != 3) throw std::runtime_error("unsupported container version");
+  if (version != 4) throw std::runtime_error("unsupported container version");
   r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();
@@ -429,8 +494,11 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     int kind;
     size_t lit_pos = 0, lit_len = 0;
     uint32_t chunk_idx = 0;
+    uint8_t coding = 0;
+    uint16_t header_bits = 0;
     std::vector<uint8_t> header_rbsp;
     uint32_t cabac_rbsp_len = 0;
+    uint32_t n_values = 0;
     std::vector<uint8_t> tail_patch;
   };
   std::vector<SegDesc> segs(n_segments);
@@ -444,10 +512,13 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     } else if (tag == 1) {
       s.kind = 1;
       s.chunk_idx = r.u32();
+      s.coding = r.u8();
+      s.header_bits = r.u16();
       uint16_t hl = r.u16();
       const uint8_t* hp = r.bytes(hl);
       s.header_rbsp.assign(hp, hp + hl);
       s.cabac_rbsp_len = r.u32();
+      s.n_values = r.u32();
       uint8_t pl = r.u8();
       const uint8_t* pp = r.bytes(pl);
       s.tail_patch.assign(pp, pp + pl);
@@ -474,6 +545,37 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
                           int slice_id) -> std::vector<uint8_t> {
     int nal_type = s.header_rbsp[0] & 0x1f;
     int nal_ref_idc = (s.header_rbsp[0] >> 5) & 3;
+    if (s.coding == 1) {
+      // CAVLC slice: decode values from the model, replay the walker into a
+      // bit-exact writer.
+      std::vector<uint8_t> hdr_rbsp(s.header_rbsp.begin() + 1, s.header_rbsp.end());
+      hdr_rbsp.resize(s.cabac_rbsp_len, 0xff);
+      const SPS* sps;
+      const PPS* pps;
+      SliceHeader sh = parse_slice_header(hdr_rbsp.data(), hdr_rbsp.size(), nal_type,
+                                          nal_ref_idc, sps_map, pps_map, &sps, &pps);
+      BitWriter bw;
+      for (size_t b = 0; b < s.header_bits; ++b)
+        bw.put_bit((s.header_rbsp[1 + (b >> 3)] >> (7 - (b & 7))) & 1);
+      CavlcModelSource src(*cs.model, *cs.rans, s.n_values);
+      CavlcPicture cpic;
+      cpic.reset(sps->mb_width(), sps->mb_height());
+      CavlcReplayer<CavlcModelSource> rep(src, bw);
+      CavlcWalker<CavlcReplayer<CavlcModelSource>> w(*sps, *pps, sh, cpic, slice_id, rep);
+      w.run();
+      bw.put_bit(1);
+      while (!bw.byte_aligned()) bw.put_bit(0);
+      std::vector<uint8_t> regen = bw.bytes();
+      if (regen.size() > s.cabac_rbsp_len) throw std::runtime_error("cavlc regen overflow");
+      regen.resize(s.cabac_rbsp_len, 0);
+      std::copy(s.tail_patch.begin(), s.tail_patch.end(), regen.end() - s.tail_patch.size());
+      std::vector<uint8_t> ebsp = rbsp_to_ebsp(regen.data(), regen.size());
+      std::vector<uint8_t> nal;
+      nal.reserve(1 + ebsp.size());
+      nal.push_back(s.header_rbsp[0]);
+      nal.insert(nal.end(), ebsp.begin(), ebsp.end());
+      return nal;
+    }
     // The header parser needs the *full* RBSP to exist, but only reads header
     // bits; pad with the cabac length so bit-bounds checks pass.
     std::vector<uint8_t> hdr_rbsp(s.header_rbsp.begin() + 1, s.header_rbsp.end());

@@ -30,6 +30,7 @@
 #include "mp4.h"
 #include "nal.h"
 #include "rans.h"
+#include "cavlc_stream.h"
 #include "symbol_stream.h"
 
 namespace artc {
@@ -213,6 +214,44 @@ class ModelEncoder {
   std::vector<uint8_t>& bits_;
   std::vector<uint16_t>& probs_;
   std::vector<PriorModel::Coded>* trace_ = nullptr;
+
+ public:
+  // CAVLC slices: transport every recorded syntax value through the adaptive
+  // value model (capability extension; reference passes CAVLC through raw).
+  void process_cavlc(const CavlcStream& cs) {
+    for (const auto& v : cs.values) {
+      m_.code_cavlc(
+          [this](uint32_t key, int putbit) {
+            if (trace_) trace_->push_back({uint8_t(putbit), PriorModel::kKindDual, key, 0});
+            push(putbit, m_.prob_for(PriorModel::kKindDual, key, 0), kKlassOther);
+            return putbit;
+          },
+          v.role, v.aux, v.value, /*put=*/true);
+    }
+  }
+};
+
+// Decompress-side CAVLC value source: decodes values from the model + rANS.
+class CavlcModelSource {
+ public:
+  CavlcModelSource(PriorModel& m, RansInterleavedDecoder& rans, uint32_t n_values)
+      : m_(m), rans_(rans), remaining_(n_values) {}
+  bool more_data() const { return remaining_ > 0; }
+  void begin_mb(int, int) {}
+  int32_t next(uint8_t role, uint8_t aux) {
+    if (remaining_ == 0) throw std::runtime_error("cavlc value stream exhausted");
+    --remaining_;
+    return m_.code_cavlc(
+        [this](uint32_t key, int) {
+          return rans_.decode(m_.prob_for(PriorModel::kKindDual, key, 0));
+        },
+        role, aux, 0, /*put=*/false);
+  }
+
+ private:
+  PriorModel& m_;
+  RansInterleavedDecoder& rans_;
+  uint32_t remaining_;
 };
 
 // ---------------------------------------------------------------------------

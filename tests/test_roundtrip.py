@@ -38,14 +38,14 @@ def test_roundtrip_lane_counts(corpus_dir, lanes):
     assert rep.ok
 
 
-def test_cavlc_passthrough(corpus_dir):
-    """CAVLC streams roundtrip via literal passthrough (reference parity:
-    skip_coded, recode.cpp:1289-1296)."""
-    with open(os.path.join(corpus_dir, "cavlc.mp4"), "rb") as f:
-        data = f.read()
-    rep = pipeline.roundtrip(data)
+def test_unsupported_fallback(corpus_dir):
+    """Corrupt slice payloads fall back to literal passthrough (reference
+    parity: skip_coded, recode.cpp:1289-1296) and stay bit-exact."""
+    with open(os.path.join(corpus_dir, "ipb_high.264"), "rb") as f:
+        data = bytearray(f.read())
+    data[len(data) // 2] ^= 0xFF  # corrupt a payload byte mid-stream
+    rep = pipeline.roundtrip(bytes(data))
     assert rep.ok
-    assert rep.stats.n_slices == 0
     assert rep.stats.n_fallback > 0
 
 
@@ -84,3 +84,15 @@ def test_roundtrip_batched_model(corpus_dir, batch):
         data = f.read()
     rep = pipeline.roundtrip(data, batch_size=batch)
     assert rep.ok
+
+
+def test_cavlc_recompression(corpus_dir):
+    """CAVLC slices are re-coded (capability extension: the reference passes
+    them through raw) and must both roundtrip bit-exactly and actually
+    compress."""
+    with open(os.path.join(corpus_dir, "cavlc.mp4"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.stats.n_slices > 0 and rep.stats.n_fallback == 0
+    assert rep.ratio < 0.98, f"CAVLC should compress, got {rep.ratio}"  # tiny test clip: modest win
