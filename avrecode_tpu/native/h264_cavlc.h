@@ -400,7 +400,7 @@ class CavlcWalker {
   void decode_residual(bool i16, int cbp_luma, int cbp_chroma) {
     if (i16) {
       // Luma DC: 16 coefficients, nC from neighbors like block 0.
-      residual_block(nc_class(luma_nc(0, 0)), 16, /*chroma_dc=*/false, nullptr);
+      residual_block(luma_nc(0, 0), 16, /*chroma_dc=*/false, nullptr);
     }
     int max_luma = i16 ? 15 : 16;
     for (int b8 = 0; b8 < 4; ++b8)
@@ -408,26 +408,28 @@ class CavlcWalker {
         int blk = 4 * b8 + k;
         int gx = kBlk4x4X[blk], gy = kBlk4x4Y[blk];
         if (cbp_luma & (1 << b8)) {
-          int tc = residual_block(nc_class(luma_nc(gx, gy)), max_luma, false, nullptr);
+          int tc = residual_block(luma_nc(gx, gy), max_luma, false, nullptr);
           cur_->luma_tc[gx + 4 * gy] = uint8_t(tc);
         }
       }
     if (cbp_chroma) {
-      for (int c = 0; c < 2; ++c) residual_block(4, 4, /*chroma_dc=*/true, nullptr);
+      for (int c = 0; c < 2; ++c) residual_block(0, 4, /*chroma_dc=*/true, nullptr);
       if (cbp_chroma == 2)
         for (int c = 0; c < 2; ++c)
           for (int k = 0; k < 4; ++k) {
             int gx = k & 1, gy = k >> 1;
-            int tc = residual_block(nc_class(chroma_nc(c, gx, gy)), 15, false, nullptr);
+            int tc = residual_block(chroma_nc(c, gx, gy), 15, false, nullptr);
             cur_->chroma_tc[c][gx + 2 * gy] = uint8_t(tc);
           }
     }
   }
 
-  // One CAVLC residual block (9.2.1-9.2.4). Returns total_coeff.
-  int residual_block(int ncls, int max_coeff, bool chroma_dc, int* /*unused*/) {
+  // One CAVLC residual block (9.2.1-9.2.4). nc_val = the derived nC (model
+  // context; VLC table class derives from it). Returns total_coeff.
+  int residual_block(int nc_val, int max_coeff, bool chroma_dc, int* /*unused*/) {
+    int ncls = nc_class(nc_val);
     int total_coeff, t1s;
-    io_.coeff_token(chroma_dc ? 4 : ncls, ncls, &total_coeff, &t1s);
+    io_.coeff_token(chroma_dc ? 4 : ncls, nc_val < 7 ? nc_val : 7, &total_coeff, &t1s);
     if (total_coeff > max_coeff) throw BitstreamError("cavlc: total_coeff too large");
     if (total_coeff == 0) return 0;
     for (int i = 0; i < t1s; ++i) io_.u(1, kRT1Sign, 0);

@@ -364,6 +364,7 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
+  w.u32(crc32_ieee(data, st.input_bytes));  // CRC of the original file
   w.u32(uint32_t(paramsets.size()));
   for (const auto& ps : paramsets) {
     w.u8(ps.nal_type);
@@ -467,6 +468,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();
+  uint32_t want_crc = r.u32();
 
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
@@ -680,6 +682,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     }
   }
   st.output_bytes = out.size();
+  if (crc32_ieee(out.data(), out.size()) != want_crc)
+    throw std::runtime_error("integrity check failed: reconstructed file CRC mismatch");
   if (stats) *stats = st;
   return out;
 }

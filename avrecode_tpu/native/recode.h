@@ -350,6 +350,23 @@ class ModelSource {
 //                       header byte), u32 cabac_rbsp_len, u8 tail_patch_len,
 //                       bytes, u8 start_code_len (0/3/4)
 //   per chunk: u64 blob_len, bytes (RansInterleaved payload)
+// CRC-32 (IEEE) for container integrity (the reference's Metadata fields are
+// defined but never populated/checked, recode.proto:2-7).
+inline uint32_t crc32_ieee(const uint8_t* data, size_t n) {
+  static const auto table = [] {
+    std::array<uint32_t, 256> t{};
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      t[i] = c;
+    }
+    return t;
+  }();
+  uint32_t c = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i) c = table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+  return c ^ 0xFFFFFFFFu;
+}
+
 struct Writer {
   std::vector<uint8_t> buf;
   void u8(uint8_t v) { buf.push_back(v); }

@@ -96,3 +96,29 @@ def test_cavlc_recompression(corpus_dir):
     assert rep.ok
     assert rep.stats.n_slices > 0 and rep.stats.n_fallback == 0
     assert rep.ratio < 0.98, f"CAVLC should compress, got {rep.ratio}"  # tiny test clip: modest win
+
+
+def test_decompress_fuzz_safety(corpus_dir):
+    """Truncated/corrupted/garbage containers must raise clean errors or be
+    caught by the integrity CRC — never crash or return wrong bytes
+    silently."""
+    import random
+    from avrecode_tpu import host
+    with open(os.path.join(corpus_dir, "i_main.264"), "rb") as f:
+        data = f.read()
+    comp, _ = pipeline.compress(data)
+    rng = random.Random(11)
+    for trial in range(40):
+        b = bytearray(comp)
+        if trial % 3 == 0:
+            b = b[:rng.randrange(len(b))]
+        elif trial % 3 == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        else:
+            b = bytearray(rng.randbytes(rng.randrange(4, 2048)))
+        try:
+            out, _ = pipeline.decompress(bytes(b))
+            assert out == data  # undetected-corruption case must still be right
+        except host.NativeError:
+            pass
