@@ -124,6 +124,13 @@ class PriorModel {
   void set_nz_modes(uint32_t modes) { nz_modes_ = modes; }
   bool nz_on() const { return (nz_modes_ >> (sc_ * 6 + cat_)) & 1; }
 
+  // Model profile 0 = counting estimators (ratio-optimal); 1 = EMA estimators
+  // (division-free probabilities/updates -> shift/add only, designed for the
+  // Pallas in-kernel serial update loop where integer division is
+  // unavailable). Format-defining; stored in the container.
+  void set_profile(int p) { profile_ = p; }
+  int profile() const { return profile_; }
+
   // Seeds the per-ctx estimators from the H.264 context-init state so the
   // model starts at CABAC's tuned priors instead of p=0.5 (win on short
   // chunks; the reference always cold-starts, recode.cpp:1057).
@@ -159,6 +166,18 @@ class PriorModel {
       dual_[base + kNumModelContexts + 1] = Dual{128, 128, 256, 256};
       // Terminate bins are almost always 0.
       dual_[base + kCtxTerminate] = Dual{1, 47, 1, 511};
+    }
+    if (profile_ == 1) {
+      // Convert seeded counts to q15 probabilities; fn becomes the visit
+      // counter (start mid-confidence so seeds aren't instantly forgotten).
+      for (auto& d : dual_) {
+        uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
+        uint32_t ps = (uint32_t(d.sp) << kProbBits) / (d.sp + d.sn);
+        d.fp = uint16_t(clamp15(int32_t(pf)));
+        d.sp = uint16_t(clamp15(int32_t(ps)));
+        d.fn = 32;
+        d.sn = 0;
+      }
     }
   }
 
@@ -292,6 +311,7 @@ class PriorModel {
   };
 
   uint32_t prob_for(uint8_t kind, uint32_t key, uint16_t prior) const {
+    if (profile_ == 1) return prob_for_ema(kind, key, prior);
     if (kind == kKindSig) {
       const Estimator& e = sig_est_[key];
       uint32_t p = ((uint32_t(e.pos) << kProbBits) + kSigMixAlpha * prior) /
@@ -303,12 +323,62 @@ class PriorModel {
     return dual_prob(dual_[key], kind == kKindDualSlow);
   }
 
+  // ---- EMA profile ---------------------------------------------------------
+  // Dual reuse: fp = fast EMA prob (q15), sp = slow EMA prob, fn = visit
+  // counter. Sig reuse: pos = EMA prob, neg = visit counter.
+  // Staged rates: fast shift 3->5, slow 4->7 as visits grow (fast early
+  // adaptation, low late noise). All ops are shift/add — Pallas-kernel ready.
+  static uint32_t clamp15(int32_t p) {
+    if (p < 1) return 1;
+    if (p > int32_t(kProbScale) - 1) return kProbScale - 1;
+    return uint32_t(p);
+  }
+  uint32_t prob_for_ema(uint8_t kind, uint32_t key, uint16_t prior) const {
+    if (kind == kKindSig) {
+      const Estimator& e = sig_est_[key];
+      // Blend learned EMA with the computed prior by confidence (w/8).
+      uint32_t w = e.neg < 8 ? e.neg : 8;  // visits
+      int32_t ema = int32_t(e.pos);
+      int32_t p = int32_t(prior) + ((ema - int32_t(prior)) * int32_t(w) >> 3);
+      return clamp15(p);
+    }
+    const Dual& d = dual_[key];
+    if (kind == kKindDualSlow) return clamp15(int32_t(d.sp));
+    return clamp15((int32_t(d.fp) + int32_t(d.sp)) >> 1);
+  }
+  // Classic bias-free form: toward 1: p += (S-p)>>g; toward 0: p -= p>>g.
+  static uint16_t ema_step(uint16_t p, int bit, int g) {
+    int32_t v = int32_t(p);
+    v = bit ? v + ((int32_t(kProbScale) - v) >> g) : v - (v >> g);
+    return uint16_t(clamp15(v));
+  }
+  void update_ema(uint8_t kind, uint32_t key, int bit) {
+    if (kind == kKindSig) {
+      Estimator& e = sig_est_[key];
+      if (e.neg == 0) e.pos = uint16_t(kProbScale / 2);
+      int g = e.neg < 4 ? 2 : (e.neg < 16 ? 4 : 6);
+      e.pos = ema_step(e.pos, bit, g);
+      if (e.neg < 255) ++e.neg;
+      return;
+    }
+    Dual& d = dual_[key];
+    int gf = d.fn < 8 ? 2 : (d.fn < 32 ? 3 : 5);
+    int gs = d.fn < 32 ? 4 : (d.fn < 128 ? 6 : 8);
+    d.fp = ema_step(d.fp, bit, gf);
+    d.sp = ema_step(d.sp, bit, gs);
+    if (d.fn < 255) ++d.fn;
+  }
+
   // Registers a coded bin: count increments apply IMMEDIATELY (on the device
   // this is a within-batch segmented prefix-sum — still parallel), while the
   // window-halving normalization is deferred to the batch boundary. With B=1
   // this is exactly classic per-bin adaptation. MUST be called once per coded
   // bin, in pair-stream order, on both encode and decode paths.
   void note_coded(uint8_t kind, uint32_t key, int bit) {
+    if (profile_ == 1) {
+      update_ema(kind, key, bit);
+      return;
+    }
     if (kind == kKindSig) {
       Estimator& e = sig_est_[key];
       if (bit) ++e.pos; else ++e.neg;
@@ -685,6 +755,7 @@ class PriorModel {
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
   uint32_t nz_modes_ = 0x3ffff;  // default: NZ-first everywhere
+  int profile_ = 0;
   std::vector<uint8_t> skip_grid_[2];
   bool seeded_ = false;
   NZFrame frames_[2];

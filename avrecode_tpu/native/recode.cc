@@ -272,6 +272,7 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
                                             std::vector<uint16_t>* probs_out,
                                             std::vector<Dual>* dual0, uint32_t nz_modes) {
   PriorModel model;
+  model.set_profile(opt.model_profile);
   model.set_batch_size(opt.batch_size);
   model.set_nz_modes(nz_modes);
   if (dual0) {
@@ -331,6 +332,7 @@ static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
   uint64_t on_cost[3][6], off_cost[3][6];
   for (int mode = 0; mode < 2; ++mode) {
     PriorModel m;
+    m.set_profile(opt.model_profile);
     m.set_batch_size(opt.batch_size);
     m.set_nz_modes(mode ? 0 : 0x3ffff);
     std::vector<uint8_t> bits;
@@ -364,6 +366,7 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
+  w.u8(uint8_t(opt.model_profile));
   w.u32(crc32_ieee(data, st.input_bytes));  // CRC of the original file
   w.u32(uint32_t(paramsets.size()));
   for (const auto& ps : paramsets) {
@@ -468,6 +471,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();
+  int model_profile = r.u8();
   uint32_t want_crc = r.u32();
 
   std::map<int, SPS> sps_map;
@@ -613,6 +617,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   auto init_chunk = [&](uint32_t ci) {
     ChunkState& cs = chunks[ci];
     cs.model = std::make_unique<PriorModel>();
+    cs.model->set_profile(model_profile);
     cs.model->set_batch_size(batch_size);
     cs.model->set_nz_modes(nz_modes[ci]);
     cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[ci].first,

@@ -44,6 +44,8 @@ struct Options {
   // serial); >1 = frozen-within-batch tables (the TPU formulation; measured
   // ratio cost <0.3% at 16k). Stored in the container header.
   uint32_t batch_size = 1;
+  // 0 = counting estimators; 1 = EMA estimators (division-free; Pallas-ready)
+  int model_profile = 0;
   bool collect_streams = false;  // keep per-slice SymbolStreams (device path)
 };
 
