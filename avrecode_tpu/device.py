@@ -60,20 +60,23 @@ class Analysis:
     slow_w: int
     sig_w: int
     sig_alpha: int
+    profile: int = 0
 
 
-def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int = 1) -> Analysis:
+def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int = 1,
+            model_profile: int = 0) -> Analysis:
     lib = host.lib()
     if not hasattr(lib, "_analyze_ready"):
         lib.artc_analyze.restype = ctypes.c_int
         lib.artc_analyze.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
         ]
         lib._analyze_ready = True
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
-    rc = lib.artc_analyze(data, len(data), lanes, chunk_mode, batch_size,
+    rc = lib.artc_analyze(data, len(data), lanes, chunk_mode, batch_size, model_profile,
                           ctypes.byref(out), ctypes.byref(out_len))
     if rc != 0:
         raise host.NativeError(lib.artc_last_error().decode())
@@ -109,6 +112,7 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
     n_chunks = u32()
     lanes_out = u32()
     batch = u32()
+    profile = u32()
     n_dual = u32()
     n_sig = u32()
     fast_w = u32()
@@ -125,7 +129,8 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
         probs = arr(np.uint16, n)
         dual0 = arr(np.uint16, 4 * n_dual).astype(np.int32).reshape(n_dual, 4)
         chunks.append(ChunkAnalysis(bit, kind, key, prior, probs, dual0))
-    return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha)
+    return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha,
+                    profile)
 
 
 def device_probs(an: Analysis, chunk: ChunkAnalysis) -> np.ndarray:
@@ -176,6 +181,7 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
         lib.artc_compress_external.restype = ctypes.c_int
         lib.artc_compress_external.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(host.ArtcStatsC),
@@ -186,7 +192,7 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
     st = host.ArtcStatsC()
-    rc = lib.artc_compress_external(data, len(data), lanes, chunk_mode, batch_size,
+    rc = lib.artc_compress_external(data, len(data), lanes, chunk_mode, batch_size, 0,
                                     blob_cat, lens, len(blobs),
                                     ctypes.byref(out), ctypes.byref(out_len), ctypes.byref(st))
     if rc != 0:

@@ -121,6 +121,7 @@ def lib() -> ctypes.CDLL:
         _lib.artc_compress.restype = ctypes.c_int
         _lib.artc_compress.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ArtcStatsC),
         ]
@@ -154,8 +155,8 @@ def _call(fn, data: bytes, *args) -> tuple[bytes, Stats]:
 
 
 def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
-             batch_size: int = 1) -> tuple[bytes, Stats]:
-    return _call(lib().artc_compress, data, lanes, chunk_mode, batch_size)
+             batch_size: int = 1, model_profile: int = 0) -> tuple[bytes, Stats]:
+    return _call(lib().artc_compress, data, lanes, chunk_mode, batch_size, model_profile)
 
 
 def decompress(data: bytes) -> tuple[bytes, Stats]:

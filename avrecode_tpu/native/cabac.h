@@ -140,7 +140,8 @@ class CabacEncoder {
     range_ = 510;
     first_bit_ = true;
     outstanding_ = 0;
-    bits_.clear();
+    buf_.clear();
+    nbits_ = 0;
   }
 
   void encode_decision(CabacContexts& c, int ctx_idx, int bin) {
@@ -190,14 +191,9 @@ class CabacEncoder {
 
   // Finished bitstream, byte-aligned with zero bits (alignment belongs to
   // rbsp_trailing; the flush above already emitted the stop-one bit).
-  std::vector<uint8_t> take_bytes() {
-    std::vector<uint8_t> out((bits_.size() + 7) / 8, 0);
-    for (size_t i = 0; i < bits_.size(); ++i)
-      if (bits_[i]) out[i >> 3] |= uint8_t(1u << (7 - (i & 7)));
-    return out;
-  }
+  std::vector<uint8_t> take_bytes() { return std::move(buf_); }
 
-  size_t bit_count() const { return bits_.size(); }
+  size_t bit_count() const { return nbits_; }
 
  private:
   void renorm() {
@@ -220,19 +216,26 @@ class CabacEncoder {
     if (first_bit_) {
       first_bit_ = false;  // leading bit is discarded (9.3.4.3 firstBitFlag)
     } else {
-      bits_.push_back(uint8_t(b));
+      raw_bit(b);
     }
     while (outstanding_ > 0) {
-      bits_.push_back(uint8_t(1 - b));
+      raw_bit(1 - b);
       --outstanding_;
     }
+  }
+
+  void raw_bit(uint32_t b) {
+    if ((nbits_ & 7) == 0) buf_.push_back(0);
+    if (b) buf_[nbits_ >> 3] |= uint8_t(1u << (7 - (nbits_ & 7)));
+    ++nbits_;
   }
 
   uint32_t low_;
   uint32_t range_;
   bool first_bit_;
   uint64_t outstanding_;
-  std::vector<uint8_t> bits_;  // one bit per entry (simple + exact; hot path is fine)
+  std::vector<uint8_t> buf_;  // packed bits
+  size_t nbits_ = 0;
 };
 
 }  // namespace artc

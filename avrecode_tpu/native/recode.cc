@@ -193,6 +193,7 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
       ++slice_id;
 
       SliceRecord rec;
+      rec.ss.bins.reserve((rbsp.size() - sh.data_bit_offset / 8) * 12);
       int slice_class = sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1);
       rec.ss.event(kEvBeginSlice,
                    (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2),
@@ -328,9 +329,9 @@ static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
                               const Options& opt) {
   // Probe on a prefix sample of the chunk (cap ~4M bins): mode choice is a
   // coarse statistic; the sample keeps the two probe passes cheap.
-  constexpr uint64_t kProbeBinCap = 4'000'000;
+  constexpr uint64_t kProbeBinCap = 2'000'000;
   uint64_t on_cost[3][6], off_cost[3][6];
-  for (int mode = 0; mode < 2; ++mode) {
+  auto probe = [&](int mode, uint64_t (*cost)[6]) {
     PriorModel m;
     m.set_profile(opt.model_profile);
     m.set_batch_size(opt.batch_size);
@@ -344,8 +345,11 @@ static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
       enc.process(slices[si].ss);
       seen += slices[si].ss.bins.size();
     }
-    memcpy(mode ? off_cost : on_cost, m.sigc_mbits, sizeof(on_cost));
-  }
+    memcpy(cost, m.sigc_mbits, sizeof(on_cost));
+  };
+  std::thread t_on([&] { probe(0, on_cost); });
+  probe(1, off_cost);
+  t_on.join();
   uint32_t modes = 0;
   for (int sc = 0; sc < 3; ++sc)
     for (int cat = 0; cat < 6; ++cat)
@@ -737,12 +741,14 @@ static thread_local std::string g_error;
 const char* artc_last_error() { return g_error.c_str(); }
 
 int artc_compress(const uint8_t* data, size_t size, int lanes, int chunk_mode,
-                  uint32_t batch_size, uint8_t** out, size_t* out_len, ArtcStats* stats) {
+                  uint32_t batch_size, int model_profile, uint8_t** out, size_t* out_len,
+                  ArtcStats* stats) {
   try {
     artc::Options opt;
     opt.lanes = lanes > 0 ? lanes : 16;
     opt.chunk_mode = chunk_mode;
     opt.batch_size = batch_size;
+    opt.model_profile = model_profile;
     artc::Stats st;
     auto v = artc::compress(data, size, opt, &st);
     *out = static_cast<uint8_t*>(malloc(v.size()));
@@ -789,13 +795,14 @@ extern "C" {
 //              prob u16[] (host-computed, for differential testing);
 //              dual0 u16[4 * n_dual_keys] (fp,fn,sp,sn per key)
 int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
-                 uint32_t batch_size, uint8_t** out, size_t* out_len) {
+                 uint32_t batch_size, int model_profile, uint8_t** out, size_t* out_len) {
   using namespace artc;
   try {
     Options opt;
     opt.lanes = lanes > 0 ? lanes : 16;
     opt.chunk_mode = chunk_mode;
     opt.batch_size = batch_size;
+    opt.model_profile = model_profile;
     Stats st;
     Pass1 p1 = run_pass1(data, size, opt, st);
     std::vector<std::pair<size_t, size_t>> ranges;
@@ -805,6 +812,7 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
     w.u32(uint32_t(st.n_chunks));
     w.u32(uint32_t(opt.lanes));
     w.u32(opt.batch_size ? opt.batch_size : 1);
+    w.u32(uint32_t(opt.model_profile));
     w.u32(uint32_t(PriorModel::kNumDualKeys));
     w.u32(uint32_t(PriorModel::kNumSigKeys));
     w.u32(uint32_t(PriorModel::kFastWindow));
@@ -844,7 +852,7 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
 // Assembles a full container using caller-provided chunk blobs (the device
 // path's rANS output). blob_lens has n_blobs entries into blob_data.
 int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chunk_mode,
-                           uint32_t batch_size, const uint8_t* blob_data,
+                           uint32_t batch_size, int model_profile, const uint8_t* blob_data,
                            const uint64_t* blob_lens, int n_blobs, uint8_t** out,
                            size_t* out_len, ArtcStats* stats) {
   using namespace artc;
@@ -853,6 +861,7 @@ int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chun
     opt.lanes = lanes > 0 ? lanes : 16;
     opt.chunk_mode = chunk_mode;
     opt.batch_size = batch_size;
+    opt.model_profile = model_profile;
     Stats st;
     Pass1 p1 = run_pass1(data, size, opt, st);
     if (n_blobs != st.n_chunks) {

@@ -22,8 +22,9 @@ class RoundtripReport:
 
 
 def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
-             batch_size: int = 1) -> tuple[bytes, host.Stats]:
-    return host.compress(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size)
+             batch_size: int = 1, model_profile: int = 0) -> tuple[bytes, host.Stats]:
+    return host.compress(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size,
+                         model_profile=model_profile)
 
 
 def decompress(data: bytes) -> tuple[bytes, host.Stats]:
@@ -31,8 +32,9 @@ def decompress(data: bytes) -> tuple[bytes, host.Stats]:
 
 
 def roundtrip(data: bytes, lanes: int = 16, chunk_mode: int = 0,
-              batch_size: int = 1) -> RoundtripReport:
-    comp, st = compress(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size)
+              batch_size: int = 1, model_profile: int = 0) -> RoundtripReport:
+    comp, st = compress(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size,
+                        model_profile=model_profile)
     dec, _ = decompress(comp)
     ok = dec == data
     payload = st.literal_bytes + st.recoded_bytes
