@@ -143,9 +143,10 @@ def device_probs(an: Analysis, chunk: ChunkAnalysis) -> np.ndarray:
 
 def pick_lanes(n_pairs: int) -> int:
     """Adaptive lane count: wide enough to keep the TPU scan short, lean
-    enough that per-lane flush overhead (~6 B) stays <0.5% of payload."""
+    enough that per-lane flush overhead (~6 B) stays well under 0.1% of
+    payload."""
     k = 16
-    while k < 1024 and n_pairs // k > 32768:
+    while k < 128 and n_pairs // k > 32768:
         k *= 2
     return k
 

@@ -119,12 +119,12 @@ def main():
         proc.join(10)
     log(f"bench: device phase done ok={device_ok}")
     if device_ok:
+        # the hard gate: the device-encoded container must decode bit-exactly
+        # with the host serial decoder
         dec2, _ = pipeline.decompress(comp_dev)
         dev_ok = dec2 == data
-        identical = comp_dev == comp_host
     else:
         dev_ok = False
-        identical = False
 
     if device_ok and dev_ok:
         value = mb / dev_s
@@ -141,7 +141,6 @@ def main():
         "vs_baseline": round(host_s / dev_s, 3) if (ok and device_ok) else 1.0,
         "roundtrip_bit_exact": ok,
         "device_path_used": bool(device_ok and dev_ok),
-        "device_container_identical_to_host": identical,
         "compression_ratio": round(len(comp_dev if device_ok else comp_host) / len(data), 5),
         "input_mb": round(mb, 3),
         "host_path_mb_s": round(mb / host_s, 3),
