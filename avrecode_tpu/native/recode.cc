@@ -329,7 +329,7 @@ static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
                               const Options& opt) {
   // Probe on a prefix sample of the chunk (cap ~4M bins): mode choice is a
   // coarse statistic; the sample keeps the two probe passes cheap.
-  constexpr uint64_t kProbeBinCap = 2'000'000;
+  constexpr uint64_t kProbeBinCap = 6'000'000;
   uint64_t on_cost[3][6], off_cost[3][6];
   auto probe = [&](int mode, uint64_t (*cost)[6]) {
     PriorModel m;
