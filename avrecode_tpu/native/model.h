@@ -83,7 +83,10 @@ class PriorModel {
   static constexpr int kCavlcNodes = 20;
   static constexpr size_t kCavlcBase = kSkipBase + 12;
   static constexpr size_t kCavlcStride = size_t(kNumCavlcRolesM) * kCavlcAux * kCavlcNodes;
-  static constexpr size_t kNumDualKeys = kCavlcBase + kCavlcStride;
+  // prev-skip-conditioned P/B mb_type + mvd bins (ctx 14..53 compacted)
+  static constexpr size_t kMbExtraBase = kCavlcBase + kCavlcStride;
+  static constexpr size_t kMbExtraStride = size_t(40) * 2;
+  static constexpr size_t kNumDualKeys = kMbExtraBase + 3 * kMbExtraStride;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -292,6 +295,14 @@ class PriorModel {
         return kSkipBase + size_t(compact) * 2 + prev_skip();
       }
       default:
+        // Temporal conditioning for P/B mb_type and mvd bins: statistics
+        // differ sharply between previously-static (skip) and moving regions.
+        if ((ctx >= kCtxMbTypeP && ctx < kCtxMbTypeP + 4) ||
+            (ctx >= kCtxMbTypeB && ctx < kCtxMbTypeB + 9) ||
+            (ctx >= kCtxMvdX && ctx < kCtxMvdX + 14)) {
+          return kMbExtraBase + size_t(sc_) * kMbExtraStride +
+                 size_t(ctx - kCtxMbTypeP) * 2 + prev_skip();
+        }
         return base + ctx;
     }
   }
