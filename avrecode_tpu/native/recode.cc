@@ -372,37 +372,37 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   w.u32(opt.batch_size);
   w.u8(uint8_t(opt.model_profile));
   w.u32(crc32_ieee(data, st.input_bytes));  // CRC of the original file
-  w.u32(uint32_t(paramsets.size()));
+  w.vu(paramsets.size());
   for (const auto& ps : paramsets) {
     w.u8(ps.nal_type);
-    w.u32(uint32_t(ps.payload.size()));
+    w.vu(ps.payload.size());
     w.bytes(ps.payload.data(), ps.payload.size());
   }
-  w.u32(uint32_t(st.n_chunks));
+  w.vu(uint64_t(st.n_chunks));
   for (int c = 0; c < st.n_chunks; ++c) w.u32(nz_modes[c]);
-  w.u32(uint32_t(segments.size()));
+  w.vu(segments.size());
   for (const auto& seg : segments) {
     if (seg.kind == 0) {
       w.u8(0);
-      w.u64(seg.lit_len);
+      w.vu(seg.lit_len);
       w.bytes(data + seg.lit_off, seg.lit_len);
     } else {
       const SliceRecord& r = slices[seg.slice_idx];
       w.u8(1);
-      w.u32(r.chunk_idx);
+      w.vu(r.chunk_idx);
       w.u8(r.coding);
-      w.u16(r.header_bits);
-      w.u16(uint16_t(r.header_rbsp.size()));
+      w.vu(r.header_bits);
+      w.vu(r.header_rbsp.size());
       w.bytes(r.header_rbsp.data(), r.header_rbsp.size());
-      w.u32(r.cabac_rbsp_len);
-      w.u32(uint32_t(r.cstream.values.size()));
+      w.vu(r.cabac_rbsp_len);
+      w.vu(r.cstream.values.size());
       w.u8(uint8_t(r.tail_patch.size()));
       w.bytes(r.tail_patch.data(), r.tail_patch.size());
       w.u8(r.start_code_len);
     }
   }
   for (const auto& b : blobs) {
-    w.u64(b.size());
+    w.vu(b.size());
     w.bytes(b.data(), b.size());
   }
   st.output_bytes = w.buf.size();
@@ -480,10 +480,10 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
 
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
-  uint32_t n_ps = r.u32();
+  uint32_t n_ps = uint32_t(r.vu());
   for (uint32_t i = 0; i < n_ps; ++i) {
     uint8_t t = r.u8();
-    uint32_t len = r.u32();
+    uint32_t len = uint32_t(r.vu());
     const uint8_t* p = r.bytes(len);
     auto rbsp = ebsp_to_rbsp(p + 1, len - 1);
     if (t == 7) {
@@ -494,10 +494,10 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
       pps_map[q.pps_id] = q;
     }
   }
-  uint32_t n_chunks = r.u32();
+  uint32_t n_chunks = uint32_t(r.vu());
   std::vector<uint32_t> nz_modes(n_chunks);
   for (uint32_t c = 0; c < n_chunks; ++c) nz_modes[c] = r.u32();
-  uint32_t n_segments = r.u32();
+  uint32_t n_segments = uint32_t(r.vu());
 
   // Segment table first, chunk blobs after — collect segment descriptors.
   struct SegDesc {
@@ -516,19 +516,19 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     uint8_t tag = r.u8();
     if (tag == 0) {
       s.kind = 0;
-      s.lit_len = r.u64();
+      s.lit_len = size_t(r.vu());
       s.lit_pos = r.pos;
       r.bytes(s.lit_len);
     } else if (tag == 1) {
       s.kind = 1;
-      s.chunk_idx = r.u32();
+      s.chunk_idx = uint32_t(r.vu());
       s.coding = r.u8();
-      s.header_bits = r.u16();
-      uint16_t hl = r.u16();
+      s.header_bits = uint16_t(r.vu());
+      uint16_t hl = uint16_t(r.vu());
       const uint8_t* hp = r.bytes(hl);
       s.header_rbsp.assign(hp, hp + hl);
-      s.cabac_rbsp_len = r.u32();
-      s.n_values = r.u32();
+      s.cabac_rbsp_len = uint32_t(r.vu());
+      s.n_values = uint32_t(r.vu());
       uint8_t pl = r.u8();
       const uint8_t* pp = r.bytes(pl);
       s.tail_patch.assign(pp, pp + pl);
@@ -544,7 +544,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   std::vector<ChunkState> chunks(n_chunks);
   std::vector<std::pair<size_t, size_t>> blob_extents(n_chunks);
   for (uint32_t c = 0; c < n_chunks; ++c) {
-    uint64_t bl = r.u64();
+    uint64_t bl = r.vu();
     blob_extents[c] = {r.pos, bl};
     r.bytes(bl);
   }

@@ -375,6 +375,14 @@ struct Writer {
   void u16(uint16_t v) { buf.push_back(v & 0xff); buf.push_back(v >> 8); }
   void u32(uint32_t v) { for (int i = 0; i < 4; ++i) buf.push_back((v >> (8 * i)) & 0xff); }
   void u64(uint64_t v) { for (int i = 0; i < 8; ++i) buf.push_back((v >> (8 * i)) & 0xff); }
+  // LEB128 varint: most container fields are small.
+  void vu(uint64_t v) {
+    while (v >= 0x80) {
+      buf.push_back(uint8_t(v) | 0x80);
+      v >>= 7;
+    }
+    buf.push_back(uint8_t(v));
+  }
   void bytes(const uint8_t* p, size_t n) { buf.insert(buf.end(), p, p + n); }
 };
 struct Reader {
@@ -398,6 +406,19 @@ struct Reader {
     uint64_t v = 0;
     for (int i = 0; i < 8; ++i) v |= uint64_t(p[pos + i]) << (8 * i);
     pos += 8;
+    return v;
+  }
+  uint64_t vu() {
+    uint64_t v = 0;
+    int shift = 0;
+    while (true) {
+      need(1);
+      uint8_t b = p[pos++];
+      v |= uint64_t(b & 0x7f) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+      if (shift > 63) throw std::runtime_error("varint overflow");
+    }
     return v;
   }
   const uint8_t* bytes(size_t k) {
