@@ -120,12 +120,21 @@ class PriorModel {
     if (batch_ > 32768) batch_ = 32768;  // uint16 counter headroom
   }
 
-  // Bimodal significance coding: bit (slice_class*6 + cat) of nz_modes_
-  // selects NZ-first (1: count coded up front, EOB bins free) or classic
-  // adaptive-EOB (0: better on dense-residual content). Chosen per chunk at
-  // compress time from pass-1 statistics; stored in the container.
-  void set_nz_modes(uint32_t modes) { nz_modes_ = modes; }
-  bool nz_on() const { return (nz_modes_ >> (sc_ * 6 + cat_)) & 1; }
+  // Tri-modal significance coding: 2-bit field (slice_class*6 + cat) of
+  // nz_modes_ selects how the significance complex is coded:
+  //   1 = NZ-first (count coded up front, EOB bins free),
+  //   0 = classic adaptive-EOB (learned estimators),
+  //   2 = adaptive sig + CABAC-parity EOB (EOB bins coded at the mirrored
+  //       CABAC state probability — guarantees ~parity with the original
+  //       stream on EOB bins where the learned estimator loses, e.g. dense
+  //       grain content).
+  // Chosen per chunk at compress time from pass-1 statistics; stored in the
+  // container.
+  static constexpr uint64_t kAllNzOn = 0x555555555ull;  // 18 cells, value 1
+  void set_nz_modes(uint64_t modes) { nz_modes_ = modes; }
+  int sig_mode() const { return int((nz_modes_ >> (2 * (sc_ * 6 + cat_))) & 3); }
+  bool nz_on() const { return sig_mode() == 1; }
+  bool eob_parity() const { return sig_mode() == 2; }
 
   // Model profile 0 = counting estimators (ratio-optimal); 1 = EMA estimators
   // (division-free probabilities/updates -> shift/add only, designed for the
@@ -138,6 +147,12 @@ class PriorModel {
   // model starts at CABAC's tuned priors instead of p=0.5 (win on short
   // chunks; the reference always cold-starts, recode.cpp:1057).
   void seed_from_cabac(int cabac_init_idc, int slice_qp) {
+    // Always stash the current slice's CABAC params: begin_slice() (called
+    // right after, with the slice class) re-initializes the mirror context
+    // bank from them — the mirror tracks the *original* stream's CABAC state
+    // per slice, independent of the once-only estimator seeding below.
+    mirror_idc_ = cabac_init_idc;
+    mirror_qp_ = slice_qp;
     if (seeded_) return;
     seeded_ = true;
     // pLPS(sigma) ~= 0.5 * alpha^sigma, alpha = (0.01875/0.5)^(1/63).
@@ -190,6 +205,7 @@ class PriorModel {
   // statistics differ enough that mixing them costs ~0.5%).
   void begin_slice(int slice_class, bool new_picture, int mb_width, int mb_height) {
     sc_ = slice_class;
+    mirror_.init(slice_class == 0, mirror_idc_, mirror_qp_);
     if (new_picture || frames_[cur_].w != mb_width || frames_[cur_].h != mb_height) {
       cur_ ^= 1;
       frames_[cur_].reset(mb_width, mb_height);
@@ -314,7 +330,9 @@ class PriorModel {
 
   // Coded-bin trace record: the (kind, key, prior) triple fully determines the
   // probability given the frozen tables — the host->device interchange.
-  enum BinKind : uint8_t { kKindDual = 0, kKindDualSlow = 1, kKindSig = 2 };
+  // kKindPrior: probability is the recorded prior verbatim (no table, no
+  // update) — the device passthrough for CABAC-parity EOB bins.
+  enum BinKind : uint8_t { kKindDual = 0, kKindDualSlow = 1, kKindSig = 2, kKindPrior = 3 };
   struct Coded {
     uint8_t bit, kind;
     uint32_t key;
@@ -401,11 +419,21 @@ class PriorModel {
     if (pending_.size() >= batch_) flush_updates();
   }
 
+  // Prior-passthrough bins (kKindPrior) touch no estimator but still occupy a
+  // stream position: record a no-op pending entry so host batch boundaries
+  // stay aligned with the device's stream-position batches.
+  void note_passthrough() {
+    if (profile_ == 1) return;
+    pending_.push_back({0, kKindPrior, 0, 0});
+    if (pending_.size() >= batch_) flush_updates();
+  }
+
   // Batch-boundary normalization: halve every touched estimator while it is
   // over its window (commutative; device equivalent is a masked elementwise
   // pass over the tables).
   void flush_updates() {
     for (const Coded& c : pending_) {
+      if (c.kind == kKindPrior) continue;  // no-op placeholder (alignment)
       if (c.kind == kKindSig) {
         Estimator& e = sig_est_[c.key];
         while (e.pos + e.neg > kWindowSig) {
@@ -488,6 +516,42 @@ class PriorModel {
     return prob_for(kKindSig, uint32_t(sig_key(pos)), sig_prior(pos));
   }
   void sig_update(int pos, int bit) { note_coded(kKindSig, uint32_t(sig_key(pos)), bit); }
+
+  // ---- mirrored CABAC contexts ------------------------------------------
+  // A replay of the original stream's CABAC adaptive state (spec 9.3.3.1
+  // state machine), re-initialized per slice and advanced on every
+  // context-coded bin. Gives any estimator access to "what CABAC would have
+  // predicted here" as a prior; currently used to code EOB bins at exact
+  // CABAC parity where the learned estimator loses (sig_mode() == 2).
+  static const uint16_t* state_prob_q15() {
+    // p1-if-MPS==1 per state: pLPS(s) = 0.5 * alpha^s, alpha = 0.0375^(1/63).
+    static const auto table = [] {
+      static uint16_t t[64];
+      double plps = 0.5;
+      for (int s = 0; s < 64; ++s) {
+        int v = int(plps * kProbScale + 0.5);
+        t[s] = uint16_t(v < 1 ? 1 : (v > int(kProbScale) - 1 ? kProbScale - 1 : v));
+        plps *= 0.9491255522855953;
+      }
+      return t;
+    }();
+    return table;
+  }
+  void mirror_update(int ctx, int bit) {
+    uint8_t& s = mirror_.p_state[ctx];
+    uint8_t& m = mirror_.val_mps[ctx];
+    if (bit == m) {
+      s = kTransIdxMPS[s];
+    } else {
+      if (s == 0) m ^= 1;
+      s = kTransIdxLPS[s];
+    }
+  }
+  uint32_t mirror_prob(int ctx) const {
+    uint32_t plps = state_prob_q15()[mirror_.p_state[ctx]];
+    return mirror_.val_mps[ctx] ? kProbScale - plps : plps;
+  }
+  uint32_t eob_parity_prob(int ctx) const { return mirror_prob(ctx); }
 
   // Off-mode EOB (last_significant_coeff_flag) estimator.
   size_t eob_key(int pos) const {
@@ -687,6 +751,10 @@ class PriorModel {
   // Per-(slice_class, cat) accumulated cost of the significance complex
   // (sig + eob + nz bits) in millibits — drives the empirical mode choice.
   uint64_t sigc_mbits[3][6] = {};
+  // EOB-only costs measured during the adaptive-EOB probe pass: what the
+  // learned estimator paid vs what CABAC-parity coding would have paid.
+  uint64_t eobc_adapt_mbits[3][6] = {};
+  uint64_t eobc_parity_mbits[3][6] = {};
   int slice_class() const { return sc_; }
   int cur_cat() const { return cat_; }
 
@@ -765,10 +833,12 @@ class PriorModel {
   std::vector<Estimator> sig_est_;
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
-  uint32_t nz_modes_ = 0x3ffff;  // default: NZ-first everywhere
+  uint64_t nz_modes_ = kAllNzOn;  // default: NZ-first everywhere
   int profile_ = 0;
   std::vector<uint8_t> skip_grid_[2];
   bool seeded_ = false;
+  CabacContexts mirror_{};
+  int mirror_idc_ = 0, mirror_qp_ = 26;
   NZFrame frames_[2];
   int cur_ = 0;
   int mb_x_ = 0, mb_y_ = 0;

@@ -271,7 +271,7 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
                                             size_t end, const Options& opt, Stats& st,
                                             std::vector<PriorModel::Coded>* trace,
                                             std::vector<uint16_t>* probs_out,
-                                            std::vector<Dual>* dual0, uint32_t nz_modes) {
+                                            std::vector<Dual>* dual0, uint64_t nz_modes) {
   PriorModel model;
   model.set_profile(opt.model_profile);
   model.set_batch_size(opt.batch_size);
@@ -312,7 +312,7 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
 // accumulated significance-complex cost per cell, take the cheaper mode.
 // (The cells are independent in cost: each mode's estimator tables are
 // disjoint per cell.)
-static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
+static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
                               const Options& opt);
 
 static void chunk_ranges(const std::vector<SliceRecord>& slices, int n_chunks,
@@ -325,17 +325,18 @@ static void chunk_ranges(const std::vector<SliceRecord>& slices, int n_chunks,
   }
 }
 
-static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
+static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
                               const Options& opt) {
   // Probe on a prefix sample of the chunk (cap ~4M bins): mode choice is a
   // coarse statistic; the sample keeps the two probe passes cheap.
   constexpr uint64_t kProbeBinCap = 6'000'000;
   uint64_t on_cost[3][6], off_cost[3][6];
-  auto probe = [&](int mode, uint64_t (*cost)[6]) {
+  uint64_t eob_adapt[3][6], eob_parity[3][6];
+  auto probe = [&](int mode, uint64_t (*cost)[6], bool grab_eob) {
     PriorModel m;
     m.set_profile(opt.model_profile);
     m.set_batch_size(opt.batch_size);
-    m.set_nz_modes(mode ? 0 : 0x3ffff);
+    m.set_nz_modes(mode ? 0 : PriorModel::kAllNzOn);
     std::vector<uint8_t> bits;
     std::vector<uint16_t> probs;
     ModelEncoder enc(m, bits, probs);
@@ -346,27 +347,42 @@ static uint32_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
       seen += slices[si].ss.bins.size();
     }
     memcpy(cost, m.sigc_mbits, sizeof(on_cost));
+    if (grab_eob) {
+      memcpy(eob_adapt, m.eobc_adapt_mbits, sizeof(eob_adapt));
+      memcpy(eob_parity, m.eobc_parity_mbits, sizeof(eob_parity));
+    }
   };
-  std::thread t_on([&] { probe(0, on_cost); });
-  probe(1, off_cost);
+  std::thread t_on([&] { probe(0, on_cost, false); });
+  probe(1, off_cost, true);  // adaptive pass also prices CABAC-parity EOB
   t_on.join();
-  uint32_t modes = 0;
+  uint64_t modes = 0;
   for (int sc = 0; sc < 3; ++sc)
-    for (int cat = 0; cat < 6; ++cat)
-      if (on_cost[sc][cat] <= off_cost[sc][cat]) modes |= 1u << (sc * 6 + cat);
+    for (int cat = 0; cat < 6; ++cat) {
+      // Sig cost is shared by both off-modes; only the EOB coding differs.
+      uint64_t off_par =
+          off_cost[sc][cat] - eob_adapt[sc][cat] + eob_parity[sc][cat];
+      uint64_t cell;
+      if (on_cost[sc][cat] <= off_cost[sc][cat] && on_cost[sc][cat] <= off_par)
+        cell = 1;
+      else if (off_par <= off_cost[sc][cat])
+        cell = 2;
+      else
+        cell = 0;
+      modes |= cell << (2 * (sc * 6 + cat));
+    }
   return modes;
 }
 
 static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
                                            const std::vector<std::vector<uint8_t>>& blobs,
-                                           const std::vector<uint32_t>& nz_modes,
+                                           const std::vector<uint64_t>& nz_modes,
                                            const Options& opt, Stats& st) {
   const auto& slices = p1.slices;
   const auto& segments = p1.segments;
   const auto& paramsets = p1.paramsets;
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
-  w.u8(4);  // version 4: +CAVLC slice records (coding, header_bits, n_values)
+  w.u8(5);  // version 5: tri-modal sig modes (varint u64, 2 bits/cell)
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
@@ -379,7 +395,7 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
     w.bytes(ps.payload.data(), ps.payload.size());
   }
   w.vu(uint64_t(st.n_chunks));
-  for (int c = 0; c < st.n_chunks; ++c) w.u32(nz_modes[c]);
+  for (int c = 0; c < st.n_chunks; ++c) w.vu(nz_modes[c]);
   w.vu(segments.size());
   for (const auto& seg : segments) {
     if (seg.kind == 0) {
@@ -416,7 +432,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   std::vector<std::pair<size_t, size_t>> ranges;
   chunk_ranges(p1.slices, st.n_chunks, &ranges);
   std::vector<std::vector<uint8_t>> blobs(ranges.size());
-  std::vector<uint32_t> nz_modes(ranges.size());
+  std::vector<uint64_t> nz_modes(ranges.size());
   // Chunks are independent by format design — model pass + entropy encode
   // parallelize across a thread pool (the reference is strictly single-
   // threaded, recode.cpp:122).
@@ -438,7 +454,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
         for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
           auto [b, e] = ranges[c];
           Stats local;
-          uint32_t modes = pick_nz_modes(p1.slices, b, e, opt);
+          uint64_t modes = pick_nz_modes(p1.slices, b, e, opt);
           auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr, nullptr,
                                       modes);
           std::lock_guard<std::mutex> lock(mu);
@@ -471,7 +487,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   const uint8_t* magic = r.bytes(4);
   if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
   uint8_t version = r.u8();
-  if (version != 4) throw std::runtime_error("unsupported container version");
+  if (version != 5) throw std::runtime_error("unsupported container version");
   r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();
@@ -495,8 +511,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     }
   }
   uint32_t n_chunks = uint32_t(r.vu());
-  std::vector<uint32_t> nz_modes(n_chunks);
-  for (uint32_t c = 0; c < n_chunks; ++c) nz_modes[c] = r.u32();
+  std::vector<uint64_t> nz_modes(n_chunks);
+  for (uint32_t c = 0; c < n_chunks; ++c) nz_modes[c] = r.vu();
   uint32_t n_segments = uint32_t(r.vu());
 
   // Segment table first, chunk blobs after — collect segment descriptors.
@@ -824,7 +840,7 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
       std::vector<uint16_t> probs;
       std::vector<Dual> dual0;
       Stats tmp;
-      uint32_t modes = pick_nz_modes(p1.slices, b, e, opt);
+      uint64_t modes = pick_nz_modes(p1.slices, b, e, opt);
       run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0, modes);
       w.u64(trace.size());
       for (const auto& c : trace) w.u8(c.bit);
@@ -877,7 +893,7 @@ int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chun
     }
     std::vector<std::pair<size_t, size_t>> ranges2;
     chunk_ranges(p1.slices, st.n_chunks, &ranges2);
-    std::vector<uint32_t> nz_modes;
+    std::vector<uint64_t> nz_modes;
     for (auto [b, e] : ranges2) nz_modes.push_back(pick_nz_modes(p1.slices, b, e, opt));
     auto v = pack_container(data, p1, blobs, nz_modes, opt, st);
     *out = static_cast<uint8_t*>(malloc(v.size()));

@@ -103,12 +103,25 @@ class ModelEncoder {
             if (det != b.bin) throw std::runtime_error("model/walker EOB disagreement");
             ++m_.bill.eob_count;  // zero bits
             m_.bill.eob_cabac_mbits += b.cabac_mbits;
+          } else if (m_.eob_parity()) {
+            m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            uint32_t pp = m_.eob_parity_prob(b.ctx);
+            if (trace_)
+              trace_->push_back({b.bin, PriorModel::kKindPrior, 0, uint16_t(pp)});
+            push(b.bin, pp, kKlassEob);
+            m_.note_passthrough();
           } else {
             m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            uint32_t pa = m_.eob_prob(b.pos);
+            // Price both EOB codings during this (adaptive) pass — feeds the
+            // per-cell tri-mode choice in pick_nz_modes.
+            m_.eobc_adapt_mbits[m_.slice_class()][m_.cur_cat()] += cost_mb(b.bin, pa);
+            m_.eobc_parity_mbits[m_.slice_class()][m_.cur_cat()] +=
+                cost_mb(b.bin, m_.eob_parity_prob(b.ctx));
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.eob_key(b.pos)),
                                  PriorModel::kNeutralPrior});
-            push(b.bin, m_.eob_prob(b.pos), kKlassEob);
+            push(b.bin, pa, kKlassEob);
             m_.eob_update(b.pos, b.bin);
           }
           break;
@@ -135,6 +148,9 @@ class ModelEncoder {
           break;
         }
       }
+      // Advance the mirrored CABAC state for every context-coded bin (after
+      // this bin's probabilities were computed from the pre-update state).
+      if (b.ctx < kCtxBypass) m_.mirror_update(b.ctx, b.bin);
     }
   }
 
@@ -271,6 +287,7 @@ class ModelSource {
   int decision(int ctx, BinKlass klass) {
     int bit = rans_.decode(m_.bin_prob(ctx, klass));
     m_.bin_update(ctx, klass, bit);
+    m_.mirror_update(ctx, bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;
   }
@@ -301,6 +318,7 @@ class ModelSource {
     int bit = rans_.decode(m_.sig_prob(pos));
     m_.sig_update(pos, bit);
     m_.on_sig_bin(bit);
+    m_.mirror_update(ctx, bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;
   }
@@ -308,16 +326,21 @@ class ModelSource {
     int bit;
     if (m_.nz_on()) {
       bit = m_.eob_answer();  // zero recoded bits
+    } else if (m_.eob_parity()) {
+      bit = rans_.decode(m_.eob_parity_prob(ctx));
+      m_.note_passthrough();
     } else {
       bit = rans_.decode(m_.eob_prob(pos));
       m_.eob_update(pos, bit);
     }
+    m_.mirror_update(ctx, bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;
   }
   int res_bin(int ctx, int pos) {
     int bit = rans_.decode(m_.res_prob(ctx, pos));
     m_.res_update(ctx, pos, bit);
+    m_.mirror_update(ctx, bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;
   }

@@ -70,6 +70,11 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
         dual, sig = tables
         bit, kind, key, prior = xs
         is_sig = kind == 2
+        # kind 3 = prior passthrough (CABAC-parity EOB bins): no table read or
+        # update — retarget them at the scratch row so the prefix machinery
+        # never mixes them into a live key's segment.
+        is_ext = kind == 3
+        key = jnp.where(is_ext, n_dual - 1, key)
         # Unified key space for the within-batch prefix machinery.
         ukey = jnp.where(is_sig, key + n_dual, key)
 
@@ -110,10 +115,11 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
         p_sig = _clamp_prob(((spos << PROB_BITS) + sig_alpha * prior) //
                             (spos + sneg + sig_alpha))
         prob = jnp.where(kind == 0, p_dual, jnp.where(kind == 1, p_slow, p_sig))
+        prob = jnp.where(is_ext, _clamp_prob(prior), prob)
 
         # Batch-boundary update: scatter-add totals, then masked halving.
-        d_ones = jnp.where(is_sig, 0, bit)
-        d_zero = jnp.where(is_sig, 0, 1 - bit)
+        d_ones = jnp.where(is_sig | is_ext, 0, bit)
+        d_zero = jnp.where(is_sig | is_ext, 0, 1 - bit)
         s_ones = jnp.where(is_sig, bit, 0)
         s_zero = jnp.where(is_sig, 1 - bit, 0)
         dual = dual.at[dkey, 0].add(d_ones)

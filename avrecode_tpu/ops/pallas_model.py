@@ -58,6 +58,7 @@ def _ema_kernel(bk_ref, ky_ref, pr_ref, dfp_in, dsp_in, dvis_in, sema_in, svis_i
         bit = bk & 1
         kind = bk >> 1
         is_sig = kind == 2
+        is_ext = kind == 3  # prior passthrough (CABAC-parity EOB): no tables
         valid = bk != 255
         trow = key // LANES
         lane = key % LANES
@@ -67,7 +68,8 @@ def _ema_kernel(bk_ref, ky_ref, pr_ref, dfp_in, dsp_in, dvis_in, sema_in, svis_i
             return jnp.where(jnp.logical_and(onehot, enable), value, row)
 
         # ---- dual branch ----
-        dual_en = jnp.logical_and(valid, jnp.logical_not(is_sig))
+        dual_en = jnp.logical_and(valid,
+                                  jnp.logical_not(jnp.logical_or(is_sig, is_ext)))
         row_fp = dfp[pl.ds(trow, 1), :]
         row_sp = dsp[pl.ds(trow, 1), :]
         row_dv = dvis[pl.ds(trow, 1), :]
@@ -100,6 +102,7 @@ def _ema_kernel(bk_ref, ky_ref, pr_ref, dfp_in, dsp_in, dvis_in, sema_in, svis_i
         svis[pl.ds(trow, 1), :] = blend(row_sv, jnp.minimum(svisits + 1, 255), sig_en)
 
         p = jnp.where(is_sig, p_sig, p_dual)
+        p = jnp.where(is_ext, jnp.clip(prior, 1, PROB_SCALE - 1), p)
         p = jnp.where(valid, p, PROB_SCALE // 2)
         return jnp.where(emask, p, probs_vec)
 
