@@ -502,8 +502,10 @@ class PriorModel {
                  (sig_is_dc() + 2 * sig_pos_class(pos) + 2 * kSigPosClasses * cat_);
     return hash_sig(size_t(sc_) * kSigStride + key);
   }
-  uint16_t sig_prior(int pos) const {
-    if (!nz_on()) return kNeutralPrior;
+  uint16_t sig_prior(int ctx, int pos) const {
+    // Off-mode: back off to the mirrored CABAC prediction (cold contexts
+    // start at CABAC quality; the estimator learns corrections on top).
+    if (!nz_on()) return uint16_t(mirror_prob(ctx));
     int remaining = nnz_total_ - observed_;
     int left = max_coeff_ - pos;
     uint32_t prior = (uint32_t(remaining) << kProbBits) / uint32_t(left);
@@ -511,9 +513,9 @@ class PriorModel {
     if (prior > kProbScale - 1) prior = kProbScale - 1;
     return uint16_t(prior);
   }
-  uint32_t sig_prob(int pos) {
+  uint32_t sig_prob(int ctx, int pos) {
     assert(!nz_on() || nnz_total_ >= 1);
-    return prob_for(kKindSig, uint32_t(sig_key(pos)), sig_prior(pos));
+    return prob_for(kKindSig, uint32_t(sig_key(pos)), sig_prior(ctx, pos));
   }
   void sig_update(int pos, int bit) { note_coded(kKindSig, uint32_t(sig_key(pos)), bit); }
 
@@ -558,8 +560,8 @@ class PriorModel {
     size_t key = (size_t(cat_) * kSigPosClasses + sig_pos_class(pos)) * 2 + sig_is_dc();
     return hash_sig(kEobOffBase + size_t(sc_) * kEobOffStride + key);
   }
-  uint32_t eob_prob(int pos) {
-    return prob_for(kKindSig, uint32_t(eob_key(pos)), kNeutralPrior);
+  uint32_t eob_prob(int ctx, int pos) {
+    return prob_for(kKindSig, uint32_t(eob_key(pos)), uint16_t(mirror_prob(ctx)));
   }
   void eob_update(int pos, int bit) { note_coded(kKindSig, uint32_t(eob_key(pos)), bit); }
 

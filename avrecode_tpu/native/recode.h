@@ -91,8 +91,8 @@ class ModelEncoder {
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
           if (trace_)
             trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.sig_key(b.pos)),
-                               m_.sig_prior(b.pos)});
-          push(b.bin, m_.sig_prob(b.pos), b.klass);
+                               m_.sig_prior(b.ctx, b.pos)});
+          push(b.bin, m_.sig_prob(b.ctx, b.pos), b.klass);
           m_.sig_update(b.pos, b.bin);
           m_.on_sig_bin(b.bin);
           break;
@@ -112,7 +112,7 @@ class ModelEncoder {
             m_.note_passthrough();
           } else {
             m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
-            uint32_t pa = m_.eob_prob(b.pos);
+            uint32_t pa = m_.eob_prob(b.ctx, b.pos);
             // Price both EOB codings during this (adaptive) pass — feeds the
             // per-cell tri-mode choice in pick_nz_modes.
             m_.eobc_adapt_mbits[m_.slice_class()][m_.cur_cat()] += cost_mb(b.bin, pa);
@@ -120,7 +120,7 @@ class ModelEncoder {
                 cost_mb(b.bin, m_.eob_parity_prob(b.ctx));
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.eob_key(b.pos)),
-                                 PriorModel::kNeutralPrior});
+                                 uint16_t(m_.mirror_prob(b.ctx))});
             push(b.bin, pa, kKlassEob);
             m_.eob_update(b.pos, b.bin);
           }
@@ -315,7 +315,7 @@ class ModelSource {
         m_.mark_in_sig();
       }
     }
-    int bit = rans_.decode(m_.sig_prob(pos));
+    int bit = rans_.decode(m_.sig_prob(ctx, pos));
     m_.sig_update(pos, bit);
     m_.on_sig_bin(bit);
     m_.mirror_update(ctx, bit);
@@ -330,7 +330,7 @@ class ModelSource {
       bit = rans_.decode(m_.eob_parity_prob(ctx));
       m_.note_passthrough();
     } else {
-      bit = rans_.decode(m_.eob_prob(pos));
+      bit = rans_.decode(m_.eob_prob(ctx, pos));
       m_.eob_update(pos, bit);
     }
     m_.mirror_update(ctx, bit);
