@@ -263,11 +263,16 @@ class PriorModel {
 
   static constexpr int kFastWindow = 48;
   static constexpr int kSlowWindow = 640;
-  static uint32_t dual_prob(const Dual& d, bool slow_only = false) {
+  static uint32_t dual_prob(const Dual& d, bool slow_only = false, uint16_t prior = 0) {
     uint32_t ps = (uint32_t(d.sp) << kProbBits) / (d.sp + d.sn);
     uint32_t p;
     if (slow_only) {
       p = ps;
+    } else if (prior) {
+      // Three-voice mix: fast + slow learned estimators + the mirrored CABAC
+      // prediction (prior is nonzero only for context-coded mb-layer bins).
+      uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
+      p = (pf + ps + 2u * prior) >> 2;
     } else {
       uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
       p = (pf + ps) >> 1;
@@ -349,7 +354,7 @@ class PriorModel {
       if (p > kProbScale - 1) p = kProbScale - 1;
       return p;
     }
-    return dual_prob(dual_[key], kind == kKindDualSlow);
+    return dual_prob(dual_[key], kind == kKindDualSlow, prior);
   }
 
   // ---- EMA profile ---------------------------------------------------------
@@ -373,6 +378,7 @@ class PriorModel {
     }
     const Dual& d = dual_[key];
     if (kind == kKindDualSlow) return clamp15(int32_t(d.sp));
+    if (prior) return clamp15((int32_t(d.fp) + int32_t(d.sp) + 2 * int32_t(prior)) >> 2);
     return clamp15((int32_t(d.fp) + int32_t(d.sp)) >> 1);
   }
   // Classic bias-free form: toward 1: p += (S-p)>>g; toward 0: p -= p>>g.
@@ -455,9 +461,12 @@ class PriorModel {
     pending_.clear();
   }
 
+  uint16_t bin_prior(int ctx, BinKlass klass) const {
+    return (ctx < kCtxBypass && !slow_only(klass)) ? uint16_t(mirror_prob(ctx)) : 0;
+  }
   uint32_t bin_prob(int ctx, BinKlass klass) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
-    return prob_for(kind, uint32_t(route(ctx, klass)), 0);
+    return prob_for(kind, uint32_t(route(ctx, klass)), bin_prior(ctx, klass));
   }
   void bin_update(int ctx, BinKlass klass, int bit) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;

@@ -142,7 +142,8 @@ class ModelEncoder {
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
           if (trace_)
             trace_->push_back({b.bin, m_.last_kind(BinKlass(b.klass)),
-                               uint32_t(m_.route(b.ctx, BinKlass(b.klass))), 0});
+                               uint32_t(m_.route(b.ctx, BinKlass(b.klass))),
+                               m_.bin_prior(b.ctx, BinKlass(b.klass))});
           push(b.bin, m_.bin_prob(b.ctx, BinKlass(b.klass)), b.klass);
           m_.bin_update(b.ctx, BinKlass(b.klass), b.bin);
           break;

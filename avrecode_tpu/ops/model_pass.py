@@ -110,7 +110,11 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
 
         ps = (dsp << PROB_BITS) // (dsp + dsn)
         pf = (dfp << PROB_BITS) // (dfp + dfn)
-        p_dual = _clamp_prob((pf + ps) >> 1)
+        # Three-voice mix when a mirrored-CABAC prior rides along (mb-layer
+        # ctx bins); plain fast+slow otherwise (prior == 0 sentinel).
+        p_dual = _clamp_prob(jnp.where(prior > 0,
+                                       (pf + ps + 2 * prior) >> 2,
+                                       (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
         p_sig = _clamp_prob(((spos << PROB_BITS) + sig_alpha * prior) //
                             (spos + sneg + sig_alpha))

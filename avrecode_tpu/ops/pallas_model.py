@@ -77,7 +77,8 @@ def _ema_kernel(bk_ref, ky_ref, pr_ref, dfp_in, dsp_in, dvis_in, sema_in, svis_i
         sp = pick(row_sp, onehot)
         dvisits = pick(row_dv, onehot)
         p_slow = jnp.clip(sp, 1, PROB_SCALE - 1)
-        p_mix = jnp.clip((fp + sp) >> 1, 1, PROB_SCALE - 1)
+        p_mix = jnp.clip(jnp.where(prior > 0, (fp + sp + 2 * prior) >> 2,
+                                   (fp + sp) >> 1), 1, PROB_SCALE - 1)
         p_dual = jnp.where(kind == 1, p_slow, p_mix)
         gf = jnp.where(dvisits < 8, 2, jnp.where(dvisits < 32, 3, 5))
         gs = jnp.where(dvisits < 32, 4, jnp.where(dvisits < 128, 6, 8))
