@@ -462,7 +462,8 @@ class PriorModel {
   }
 
   uint16_t bin_prior(int ctx, BinKlass klass) const {
-    return (ctx < kCtxBypass && !slow_only(klass)) ? uint16_t(mirror_prob(ctx)) : 0;
+    return (ctx < kCtxBypass && !slow_only(klass) && klass != kKlassCbf)
+               ? uint16_t(mirror_prob(ctx)) : 0;
   }
   uint32_t bin_prob(int ctx, BinKlass klass) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
