@@ -58,9 +58,11 @@ class CavlcRecorder {
     rec(kRRunBefore, uint8_t(zeros_left < 15 ? zeros_left : 15), int32_t(v));
     return v;
   }
-  uint32_t level_prefix(int suffix_length) {
+  uint32_t level_prefix(int suffix_length, int idx) {
     uint32_t v = r_.level_prefix();
-    rec(kRLevelPrefix, uint8_t(suffix_length), int32_t(v));
+    // aux packs (suffix_length, coefficient index): level magnitudes fall
+    // sharply with decode position (high-frequency-first order).
+    rec(kRLevelPrefix, uint8_t(suffix_length | (idx < 7 ? idx : 7) << 3), int32_t(v));
     return v;
   }
   uint32_t level_suffix_bits(int nbits, int suffix_length) {
@@ -122,8 +124,9 @@ class CavlcReplayer {
     w_.run_before(zeros_left, v);
     return v;
   }
-  uint32_t level_prefix(int suffix_length) {
-    uint32_t v = uint32_t(src_.next(kRLevelPrefix, uint8_t(suffix_length)));
+  uint32_t level_prefix(int suffix_length, int idx) {
+    uint32_t v = uint32_t(
+        src_.next(kRLevelPrefix, uint8_t(suffix_length | (idx < 7 ? idx : 7) << 3)));
     w_.level_prefix(v);
     return v;
   }

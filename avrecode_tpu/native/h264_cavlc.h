@@ -436,7 +436,7 @@ class CavlcWalker {
     // Levels (9.2.2): decoded high-frequency-first.
     int suffix_length = (total_coeff > 10 && t1s < 3) ? 1 : 0;
     for (int i = 0; i < total_coeff - t1s; ++i) {
-      uint32_t prefix = io_.level_prefix(suffix_length);
+      uint32_t prefix = io_.level_prefix(suffix_length, i);
       int level_suffix_size = suffix_length;
       if (prefix == 14 && suffix_length == 0) level_suffix_size = 4;
       else if (prefix >= 15) level_suffix_size = int(prefix) - 3;
