@@ -45,16 +45,23 @@ def _halve_while(x_pos, x_neg, window, iters=16):
     return x_pos, x_neg
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "fast_w", "slow_w", "sig_w", "sig_alpha"))
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "fast_w", "slow_w", "sig_w", "sig_alpha", "impl"))
 def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, slow_w: int,
-               sig_w: int, sig_alpha: int):
+               sig_w: int, sig_alpha: int, impl: str = "sort"):
     """Returns probs (uint16[n_pairs_padded]) for the padded pair stream.
 
     bits/kinds/keys/priors: int32[n_batches * batch] (padded; padding must use
     the scratch dual key = dual0.shape[0] - 1 with bit 0).
     dual0: int32[n_dual + 1, 4] seeded (fp, fn, sp, sn); last row is scratch.
     sig0: int32[n_sig, 2] (pos, neg) start state (zeros).
+    impl: "sort" = stable-argsort segmented prefix sums (VPU sort network);
+          "mm" = tril-masked key-equality matmul (exclusive per-key prefix
+          counts as an fp32 MXU contraction — exact for batch <= 2^20, no
+          sort). Bit-identical outputs; pick by measured speed.
     """
+    if impl not in ("sort", "mm"):
+        raise ValueError(f"model_pass impl must be 'sort' or 'mm', got {impl!r}")
     n = bits.shape[0]
     assert n % batch == 0
     n_batches = n // batch
@@ -78,23 +85,39 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
         # Unified key space for the within-batch prefix machinery.
         ukey = jnp.where(is_sig, key + n_dual, key)
 
-        order = jnp.argsort(ukey, stable=True)
-        ukey_s = ukey[order]
-        ones_s = bit[order]
-        start = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), ukey_s[1:] != ukey_s[:-1]])
-        ex_ones = jnp.cumsum(ones_s) - ones_s  # exclusive cumsum
-        pos_idx = jnp.arange(batch, dtype=jnp.int32)
-        # Segment-start baselines via running max (cumsums are nondecreasing).
-        seg_ex_ones = jax.lax.cummax(jnp.where(start, ex_ones, -1))
-        seg_first = jax.lax.cummax(jnp.where(start, pos_idx, -1))
-        pre_ones_s = ex_ones - seg_ex_ones
-        pre_tot_s = pos_idx - seg_first
-        # Unsort.
-        inv = jnp.zeros_like(order).at[order].set(pos_idx)
-        pre_ones = pre_ones_s[inv]
-        pre_tot = pre_tot_s[inv]
-        pre_zeros = pre_tot - pre_ones
+        if impl == "mm":
+            # pre_ones[i] = #{j < i : ukey_j == ukey_i, bit_j = 1} as a
+            # masked matmul: M[i,j] = (ukey_i == ukey_j) & (j < i), then
+            # (pre_ones, pre_tot) = M @ [bit, 1]. Counts < 2^20 are exact in
+            # fp32; the contraction runs on the MXU instead of a sort network.
+            pos_idx = jnp.arange(batch, dtype=jnp.int32)
+            m = ((ukey[:, None] == ukey[None, :]) &
+                 (pos_idx[None, :] < pos_idx[:, None]))
+            rhs = jnp.stack([bit, jnp.ones_like(bit)], axis=1)
+            pre = jax.lax.dot(m.astype(jnp.float32), rhs.astype(jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST)
+            pre = pre.astype(jnp.int32)
+            pre_ones = pre[:, 0]
+            pre_tot = pre[:, 1]
+            pre_zeros = pre_tot - pre_ones
+        else:
+            order = jnp.argsort(ukey, stable=True)
+            ukey_s = ukey[order]
+            ones_s = bit[order]
+            start = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), ukey_s[1:] != ukey_s[:-1]])
+            ex_ones = jnp.cumsum(ones_s) - ones_s  # exclusive cumsum
+            pos_idx = jnp.arange(batch, dtype=jnp.int32)
+            # Segment-start baselines via running max (cumsums nondecreasing).
+            seg_ex_ones = jax.lax.cummax(jnp.where(start, ex_ones, -1))
+            seg_first = jax.lax.cummax(jnp.where(start, pos_idx, -1))
+            pre_ones_s = ex_ones - seg_ex_ones
+            pre_tot_s = pos_idx - seg_first
+            # Unsort.
+            inv = jnp.zeros_like(order).at[order].set(pos_idx)
+            pre_ones = pre_ones_s[inv]
+            pre_tot = pre_tot_s[inv]
+            pre_zeros = pre_tot - pre_ones
 
         # Effective estimator state for each pair. Sig keys index a different
         # table; route each gather/scatter to its own space (the other side
@@ -152,7 +175,13 @@ def _bucket(n_batches: int) -> int:
     return b
 
 
-def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_alpha, n_sig):
+def default_impl() -> str:
+    import os
+    return os.environ.get("ARTC_MODEL_IMPL", "sort")
+
+
+def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_alpha, n_sig,
+              impl=None):
     """numpy in/out convenience wrapper: pads, runs the jitted pass, trims."""
     n = len(bit)
     if n == 0:
@@ -170,5 +199,6 @@ def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_al
     probs = model_pass(
         jnp.asarray(bit_p), jnp.asarray(kind_p), jnp.asarray(key_p), jnp.asarray(prior_p),
         jnp.asarray(dual_ext), jnp.asarray(sig0), batch=int(batch), fast_w=int(fast_w),
-        slow_w=int(slow_w), sig_w=int(sig_w), sig_alpha=int(sig_alpha))
+        slow_w=int(slow_w), sig_w=int(sig_w), sig_alpha=int(sig_alpha),
+        impl=impl or default_impl())
     return np.asarray(probs)[:n]

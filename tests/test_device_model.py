@@ -43,3 +43,21 @@ def test_ema_profile_roundtrip(small_clip):
     from avrecode_tpu import pipeline
     rep = pipeline.roundtrip(small_clip, model_profile=1)
     assert rep.ok
+
+
+def test_model_pass_mm_impl_bit_exact(small_clip):
+    """The sort-free (masked-matmul) prefix formulation must match the
+    sort-based one bit-for-bit on real traces."""
+    from avrecode_tpu import device
+    from avrecode_tpu.ops import model_pass as mp
+    an = device.analyze(small_clip, batch_size=1024)
+    c = an.chunks[0]
+    a = mp.run_chunk(c.bit, c.kind, c.key, c.prior, c.dual0, 1024,
+                     an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig,
+                     impl="sort")
+    b = mp.run_chunk(c.bit, c.kind, c.key, c.prior, c.dual0, 1024,
+                     an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig,
+                     impl="mm")
+    import numpy as np
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, c.host_probs)
