@@ -46,6 +46,17 @@ def corpus_dir(tmp_path_factory):
         "ipb_high.mp4": "w=160 h=128 frames=12 gop=6 bframes=2 profile=high qp=26",
         "multislice.264": "w=320 h=240 frames=6 gop=3 bframes=1 profile=high qp=24 slices=3",
         "cavlc.mp4": "w=128 h=96 frames=4 profile=baseline cabac=0 bframes=0",
+        # Stress configs: multi-ref, weighted P+B pred, all partitions,
+        # trellis, AUD NALs, custom deblock (walker must not fall back).
+        "stress_wpred.264": ("w=160 h=128 frames=10 qp=24 slices=2 bframes=3 "
+                             "xparams=ref=8:weightp=2:weightb=1:b-adapt=2:"
+                             "direct=auto:partitions=all:subme=9:trellis=2"),
+        "stress_aud.mp4": ("w=176 h=144 frames=10 crf=30 slices=2 bframes=2 "
+                           "preset=slow xparams=ref=5:weightp=2:aud=1:"
+                           "deblock=-2,-2"),
+        "stress_cavlc.264": ("w=160 h=128 frames=8 qp=14 cabac=0 bframes=0 "
+                             "profile=baseline slices=2 "
+                             "xparams=ref=4:partitions=all"),
     }
     for name, args in specs.items():
         subprocess.run(

@@ -7,7 +7,8 @@ import pytest
 
 from avrecode_tpu import pipeline
 
-CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264"]
+CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264",
+         "stress_wpred.264", "stress_aud.mp4", "stress_cavlc.264"]
 
 
 @pytest.mark.parametrize("clip", CLIPS)

@@ -54,7 +54,7 @@ int main(int argc, char** argv) {
       {"w", "320"},      {"h", "240"},     {"frames", "30"}, {"crf", ""},
       {"qp", "26"},      {"preset", "medium"}, {"profile", "high"},
       {"bframes", "2"},  {"slices", "1"},  {"cabac", "1"},   {"seed", "1"},
-      {"gop", "10"},     {"raw", ""},
+      {"gop", "10"},     {"raw", ""},    {"xparams", ""},
   };
   for (int i = 2; i < argc; ++i) {
     std::string a = argv[i];
@@ -80,6 +80,7 @@ int main(int argc, char** argv) {
   if (!kv["crf"].empty()) av_opt_set(c->priv_data, "crf", kv["crf"].c_str(), 0);
   else av_opt_set(c->priv_data, "qp", kv["qp"].c_str(), 0);
   std::string x264params = "slices=" + kv["slices"] + ":cabac=" + kv["cabac"];
+  if (!kv["xparams"].empty()) x264params += ":" + kv["xparams"];
   av_opt_set(c->priv_data, "x264-params", x264params.c_str(), 0);
 
   AVFormatContext* fmt = nullptr;
