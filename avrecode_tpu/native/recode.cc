@@ -49,6 +49,132 @@ struct Pass1 {
 };
 }  // namespace
 
+// Pass 1: enumerate NALs, walk every slice through its entropy decoder,
+// verify byte-exact re-encoding, and build the file's segment structure.
+//
+// Structure (the reference does all of this strictly serially inside its
+// decode hooks, recode.cpp:1102-1297):
+//   phase A (serial, cheap)  - NAL scan, paramset registration, slice header
+//                              parses; produces independent slice jobs.
+//   phase B (parallel)       - per-slice entropy walk + regenerate + verify.
+//                              Slices are independent by spec: CABAC/CAVLC
+//                              neighbor availability is same-slice only
+//                              (clause 6.4.9; each walker gets a private
+//                              PictureState), and every walker re-inits its
+//                              coder from the slice header.
+//   phase C (serial, cheap)  - ordered segment/chunk assembly; failed jobs
+//                              fall back to literal runs.
+// Output is byte-identical to the serial formulation.
+namespace {
+struct SliceJob {
+  NalUnit nal;
+  std::vector<uint8_t> rbsp;
+  SPS sps;
+  PPS pps;
+  SliceHeader sh;
+  int slice_id = 0;
+  const uint8_t* nal_ptr = nullptr;
+  bool ok = false;
+  SliceRecord rec;
+};
+}  // namespace
+
+static void walk_cavlc_job(SliceJob& j) {
+  const auto& rbsp = j.rbsp;
+  SliceRecord rec;
+  rec.coding = 1;
+  CavlcPicture cpic;
+  cpic.reset(j.sps.mb_width(), j.sps.mb_height());
+  CavlcRecorder crec(rbsp.data(), rbsp.size(), j.sh.header_end_bit, &rec.cstream);
+  CavlcWalker<CavlcRecorder> cw(j.sps, j.pps, j.sh, cpic, j.slice_id, crec);
+  cw.run();
+  BitWriter bw;
+  for (size_t b = 0; b < j.sh.header_end_bit; ++b)
+    bw.put_bit((rbsp[b >> 3] >> (7 - (b & 7))) & 1);
+  RecordedValues rv(rec.cstream);
+  CavlcPicture cpic2;
+  cpic2.reset(j.sps.mb_width(), j.sps.mb_height());
+  CavlcReplayer<RecordedValues> rep(rv, bw);
+  CavlcWalker<CavlcReplayer<RecordedValues>> cw2(j.sps, j.pps, j.sh, cpic2, j.slice_id, rep);
+  cw2.run();
+  bw.put_bit(1);
+  while (!bw.byte_aligned()) bw.put_bit(0);
+  std::vector<uint8_t> regen = bw.bytes();
+  if (regen.size() > rbsp.size()) throw UnsupportedStream("cavlc regen longer");
+  regen.resize(rbsp.size(), 0);
+  size_t fd = 0;
+  while (fd < rbsp.size() && regen[fd] == rbsp[fd]) ++fd;
+  if (rbsp.size() - fd > kMaxTailPatch) throw UnsupportedStream("cavlc tail too large");
+  rec.tail_patch.assign(rbsp.begin() + fd, rbsp.end());
+  std::copy(rec.tail_patch.begin(), rec.tail_patch.end(), regen.end() - rec.tail_patch.size());
+  std::vector<uint8_t> ebsp2 = rbsp_to_ebsp(regen.data(), regen.size());
+  if (ebsp2.size() + 1 != j.nal.size || memcmp(ebsp2.data(), j.nal_ptr + 1, ebsp2.size()) != 0)
+    throw UnsupportedStream("cavlc NAL reconstruction mismatch");
+  rec.header_rbsp.push_back(j.nal_ptr[0]);
+  size_t hdr_bytes = (j.sh.header_end_bit + 7) / 8;
+  rec.header_rbsp.insert(rec.header_rbsp.end(), rbsp.begin(), rbsp.begin() + hdr_bytes);
+  rec.header_bits = uint16_t(j.sh.header_end_bit);
+  rec.cabac_rbsp_len = uint32_t(rbsp.size());
+  rec.start_code_len = uint8_t(j.nal.start_code);
+  j.rec = std::move(rec);
+  j.ok = true;
+}
+
+static void walk_cabac_job(SliceJob& j) {
+  const auto& rbsp = j.rbsp;
+  const SliceHeader& sh = j.sh;
+  bool new_picture = sh.first_mb_in_slice == 0;
+  SliceRecord rec;
+  rec.ss.bins.reserve((rbsp.size() - sh.data_bit_offset / 8) * 12);
+  int slice_class = sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1);
+  rec.ss.event(kEvBeginSlice,
+               (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2),
+               j.sps.mb_width(), j.sps.mb_height(),
+               sh.slice_qp | (sh.cabac_init_idc << 16));
+  PictureState pic;  // private: availability is same-slice only (6.4.9)
+  pic.reset(j.sps.mb_width(), j.sps.mb_height());
+  RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),
+                      sh.cabac_init_idc, sh.slice_qp, &rec.ss);
+  SliceWalker<RecordingSource> walker(j.sps, j.pps, sh, pic, j.slice_id, src);
+  walker.run();
+
+  // Regenerate + tail patch + full-NAL verification.
+  size_t hb = sh.data_bit_offset / 8;
+  size_t cabac_len = rbsp.size() - hb;
+  std::vector<uint8_t> regen =
+      reencode_symbol_stream(rec.ss, sh.is_intra(), sh.cabac_init_idc, sh.slice_qp);
+  if (regen.size() > cabac_len) throw UnsupportedStream("regenerated longer than source");
+  regen.resize(cabac_len, 0);
+  size_t first_diff = 0;
+  while (first_diff < cabac_len && regen[first_diff] == rbsp[hb + first_diff]) ++first_diff;
+  size_t patch_len = cabac_len - first_diff;
+  if (patch_len > kMaxTailPatch) throw UnsupportedStream("tail patch too large");
+  rec.tail_patch.assign(rbsp.begin() + hb + first_diff, rbsp.end());
+
+  std::vector<uint8_t> full_rbsp;
+  full_rbsp.push_back(j.nal_ptr[0]);
+  full_rbsp.insert(full_rbsp.end(), rbsp.begin(), rbsp.begin() + hb);
+  full_rbsp.insert(full_rbsp.end(), regen.begin(), regen.end());
+  std::copy(rec.tail_patch.begin(), rec.tail_patch.end(),
+            full_rbsp.end() - rec.tail_patch.size());
+  std::vector<uint8_t> ebsp = rbsp_to_ebsp(full_rbsp.data() + 1, full_rbsp.size() - 1);
+  if (ebsp.size() + 1 != j.nal.size || full_rbsp[0] != j.nal_ptr[0] ||
+      memcmp(ebsp.data(), j.nal_ptr + 1, ebsp.size()) != 0)
+    throw UnsupportedStream("NAL reconstruction mismatch");
+
+  rec.header_rbsp.push_back(j.nal_ptr[0]);
+  rec.header_rbsp.insert(rec.header_rbsp.end(), rbsp.begin(), rbsp.begin() + hb);
+  rec.header_bits = uint16_t(hb * 8);
+  rec.cabac_rbsp_len = uint32_t(cabac_len);
+  rec.start_code_len = uint8_t(j.nal.start_code);
+  rec.intra = sh.is_intra();
+  rec.new_picture = new_picture;
+  rec.cabac_init_idc = sh.cabac_init_idc;
+  rec.slice_qp = sh.slice_qp;
+  j.rec = std::move(rec);
+  j.ok = true;
+}
+
 static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Stats& st) {
   st.input_bytes = size;
 
@@ -96,24 +222,10 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
     nals = find_nals_annexb(data, size);
   }
 
-  // ---- pass 1: walk slices, build segments -------------------------------
-  std::vector<SliceRecord> slices;
-  std::vector<Segment> segments;
-  PictureState pic;
+  // ---- phase A: scan, register paramsets, parse headers into jobs --------
+  std::vector<SliceJob> jobs;
   int slice_id = 0;
-  uint32_t chunk_idx = 0;
-  bool chunk_started = false;
-  size_t lit_start = 0;  // current literal run start
-
-  auto flush_literal = [&](size_t upto) {
-    if (upto > lit_start) {
-      segments.push_back({0, lit_start, upto - lit_start, 0});
-      st.literal_bytes += upto - lit_start;
-    }
-  };
-
   for (const auto& nal : nals) {
-    if (nal.offset < lit_start) continue;  // overlap guard
     const uint8_t* p = data + nal.offset;
     if (nal.type == 7 || nal.type == 8) {
       try {
@@ -127,133 +239,83 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
         }
         paramsets.push_back({uint8_t(nal.type), std::vector<uint8_t>(p, p + nal.size)});
       } catch (...) {}
-      continue;  // stays in literal run
+      continue;
     }
     if (nal.type != 1 && nal.type != 5) continue;
     try {
-      std::vector<uint8_t> rbsp = ebsp_to_rbsp(p + 1, nal.size - 1);
+      SliceJob j;
+      j.rbsp = ebsp_to_rbsp(p + 1, nal.size - 1);
       const SPS* sps;
       const PPS* pps;
-      SliceHeader sh =
-          parse_slice_header(rbsp.data(), rbsp.size(), nal.type, nal.ref_idc, sps_map,
-                             pps_map, &sps, &pps);
-      if (!pps->entropy_coding_mode) {
-        // ---- CAVLC slice: record syntax values, verify bit-exact replay ----
-        ++slice_id;
-        SliceRecord rec;
-        rec.coding = 1;
-        CavlcPicture cpic;
-        cpic.reset(sps->mb_width(), sps->mb_height());
-        CavlcRecorder crec(rbsp.data(), rbsp.size(), sh.header_end_bit, &rec.cstream);
-        CavlcWalker<CavlcRecorder> cw(*sps, *pps, sh, cpic, slice_id, crec);
-        cw.run();
-        BitWriter bw;
-        for (size_t b = 0; b < sh.header_end_bit; ++b)
-          bw.put_bit((rbsp[b >> 3] >> (7 - (b & 7))) & 1);
-        RecordedValues rv(rec.cstream);
-        CavlcPicture cpic2;
-        cpic2.reset(sps->mb_width(), sps->mb_height());
-        CavlcReplayer<RecordedValues> rep(rv, bw);
-        CavlcWalker<CavlcReplayer<RecordedValues>> cw2(*sps, *pps, sh, cpic2, slice_id, rep);
-        cw2.run();
-        bw.put_bit(1);
-        while (!bw.byte_aligned()) bw.put_bit(0);
-        std::vector<uint8_t> regen = bw.bytes();
-        if (regen.size() > rbsp.size()) throw UnsupportedStream("cavlc regen longer");
-        regen.resize(rbsp.size(), 0);
-        size_t fd = 0;
-        while (fd < rbsp.size() && regen[fd] == rbsp[fd]) ++fd;
-        if (rbsp.size() - fd > kMaxTailPatch) throw UnsupportedStream("cavlc tail too large");
-        rec.tail_patch.assign(rbsp.begin() + fd, rbsp.end());
-        std::copy(rec.tail_patch.begin(), rec.tail_patch.end(),
-                  regen.end() - rec.tail_patch.size());
-        std::vector<uint8_t> ebsp2 = rbsp_to_ebsp(regen.data(), regen.size());
-        if (ebsp2.size() + 1 != nal.size || memcmp(ebsp2.data(), p + 1, ebsp2.size()) != 0)
-          throw UnsupportedStream("cavlc NAL reconstruction mismatch");
-        if (opt.chunk_mode == 1 && sh.is_idr && sh.first_mb_in_slice == 0 && chunk_started)
-          ++chunk_idx;
-        chunk_started = true;
-        rec.chunk_idx = chunk_idx;
-        rec.header_rbsp.push_back(p[0]);
-        size_t hdr_bytes = (sh.header_end_bit + 7) / 8;
-        rec.header_rbsp.insert(rec.header_rbsp.end(), rbsp.begin(), rbsp.begin() + hdr_bytes);
-        rec.header_bits = uint16_t(sh.header_end_bit);
-        rec.cabac_rbsp_len = uint32_t(rbsp.size());
-        rec.start_code_len = uint8_t(nal.start_code);
-        flush_literal(nal.offset);
-        segments.push_back({1, 0, 0, slices.size()});
-        slices.push_back(std::move(rec));
-        lit_start = nal.offset + nal.size;
-        st.cabac_in_bytes += rbsp.size() - hdr_bytes;
-        ++st.n_slices;
-        continue;
-      }
-      bool new_picture = sh.first_mb_in_slice == 0;
-      if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
-      ++slice_id;
-
-      SliceRecord rec;
-      rec.ss.bins.reserve((rbsp.size() - sh.data_bit_offset / 8) * 12);
-      int slice_class = sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1);
-      rec.ss.event(kEvBeginSlice,
-                   (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2),
-                   sps->mb_width(), sps->mb_height(),
-                   sh.slice_qp | (sh.cabac_init_idc << 16));
-      RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),
-                          sh.cabac_init_idc, sh.slice_qp, &rec.ss);
-      SliceWalker<RecordingSource> walker(*sps, *pps, sh, pic, slice_id, src);
-      walker.run();
-
-      // Regenerate + tail patch + full-NAL verification.
-      size_t hb = sh.data_bit_offset / 8;
-      size_t cabac_len = rbsp.size() - hb;
-      std::vector<uint8_t> regen = reencode_symbol_stream(rec.ss, sh.is_intra(),
-                                                          sh.cabac_init_idc, sh.slice_qp);
-      if (regen.size() > cabac_len) throw UnsupportedStream("regenerated longer than source");
-      regen.resize(cabac_len, 0);
-      size_t first_diff = 0;
-      while (first_diff < cabac_len && regen[first_diff] == rbsp[hb + first_diff]) ++first_diff;
-      size_t patch_len = cabac_len - first_diff;
-      if (patch_len > kMaxTailPatch) throw UnsupportedStream("tail patch too large");
-      rec.tail_patch.assign(rbsp.begin() + hb + first_diff, rbsp.end());
-
-      // Verify byte-exact NAL reconstruction now (compress-time gate).
-      std::vector<uint8_t> full_rbsp;
-      full_rbsp.push_back(p[0]);
-      full_rbsp.insert(full_rbsp.end(), rbsp.begin(), rbsp.begin() + hb);
-      full_rbsp.insert(full_rbsp.end(), regen.begin(), regen.end());
-      std::copy(rec.tail_patch.begin(), rec.tail_patch.end(),
-                full_rbsp.end() - rec.tail_patch.size());
-      std::vector<uint8_t> ebsp = rbsp_to_ebsp(full_rbsp.data() + 1, full_rbsp.size() - 1);
-      if (ebsp.size() + 1 != nal.size || full_rbsp[0] != p[0] ||
-          memcmp(ebsp.data(), p + 1, ebsp.size()) != 0)
-        throw UnsupportedStream("NAL reconstruction mismatch");
-
-      // Chunking: new chunk at IDR picture starts (chunk_mode 1).
-      if (opt.chunk_mode == 1 && sh.is_idr && new_picture && chunk_started) ++chunk_idx;
-      chunk_started = true;
-
-      rec.chunk_idx = chunk_idx;
-      rec.header_rbsp.push_back(p[0]);
-      rec.header_rbsp.insert(rec.header_rbsp.end(), rbsp.begin(), rbsp.begin() + hb);
-      rec.header_bits = uint16_t(hb * 8);
-      rec.cabac_rbsp_len = uint32_t(cabac_len);
-      rec.start_code_len = uint8_t(nal.start_code);
-      rec.intra = sh.is_intra();
-      rec.new_picture = new_picture;
-      rec.cabac_init_idc = sh.cabac_init_idc;
-      rec.slice_qp = sh.slice_qp;
-
-      flush_literal(nal.offset);
-      segments.push_back({1, 0, 0, slices.size()});
-      slices.push_back(std::move(rec));
-      lit_start = nal.offset + nal.size;
-      st.cabac_in_bytes += cabac_len;
-      ++st.n_slices;
+      j.sh = parse_slice_header(j.rbsp.data(), j.rbsp.size(), nal.type, nal.ref_idc,
+                                sps_map, pps_map, &sps, &pps);
+      j.sps = *sps;  // deep copies: a re-sent paramset must not mutate a job
+      j.pps = *pps;
+      j.nal = nal;
+      j.nal_ptr = p;
+      j.slice_id = ++slice_id;
+      jobs.push_back(std::move(j));
     } catch (const std::exception&) {
       ++st.n_fallback;
-      // whole NAL remains in the literal run
     }
+  }
+
+  // ---- phase B: walk slices in parallel ----------------------------------
+  unsigned n_workers = std::max(1u, std::thread::hardware_concurrency());
+  if (const char* e = getenv("ARTC_PASS1_THREADS")) n_workers = std::max(1, atoi(e));
+  n_workers = std::min<size_t>(n_workers, jobs.size() ? jobs.size() : 1);
+  std::atomic<size_t> next{0};
+  auto worker = [&] {
+    for (size_t i = next.fetch_add(1); i < jobs.size(); i = next.fetch_add(1)) {
+      try {
+        if (!jobs[i].pps.entropy_coding_mode) walk_cavlc_job(jobs[i]);
+        else walk_cabac_job(jobs[i]);
+      } catch (const std::exception&) {
+        jobs[i].ok = false;
+      }
+    }
+  };
+  if (n_workers <= 1 || jobs.size() <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (unsigned w = 1; w < n_workers; ++w) threads.emplace_back(worker);
+    worker();
+    for (auto& t : threads) t.join();
+  }
+
+  // ---- phase C: ordered segment / chunk assembly -------------------------
+  std::vector<SliceRecord> slices;
+  std::vector<Segment> segments;
+  uint32_t chunk_idx = 0;
+  bool chunk_started = false;
+  size_t lit_start = 0;
+
+  auto flush_literal = [&](size_t upto) {
+    if (upto > lit_start) {
+      segments.push_back({0, lit_start, upto - lit_start, 0});
+      st.literal_bytes += upto - lit_start;
+    }
+  };
+
+  for (auto& j : jobs) {
+    if (j.nal.offset < lit_start) continue;  // overlap guard
+    if (!j.ok) {
+      ++st.n_fallback;  // stays in the literal run
+      continue;
+    }
+    bool idr_picture_start = j.sh.is_idr && j.sh.first_mb_in_slice == 0;
+    if (opt.chunk_mode == 1 && idr_picture_start && chunk_started) ++chunk_idx;
+    chunk_started = true;
+    j.rec.chunk_idx = chunk_idx;
+    flush_literal(j.nal.offset);
+    segments.push_back({1, 0, 0, slices.size()});
+    size_t hdr_bytes = j.rec.header_rbsp.size() - 1;
+    st.cabac_in_bytes += j.rec.coding == 1 ? j.rbsp.size() - hdr_bytes
+                                           : j.rec.cabac_rbsp_len;
+    slices.push_back(std::move(j.rec));
+    lit_start = j.nal.offset + j.nal.size;
+    ++st.n_slices;
   }
   flush_literal(size);
   st.n_chunks = chunk_started ? int(chunk_idx) + 1 : 0;
@@ -263,7 +325,6 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
   out.paramsets = std::move(paramsets);
   return out;
 }
-
 
 // Runs the model+entropy pass over one chunk's slices. If trace/probs_out are
 // given, records the device-path inputs; always returns the rANS blob.
