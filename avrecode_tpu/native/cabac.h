@@ -192,6 +192,7 @@ class CabacEncoder {
   // Finished bitstream, byte-aligned with zero bits (alignment belongs to
   // rbsp_trailing; the flush above already emitted the stop-one bit).
   std::vector<uint8_t> take_bytes() { return std::move(buf_); }
+  const std::vector<uint8_t>& bytes() const { return buf_; }
 
   size_t bit_count() const { return nbits_; }
 

@@ -64,9 +64,9 @@ struct MBInfo {
   uint8_t chroma_pred_nonzero = 0;
   uint8_t qp_delta_nonzero = 0;
   // coded_block_flag storage: bits 0-15 luma 4x4 by grid pos (x + 4*y);
-  // bit 16 luma DC; bits 17-18 chroma DC (u,v); bits 19-26 chroma AC
-  // (comp*4 + (cx + 2*cy)).
-  uint32_t cbf = 0;
+  // bit 16 luma DC; bits 17-18 chroma DC (u,v); bits 19+ chroma AC at
+  // 19 + comp*8 + (cx + 2*cy) (cy 0..1 for 4:2:0, 0..3 for 4:2:2).
+  uint64_t cbf = 0;
   // |mvd| per list per 4x4 grid pos per component (entropy ctx only needs the
   // absolute value; clamped to int16 range).
   int16_t mvd[2][16][2];
@@ -102,7 +102,9 @@ class SliceWalker {
   SliceWalker(const SPS& sps, const PPS& pps, const SliceHeader& sh, PictureState& pic,
               int slice_id, IO& io)
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
-    if (sps.chroma_format_idc != 1) throw UnsupportedStream("chroma_format != 4:2:0");
+    if (sps.chroma_format_idc != 1 && sps.chroma_format_idc != 2)
+      throw UnsupportedStream("chroma_format not 4:2:0/4:2:2");
+    numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
       throw UnsupportedStream("bit depth != 8");
   }
@@ -640,7 +642,7 @@ class SliceWalker {
           decode_block(kCatLuma8x8, kSlotLuma8x8 + b8, 64, -1, -1);
           for (int k = 0; k < 4; ++k) {
             int gx = 2 * kBlk8x8X[b8] + (k & 1), gy = 2 * kBlk8x8Y[b8] + (k >> 1);
-            cur_->cbf |= 1u << (gx + 4 * gy);
+            cur_->cbf |= 1ull << (gx + 4 * gy);
           }
         } else {
           for (int k = 0; k < 4; ++k) {
@@ -652,13 +654,16 @@ class SliceWalker {
       }
     }
     if (cbp_chroma) {
+      // 4:2:2 (ChromaArrayType 2): NumC8x8 = 2 -> 8-coeff chroma DC blocks
+      // and 8 AC blocks per component on a 2x4 grid (7.3.5.3.3).
+      int nblk = 4 * numc8x8_;
       for (int c = 0; c < 2; ++c)
-        decode_block(kCatChromaDC, kSlotChromaDC + c, 4, cbf_ctx_chroma_dc(c), 17 + c);
+        decode_block(kCatChromaDC, kSlotChromaDC + c, nblk, cbf_ctx_chroma_dc(c), 17 + c);
       if (cbp_chroma == 2)
         for (int c = 0; c < 2; ++c)
-          for (int k = 0; k < 4; ++k)
-            decode_block(kCatChromaAC, kSlotChromaAC + 4 * c + k, 15,
-                         cbf_ctx_chroma_ac(c, k), 19 + 4 * c + k);
+          for (int k = 0; k < nblk; ++k)
+            decode_block(kCatChromaAC, kSlotChromaAC + 8 * c + k, 15,
+                         cbf_ctx_chroma_ac(c, k), 19 + 8 * c + k);
     }
   }
 
@@ -669,17 +674,17 @@ class SliceWalker {
   }
   // condTermFlagN for an MB-level neighbor: PCM -> 1, unavailable ->
   // (current MB intra ? 1 : 0), else the given cbf bit of the neighbor.
-  int cond_mb(const MBInfo* n, uint32_t bit_mask) const {
+  int cond_mb(const MBInfo* n, uint64_t bit_mask) const {
     if (!n) return cur_->intra ? 1 : 0;
     if (n->pcm) return 1;
     return (n->cbf & bit_mask) ? 1 : 0;
   }
   int cbf_ctx_luma_dc() const {
-    return cbf_ctx(kCatLumaDC, cond_mb(nb_mb(-1, 0), 1u << 16), cond_mb(nb_mb(0, -1), 1u << 16));
+    return cbf_ctx(kCatLumaDC, cond_mb(nb_mb(-1, 0), 1ull << 16), cond_mb(nb_mb(0, -1), 1ull << 16));
   }
   int cbf_ctx_chroma_dc(int c) const {
-    return cbf_ctx(kCatChromaDC, cond_mb(nb_mb(-1, 0), 1u << (17 + c)),
-                   cond_mb(nb_mb(0, -1), 1u << (17 + c)));
+    return cbf_ctx(kCatChromaDC, cond_mb(nb_mb(-1, 0), 1ull << (17 + c)),
+                   cond_mb(nb_mb(0, -1), 1ull << (17 + c)));
   }
   // Luma 4x4 / I16 AC: neighbor 4x4 at grid position; cross-MB wraps to the
   // adjacent MB's opposite column/row.
@@ -712,13 +717,14 @@ class SliceWalker {
     return cbf_ctx(kCatChromaAC, cond_chroma_ac(c, gx - 1, gy), cond_chroma_ac(c, gx, gy - 1));
   }
   int cond_chroma_ac(int c, int gx, int gy) const {
+    int gh = 2 * numc8x8_;  // chroma AC grid is 2 wide x gh tall (6.4.11.6)
     int dx = 0, dy = 0;
     if (gx < 0) { dx = -1; gx += 2; }
-    if (gy < 0) { dy = -1; gy += 2; }
+    if (gy < 0) { dy = -1; gy += gh; }
     const MBInfo* mb = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
     if (!mb) return cur_->intra ? 1 : 0;
     if (mb->pcm) return 1;
-    return (mb->cbf >> (19 + 4 * c + gx + 2 * gy)) & 1;
+    return (mb->cbf >> (19 + 8 * c + gx + 2 * gy)) & 1;
   }
 
   // Decode one residual block: coded_block_flag (unless cat 5), significance
@@ -729,7 +735,7 @@ class SliceWalker {
     int cbf = 1;
     if (cat != kCatLuma8x8) {
       cbf = io_.decision(cbf_ctx_idx, kKlassCbf);
-      if (cbf && cbf_bit >= 0) cur_->cbf |= 1u << cbf_bit;
+      if (cbf && cbf_bit >= 0) cur_->cbf |= 1ull << cbf_bit;
     }
     if (cbf) {
       uint8_t sig[64] = {0};
@@ -753,7 +759,10 @@ class SliceWalker {
         if (!sig[p]) continue;
         int ctx0 = (num_gt1 != 0) ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
         if (io_.res_bin(abs_base + ctx0, p)) {
-          int ctx_n = 5 + (num_gt1 < 4 ? num_gt1 : 4);
+          // gt1 ctx clips at 3 for chroma DC (9.3.3.1.3 ctxBlockCat 3) - only
+          // reachable with >4 gt1 coeffs, i.e. only in 4:2:2's 8-coeff DC.
+          int gt1_cap = (cat == kCatChromaDC) ? 3 : 4;
+          int ctx_n = 5 + (num_gt1 < gt1_cap ? num_gt1 : gt1_cap);
           int level = 2;
           while (level < 15 && io_.res_bin(abs_base + ctx_n, p)) ++level;
           if (level == 15) {  // UEG0 suffix
@@ -776,12 +785,18 @@ class SliceWalker {
 
   int sig_ctx(int cat, int pos) const {
     if (cat == kCatLuma8x8) return kCtxSig8x8Base + kSigCoeffFlagOffset8x8[0][pos];
-    if (cat == kCatChromaDC) return kCtxSigBase + kCatSigOffset[cat] + (pos < 2 ? pos : 2);
+    if (cat == kCatChromaDC) {
+      int p = pos / numc8x8_;  // Min(levelListIdx / NumC8x8, 2), 9.3.3.1.3
+      return kCtxSigBase + kCatSigOffset[cat] + (p < 2 ? p : 2);
+    }
     return kCtxSigBase + kCatSigOffset[cat] + pos;
   }
   int last_ctx(int cat, int pos) const {
     if (cat == kCatLuma8x8) return kCtxLast8x8Base + kLastCoeffFlagOffset8x8[pos];
-    if (cat == kCatChromaDC) return kCtxLastBase + kCatSigOffset[cat] + (pos < 2 ? pos : 2);
+    if (cat == kCatChromaDC) {
+      int p = pos / numc8x8_;
+      return kCtxLastBase + kCatSigOffset[cat] + (p < 2 ? p : 2);
+    }
     return kCtxLastBase + kCatSigOffset[cat] + pos;
   }
 
@@ -790,6 +805,7 @@ class SliceWalker {
   const SliceHeader& sh_;
   PictureState& pic_;
   int slice_id_;
+  int numc8x8_ = 1;  // 1 = 4:2:0, 2 = 4:2:2
   IO& io_;
   int mb_x_ = 0, mb_y_ = 0;
   MBInfo* cur_ = nullptr;

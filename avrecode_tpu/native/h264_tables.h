@@ -76,8 +76,8 @@ enum BlockSlot : int {
   kSlotLuma4x4 = 1,   // +blk_idx (0..15)
   kSlotLuma8x8 = 17,  // +blk8x8 (0..3)
   kSlotChromaDC = 21, // +component (0..1)
-  kSlotChromaAC = 23, // +component*4+blk (0..7)
-  kNumBlockSlots = 31,
+  kSlotChromaAC = 23, // +component*8+blk (blk 0..3 for 4:2:0, 0..7 for 4:2:2)
+  kNumBlockSlots = 39,
 };
 
 }  // namespace artc

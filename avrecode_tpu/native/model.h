@@ -203,6 +203,7 @@ class PriorModel {
   // slice_class: 0 = I, 1 = P, 2 = B. Estimator banks are separated per class
   // (CABAC effectively does the same via per-slice-type init tables; I/P/B bin
   // statistics differ enough that mixing them costs ~0.5%).
+  void set_chroma422(bool v) { chroma422_ = v; }
   void begin_slice(int slice_class, bool new_picture, int mb_width, int mb_height) {
     sc_ = slice_class;
     mirror_.init(slice_class == 0, mirror_idc_, mirror_qp_);
@@ -830,12 +831,13 @@ class PriorModel {
     }
     if (slot_ >= kSlotChromaAC) {
       int idx = slot_ - kSlotChromaAC;
-      int c = idx >> 2, blk = idx & 3;
+      int c = idx >> 3, blk = idx & 7;
+      int gh = chroma422_ ? 4 : 2;  // chroma AC grid height
       int gx = (blk & 1) + dx, gy = (blk >> 1) + dy;
       int mx = mb_x_, my = mb_y_;
       if (gx < 0) { gx = 1; --mx; }
-      if (gy < 0) { gy = 1; --my; }
-      return f.get(mx, my, kSlotChromaAC + 4 * c + gx + 2 * gy);
+      if (gy < 0) { gy = gh - 1; --my; }
+      return f.get(mx, my, kSlotChromaAC + 8 * c + gx + 2 * gy);
     }
     // DC slots: same slot of the adjacent MB.
     return f.get(mb_x_ + dx, mb_y_ + dy, slot_);
@@ -849,6 +851,7 @@ class PriorModel {
   int profile_ = 0;
   std::vector<uint8_t> skip_grid_[2];
   bool seeded_ = false;
+  bool chroma422_ = false;
   CabacContexts mirror_{};
   int mirror_idc_ = 0, mirror_qp_ = 26;
   NZFrame frames_[2];

@@ -128,7 +128,8 @@ static void walk_cabac_job(SliceJob& j) {
   rec.ss.bins.reserve((rbsp.size() - sh.data_bit_offset / 8) * 12);
   int slice_class = sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1);
   rec.ss.event(kEvBeginSlice,
-               (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2),
+               (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2) |
+                   (j.sps.chroma_format_idc == 2 ? 16 : 0),
                j.sps.mb_width(), j.sps.mb_height(),
                sh.slice_qp | (sh.cabac_init_idc << 16));
   PictureState pic;  // private: availability is same-slice only (6.4.9)
@@ -699,6 +700,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     bool new_picture = sh.first_mb_in_slice == 0;
     if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
     cs.model->seed_from_cabac(sh.cabac_init_idc, sh.slice_qp);
+    cs.model->set_chroma422(sps->chroma_format_idc == 2);
     cs.model->begin_slice(sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1), new_picture,
                           sps->mb_width(), sps->mb_height());
     ModelSource src(*cs.model, *cs.rans, sh.is_intra(), sh.cabac_init_idc, sh.slice_qp);

@@ -160,6 +160,7 @@ class ModelEncoder {
     switch (e.type) {
       case kEvBeginSlice:
         m_.seed_from_cabac((e.d >> 16) & 0xffff, e.d & 0xffff);
+        m_.set_chroma422((e.a & 16) != 0);
         m_.begin_slice((e.a >> 2) & 3, (e.a & 2) != 0, e.b, e.c);
         break;
       case kEvBeginMB: m_.begin_mb(e.a, e.b); break;

@@ -57,6 +57,12 @@ def corpus_dir(tmp_path_factory):
         "stress_cavlc.264": ("w=160 h=128 frames=8 qp=14 cabac=0 bframes=0 "
                              "profile=baseline slices=2 "
                              "xparams=ref=4:partitions=all"),
+        # 4:2:2 chroma (high422): exercises 8-coeff chroma DC blocks, the
+        # cat-3 gt1 ctx cap, and the 2x4 chroma AC grid.
+        "c422.264": ("w=160 h=128 frames=8 qp=20 bframes=2 slices=2 "
+                     "profile=high422 pixfmt=422"),
+        "c422.mp4": ("w=176 h=144 frames=6 crf=26 bframes=2 "
+                     "profile=high422 pixfmt=422 xparams=8x8dct=1"),
     }
     for name, args in specs.items():
         subprocess.run(

@@ -38,7 +38,8 @@ static void fill_frame(AVFrame* f, int idx, unsigned seed) {
       if (((x >> 4) + (y >> 4) + (idx >> 2)) % 7 == 0) px = 235;  // moving blocks
       f->data[0][y * f->linesize[0] + x] = (uint8_t)px;
     }
-  for (int y = 0; y < h / 2; ++y)
+  int ch = f->format == AV_PIX_FMT_YUV422P ? h : h / 2;
+  for (int y = 0; y < ch; ++y)
     for (int x = 0; x < w / 2; ++x) {
       f->data[1][y * f->linesize[1] + x] = (uint8_t)((x * 2 + idx * 7) & 0xff);
       f->data[2][y * f->linesize[2] + x] = (uint8_t)((y * 2 + idx * 3) & 0xff);
@@ -54,7 +55,7 @@ int main(int argc, char** argv) {
       {"w", "320"},      {"h", "240"},     {"frames", "30"}, {"crf", ""},
       {"qp", "26"},      {"preset", "medium"}, {"profile", "high"},
       {"bframes", "2"},  {"slices", "1"},  {"cabac", "1"},   {"seed", "1"},
-      {"gop", "10"},     {"raw", ""},    {"xparams", ""},
+      {"gop", "10"},     {"raw", ""},    {"xparams", ""},  {"pixfmt", "420"},
   };
   for (int i = 2; i < argc; ++i) {
     std::string a = argv[i];
@@ -72,7 +73,8 @@ int main(int argc, char** argv) {
   c->height = atoi(kv["h"].c_str());
   c->time_base = {1, 25};
   c->framerate = {25, 1};
-  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  bool is422 = kv["pixfmt"] == "422";
+  c->pix_fmt = is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
   c->gop_size = atoi(kv["gop"].c_str());
   c->max_b_frames = atoi(kv["bframes"].c_str());
   av_opt_set(c->priv_data, "preset", kv["preset"].c_str(), 0);
@@ -123,7 +125,7 @@ int main(int argc, char** argv) {
       for (int y = 0; y < c->height; ++y)
         if (fread(frame->data[0] + y * frame->linesize[0], 1, c->width, rawf) != size_t(c->width)) { nframes = i; break; }
       for (int pl = 1; pl <= 2; ++pl)
-        for (int y = 0; y < c->height / 2; ++y)
+        for (int y = 0; y < (is422 ? c->height : c->height / 2); ++y)
           if (fread(frame->data[pl] + y * frame->linesize[pl], 1, c->width / 2, rawf) != size_t(c->width / 2)) { nframes = i; break; }
       if (nframes == i) break;
     } else fill_frame(frame, i, seed);
