@@ -487,6 +487,36 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   return std::move(w.buf);
 }
 
+// Packs the container and applies the store fallback: if recoding didn't pay
+// (tiny files — model cold start + per-slice container overhead), emit a
+// pure-literal container instead. Caps expansion at the fixed header size
+// (~40 bytes) and still carries the CRC-32 integrity gate. (The reference can
+// expand tiny inputs unboundedly per slice; SURVEY.md §2.7.)
+static std::vector<uint8_t> finalize_container(const uint8_t* data, size_t size, const Pass1& p1,
+                                               const std::vector<std::vector<uint8_t>>& blobs,
+                                               const std::vector<uint64_t>& nz_modes,
+                                               const Options& opt, Stats& st) {
+  auto out = pack_container(data, p1, blobs, nz_modes, opt, st);
+  if (opt.chunk_mode == 0 && out.size() >= size + std::max<size_t>(40, size / 256)) {
+    Pass1 lit;
+    lit.segments.push_back({0, 0, size, 0});
+    Stats st2;
+    st2.input_bytes = size;
+    st2.literal_bytes = size;
+    st2.n_chunks = 0;
+    auto v2 = pack_container(data, lit, {}, {}, opt, st2);
+    if (v2.size() < out.size()) {
+      // The walker ran (stats/billing stand); the container stores literals.
+      st.output_bytes = st2.output_bytes;
+      st.literal_bytes = size;
+      st.recoded_bytes = 0;
+      st.n_chunks = 0;
+      return v2;
+    }
+  }
+  return out;
+}
+
 std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& opt,
                               Stats* stats) {
   Stats st;
@@ -537,31 +567,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
       });
     for (auto& t : workers) t.join();
   }
-  auto out = pack_container(data, p1, blobs, nz_modes, opt, st);
-  // Store fallback: if recoding didn't pay (tiny files — model cold start +
-  // per-slice container overhead), emit a pure-literal container instead.
-  // Caps expansion at the fixed header size (~40 bytes) and still carries the
-  // CRC-32 integrity gate. (The reference can expand tiny inputs unboundedly
-  // per slice; SURVEY.md §2.7.)
-  if (opt.chunk_mode == 0 &&
-      out.size() >= size + std::max<size_t>(40, size / 256)) {
-    Pass1 lit;
-    lit.segments.push_back({0, 0, size, 0});
-    Stats st2;
-    st2.input_bytes = size;
-    st2.literal_bytes = size;
-    st2.n_chunks = 0;
-    out = pack_container(data, lit, {}, {}, opt, st2);
-    if (out.size() < size + 40) {
-      // The walker ran (stats/billing stand); the container stores literals.
-      st.output_bytes = st2.output_bytes;
-      st.literal_bytes = size;
-      st.recoded_bytes = 0;
-      st.n_chunks = 0;
-    } else {
-      out = pack_container(data, p1, blobs, nz_modes, opt, st);  // keep recode
-    }
-  }
+  auto out = finalize_container(data, size, p1, blobs, nz_modes, opt, st);
   if (stats) *stats = st;
   return out;
 }
@@ -982,25 +988,7 @@ int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chun
     chunk_ranges(p1.slices, st.n_chunks, &ranges2);
     std::vector<uint64_t> nz_modes;
     for (auto [b, e] : ranges2) nz_modes.push_back(pick_nz_modes(p1.slices, b, e, opt));
-    auto v = pack_container(data, p1, blobs, nz_modes, opt, st);
-    // Same store-fallback as the host compress() path (tiny files).
-    if (opt.chunk_mode == 0 &&
-        v.size() >= size + std::max<size_t>(40, size / 256)) {
-      Pass1 lit;
-      lit.segments.push_back({0, 0, size, 0});
-      Stats st2;
-      st2.input_bytes = size;
-      st2.literal_bytes = size;
-      st2.n_chunks = 0;
-      auto v2 = pack_container(data, lit, {}, {}, opt, st2);
-      if (v2.size() < v.size()) {
-        v = std::move(v2);
-        st.output_bytes = v.size();
-        st.literal_bytes = size;
-        st.recoded_bytes = 0;
-        st.n_chunks = 0;
-      }
-    }
+    auto v = finalize_container(data, size, p1, blobs, nz_modes, opt, st);
     *out = static_cast<uint8_t*>(malloc(v.size()));
     memcpy(*out, v.data(), v.size());
     *out_len = v.size();
