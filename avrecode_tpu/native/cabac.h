@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <stdexcept>
 #include <vector>
 
 #include "gen/cabac_tables.h"
@@ -188,6 +189,27 @@ class CabacEncoder {
       renorm();
     }
   }
+
+  // I_PCM sample passthrough (clauses 7.3.5, 9.3.1): after the terminate-bin
+  // flush, padding bits fill to a byte boundary, the raw sample bytes follow
+  // outside the arithmetic coder, and the encoding engine is re-initialized
+  // (context states persist). The pad bit *values* are caller-supplied,
+  // MSB-first in `pad`: the spec calls for pcm_alignment_zero_bit == 0, but
+  // x264 stuffs a per-frame pseudo-random bit there, so byte-exact
+  // regeneration must replay the original padding verbatim.
+  void pcm_bytes(const uint8_t* p, size_t n, uint32_t pad, int npad) {
+    for (int b = npad - 1; b >= 0; --b) raw_bit((pad >> b) & 1);
+    if (nbits_ & 7) throw std::runtime_error("pcm pad bits do not align");
+    for (size_t i = 0; i < n; ++i)
+      for (int b = 7; b >= 0; --b) raw_bit((p[i] >> b) & 1);
+    low_ = 0;
+    range_ = 510;
+    first_bit_ = true;
+    outstanding_ = 0;
+  }
+
+  // Pad bits needed to reach the next byte boundary (I_PCM alignment width).
+  int pcm_pad_width() const { return int((8 - (nbits_ & 7)) & 7); }
 
   // Finished bitstream, byte-aligned with zero bits (alignment belongs to
   // rbsp_trailing; the flush above already emitted the stop-one bit).

@@ -70,6 +70,13 @@ class CavlcRecorder {
     rec(kRLevelSuffix, uint8_t(suffix_length | (nbits << 3)), int32_t(v));
     return v;
   }
+  void pcm_block(int n) {
+    // Pad bit values are recorded verbatim (the spec mandates zeros, but see
+    // the CABAC path: encoders have stuffed nonzero bits there).
+    int npad = int((8 - (r_.bit_pos() & 7)) & 7);
+    rec(kRPcmPad, uint8_t(npad), int32_t(npad ? r_.u(npad) : 0));
+    for (int i = 0; i < n; ++i) rec(kRPcmByte, 0, int32_t(r_.u(8)));
+  }
 
   size_t bit_pos() const { return r_.bit_pos(); }
 
@@ -134,6 +141,12 @@ class CavlcReplayer {
     uint32_t v = uint32_t(src_.next(kRLevelSuffix, uint8_t(suffix_length | (nbits << 3))));
     w_.u(nbits, v);
     return v;
+  }
+  void pcm_block(int n) {
+    int npad = int((8 - (w_.bit_pos() & 7)) & 7);
+    uint32_t pad = uint32_t(src_.next(kRPcmPad, uint8_t(npad)));
+    if (npad) w_.u(npad, pad);
+    for (int i = 0; i < n; ++i) w_.u(8, uint32_t(src_.next(kRPcmByte, 0)));
   }
 
  private:

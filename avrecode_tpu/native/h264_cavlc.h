@@ -54,7 +54,10 @@ enum CavlcRole : uint8_t {
   kRLevelSign = 15,
   kRTotalZeros = 16,
   kRRunBefore = 17,
-  kNumCavlcRoles = 18,
+  // I_PCM transport (fixed p=1/2 bins; no adaptive keys — see ModelEncoder).
+  kRPcmPad = 18,   // alignment bits before the samples (aux = bit count)
+  kRPcmByte = 19,  // one raw sample byte
+  kNumCavlcRoles = 20,
 };
 
 // ---------------------------------------------------------------------------
@@ -169,6 +172,7 @@ class CavlcBitWriter {
   void level_prefix(uint32_t n) {
     w_.put_bits(1, n + 1);  // n zeros then a 1
   }
+  size_t bit_pos() const { return w_.bit_pos(); }
 
  private:
   BitWriter& w_;
@@ -279,7 +283,16 @@ class CavlcWalker {
     int cbp_luma = 0, cbp_chroma = 0;
     bool i16 = false;
     if (is_intra) {
-      if (intra_code == 25) throw UnsupportedStream("cavlc: I_PCM");
+      if (intra_code == 25) {
+        // I_PCM (7.3.5): pcm_alignment bits + raw samples read directly from
+        // the bitstream. Neighbor nC is 16 for every block of a PCM MB (9.2.1).
+        cur_->intra = 1;
+        for (int i = 0; i < 16; ++i) cur_->luma_tc[i] = 16;
+        for (int c = 0; c < 2; ++c)
+          for (int i = 0; i < 4; ++i) cur_->chroma_tc[c][i] = 16;
+        io_.pcm_block(384);
+        return;
+      }
       if (intra_code > 25) throw BitstreamError("cavlc: bad intra mb_type");
       cur_->intra = 1;
       if (intra_code > 0) {

@@ -20,6 +20,7 @@
 //   int eob_bin(int ctx, int pos);           // last_significant_coeff_flag
 //   int res_bin(int ctx, int pos);           // coeff_abs_level_minus1 decision
 //   void implicit_sig_last(int pos);         // forced-significant final coeff
+//   void pcm_block(int n_bytes);             // I_PCM raw samples (align+reinit)
 //   void begin_mb(int mb_x, int mb_y);
 //   void begin_block(int slot, int cat, int max_coeff);
 //   void end_block();
@@ -345,7 +346,15 @@ class SliceWalker {
     bool i16 = false;
     if (is_intra_mb) {
       cur_->intra = 1;
-      if (intra_code == 25) throw UnsupportedStream("I_PCM");
+      if (intra_code == 25) {
+        // I_PCM (7.3.5): raw samples follow the mb_type terminate bin after
+        // byte alignment; no pred modes, cbp, qp_delta, or residual syntax.
+        // Neighbor contexts treat PCM as fully-coded via cur_->pcm.
+        cur_->pcm = 1;
+        io_.pcm_block(256 + 128 * numc8x8_);
+        prev_qp_delta_nonzero = false;
+        return;
+      }
       if (intra_code > 0) {
         i16 = true;
         cur_->i16 = 1;

@@ -170,6 +170,23 @@ class ModelEncoder {
         ensure_nnz(ss, e.at, ev_idx);
         m_.note_implicit_last();
         break;
+      case kEvPcm: {
+        // I_PCM: pad bits (x264 stuffs a pseudo-random one) then raw sample
+        // bytes, all transported at fixed p=1/2 (1 bit/bin) so host and device
+        // paths need no model state. The decompressor re-derives the pad bit
+        // count from its encoder's byte alignment.
+        auto half = [&](int bit) {
+          if (trace_)
+            trace_->push_back({uint8_t(bit), PriorModel::kKindPrior, 0,
+                               uint16_t(kProbScale / 2)});
+          push(bit, kProbScale / 2, kKlassBypassOther);
+        };
+        for (int b = e.d - 1; b >= 0; --b) half((e.c >> b) & 1);
+        const uint8_t* p = ss.pcm.data() + e.a;
+        for (int32_t i = 0; i < e.b; ++i)
+          for (int b = 7; b >= 0; --b) half((p[i] >> b) & 1);
+        break;
+      }
     }
   }
 
@@ -240,6 +257,19 @@ class ModelEncoder {
   // value model (capability extension; reference passes CAVLC through raw).
   void process_cavlc(const CavlcStream& cs) {
     for (const auto& v : cs.values) {
+      if (v.role == kRPcmPad || v.role == kRPcmByte) {
+        // I_PCM transport: fixed p=1/2 bins, no adaptive state (mirrors the
+        // CABAC path's kEvPcm handling).
+        int nb = v.role == kRPcmByte ? 8 : (v.aux & 7);
+        for (int b = nb - 1; b >= 0; --b) {
+          int bit = (v.value >> b) & 1;
+          if (trace_)
+            trace_->push_back({uint8_t(bit), PriorModel::kKindPrior, 0,
+                               uint16_t(kProbScale / 2)});
+          push(bit, kProbScale / 2, kKlassBypassOther);
+        }
+        continue;
+      }
       m_.code_cavlc(
           [this](uint32_t key, int putbit) {
             if (trace_) trace_->push_back({uint8_t(putbit), PriorModel::kKindDual, key, 0});
@@ -261,6 +291,12 @@ class CavlcModelSource {
   int32_t next(uint8_t role, uint8_t aux) {
     if (remaining_ == 0) throw std::runtime_error("cavlc value stream exhausted");
     --remaining_;
+    if (role == kRPcmPad || role == kRPcmByte) {
+      int nb = role == kRPcmByte ? 8 : (aux & 7);
+      int32_t v = 0;
+      for (int b = 0; b < nb; ++b) v = (v << 1) | rans_.decode(kProbScale / 2);
+      return v;
+    }
     return m_.code_cavlc(
         [this](uint32_t key, int) {
           return rans_.decode(m_.prob_for(PriorModel::kKindDual, key, 0));
@@ -349,6 +385,18 @@ class ModelSource {
   void implicit_sig_last(int pos) {
     (void)pos;
     m_.note_implicit_last();
+  }
+  void pcm_block(int n) {
+    int npad = enc_.pcm_pad_width();
+    uint32_t pad = 0;
+    for (int b = 0; b < npad; ++b) pad = (pad << 1) | rans_.decode(kProbScale / 2);
+    std::vector<uint8_t> buf(static_cast<size_t>(n), 0);
+    for (int i = 0; i < n; ++i) {
+      int v = 0;
+      for (int b = 0; b < 8; ++b) v = (v << 1) | rans_.decode(kProbScale / 2);
+      buf[i] = uint8_t(v);
+    }
+    enc_.pcm_bytes(buf.data(), buf.size(), pad, npad);
   }
   void begin_mb(int x, int y) { m_.begin_mb(x, y); }
   void begin_block(int slot, int cat, int max_coeff) { m_.begin_block(slot, cat, max_coeff); }

@@ -27,6 +27,8 @@ enum EventType : uint8_t {
   kEvBeginSlice = 4,   // a = flags (bit0 intra, bit1 new_picture),
                        // b = mb_width, c = mb_height,
                        // d = slice_qp | (cabac_init_idc << 16)
+  kEvPcm = 5,          // a = offset into pcm[], b = byte count (I_PCM samples),
+                       // c = pad bit values (MSB-first), d = pad bit count
 };
 
 struct SymbolStream {
@@ -44,6 +46,7 @@ struct SymbolStream {
   };
   std::vector<Bin> bins;
   std::vector<Event> events;
+  std::vector<uint8_t> pcm;  // raw I_PCM sample bytes (kEvPcm payload)
 
   void event(EventType t, int32_t a = 0, int32_t b = 0, int32_t c = 0, int32_t d = 0) {
     events.push_back({uint32_t(bins.size()), uint8_t(t), a, b, c, d});
@@ -57,7 +60,7 @@ class RecordingSource {
  public:
   RecordingSource(const uint8_t* rbsp, size_t size, size_t start_bit, bool intra_slice,
                   int cabac_init_idc, int slice_qp, SymbolStream* out)
-      : dec_(rbsp, size, start_bit), out_(out) {
+      : dec_(rbsp, size, start_bit), rbsp_(rbsp), size_(size), out_(out) {
     ctxs_.init(intra_slice, cabac_init_idc, slice_qp);
   }
 
@@ -115,6 +118,25 @@ class RecordingSource {
     out_->bins.push_back({uint16_t(ctx), kKlassRes, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;
   }
+  // I_PCM: the spec decoder's bit position after a terminate==1 bin sits
+  // exactly at the encoder's stop bit (init lookahead 9 == flush tail 7+2, so
+  // bits-read == bits-written); pcm_alignment_zero_bits pad to the next byte
+  // boundary, the raw samples follow, and the decoding engine re-initializes
+  // there (clause 9.3.1.2; context states persist).
+  void pcm_block(int n) {
+    size_t pos = dec_.bit_pos();
+    size_t byte = (pos + 7) >> 3;
+    if ((byte + size_t(n)) > size_) throw BitstreamError("I_PCM past end of slice data");
+    // Record the pad bits verbatim: x264 stuffs a pseudo-random bit into the
+    // pcm_alignment region, so zeros cannot be assumed (see CabacEncoder).
+    int npad = int(byte * 8 - pos);
+    uint32_t pad = 0;
+    for (size_t b = pos; b < byte * 8; ++b)
+      pad = (pad << 1) | ((rbsp_[b >> 3] >> (7 - (b & 7))) & 1);
+    out_->event(kEvPcm, int32_t(out_->pcm.size()), n, int32_t(pad), npad);
+    out_->pcm.insert(out_->pcm.end(), rbsp_ + byte, rbsp_ + byte + n);
+    dec_ = CabacDecoder(rbsp_, size_, (byte + n) * 8);
+  }
   void implicit_sig_last(int pos) { out_->event(kEvImplicitLast, pos); }
   void begin_mb(int mb_x, int mb_y) { out_->event(kEvBeginMB, mb_x, mb_y); }
   void begin_block(int slot, int cat, int max_coeff) {
@@ -126,6 +148,8 @@ class RecordingSource {
 
  private:
   CabacDecoder dec_;
+  const uint8_t* rbsp_;
+  size_t size_;
   CabacContexts ctxs_;
   SymbolStream* out_;
 };
@@ -137,7 +161,16 @@ inline std::vector<uint8_t> reencode_symbol_stream(const SymbolStream& ss, bool 
   CabacContexts ctxs;
   ctxs.init(intra_slice, cabac_init_idc, slice_qp);
   CabacEncoder enc;
-  for (const auto& b : ss.bins) {
+  size_t ev = 0;
+  for (size_t i = 0; i <= ss.bins.size(); ++i) {
+    while (ev < ss.events.size() && ss.events[ev].at == i) {
+      if (ss.events[ev].type == kEvPcm)
+        enc.pcm_bytes(ss.pcm.data() + ss.events[ev].a, size_t(ss.events[ev].b),
+                      uint32_t(ss.events[ev].c), ss.events[ev].d);
+      ++ev;
+    }
+    if (i == ss.bins.size()) break;
+    const auto& b = ss.bins[i];
     if (b.ctx == kCtxBypass) enc.encode_bypass(b.bin);
     else if (b.ctx == kCtxTerminate) enc.encode_terminate(b.bin);
     else enc.encode_decision(ctxs, b.ctx, b.bin);

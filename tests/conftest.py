@@ -63,6 +63,16 @@ def corpus_dir(tmp_path_factory):
                      "profile=high422 pixfmt=422"),
         "c422.mp4": ("w=176 h=144 frames=6 crf=26 bframes=2 "
                      "profile=high422 pixfmt=422 xparams=8x8dct=1"),
+        # I_PCM macroblocks: pure-noise frames at very low QP with psy off
+        # make x264 pick PCM (raw samples beat residual coding). Exercises the
+        # CABAC flush/align/reinit path and x264's nonzero pad-bit stuffing.
+        "pcm_cabac.264": ("w=128 h=96 frames=2 qp=1 profile=high noise=1 "
+                          "bframes=0 xparams=psy=0"),
+        "pcm_cavlc.264": ("w=128 h=96 frames=2 qp=2 profile=baseline noise=1 "
+                          "bframes=0 cabac=0 xparams=psy=0"),
+        # Mixed PCM + coded MBs (structured content at low QP).
+        "pcm_mixed.mp4": ("w=160 h=128 frames=4 qp=2 profile=high bframes=1 "
+                          "xparams=psy=0"),
     }
     for name, args in specs.items():
         subprocess.run(

@@ -9,7 +9,8 @@ from avrecode_tpu import pipeline
 
 CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264",
          "stress_wpred.264", "stress_aud.mp4", "stress_cavlc.264",
-         "c422.264", "c422.mp4"]
+         "c422.264", "c422.mp4", "pcm_cabac.264", "pcm_cavlc.264",
+         "pcm_mixed.mp4"]
 
 
 @pytest.mark.parametrize("clip", CLIPS)

@@ -5,7 +5,7 @@
 // against genuine encoder output, not self-generated bitstreams.
 //
 // Usage: make_corpus <out.mp4|out.264> [key=val ...]
-//   keys: w h frames crf qp preset profile bframes slices cabac(0/1) seed
+//   keys: w h frames crf qp preset profile bframes slices cabac(0/1) seed noise(0/1)
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
@@ -20,13 +20,26 @@ extern "C" {
 #include <map>
 #include <string>
 
-static void fill_frame(AVFrame* f, int idx, unsigned seed) {
+static void fill_frame(AVFrame* f, int idx, unsigned seed, bool noise) {
   const int w = f->width, h = f->height;
   unsigned rng = seed * 2654435761u + idx * 40503u + 1;
   auto rnd = [&rng]() {
     rng = rng * 1664525u + 1013904223u;
     return (rng >> 16) & 0xff;
   };
+  if (noise) {
+    // Pure random frames: maximal intra cost, forces I_PCM macroblocks at
+    // very low QP (x264 picks PCM when coded bits would exceed raw size).
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) f->data[0][y * f->linesize[0] + x] = (uint8_t)rnd();
+    int chn = f->format == AV_PIX_FMT_YUV422P ? h : h / 2;
+    for (int y = 0; y < chn; ++y)
+      for (int x = 0; x < w / 2; ++x) {
+        f->data[1][y * f->linesize[1] + x] = (uint8_t)rnd();
+        f->data[2][y * f->linesize[2] + x] = (uint8_t)rnd();
+      }
+    return;
+  }
   // Moving diagonal gradient + blocky texture + noise band: produces a healthy
   // mix of intra modes, residual energy, and motion for P/B frames.
   for (int y = 0; y < h; ++y)
@@ -55,7 +68,7 @@ int main(int argc, char** argv) {
       {"w", "320"},      {"h", "240"},     {"frames", "30"}, {"crf", ""},
       {"qp", "26"},      {"preset", "medium"}, {"profile", "high"},
       {"bframes", "2"},  {"slices", "1"},  {"cabac", "1"},   {"seed", "1"},
-      {"gop", "10"},     {"raw", ""},    {"xparams", ""},  {"pixfmt", "420"},
+      {"gop", "10"},     {"raw", ""},    {"noise", "0"},    {"xparams", ""},  {"pixfmt", "420"},
   };
   for (int i = 2; i < argc; ++i) {
     std::string a = argv[i];
@@ -128,7 +141,7 @@ int main(int argc, char** argv) {
         for (int y = 0; y < (is422 ? c->height : c->height / 2); ++y)
           if (fread(frame->data[pl] + y * frame->linesize[pl], 1, c->width / 2, rawf) != size_t(c->width / 2)) { nframes = i; break; }
       if (nframes == i) break;
-    } else fill_frame(frame, i, seed);
+    } else fill_frame(frame, i, seed, kv["noise"] == "1");
     frame->pts = i;
     if (avcodec_send_frame(c, frame) < 0) { fprintf(stderr, "send err\n"); return 1; }
     drain(c);
