@@ -45,6 +45,8 @@ class ChunkAnalysis:
     kind: np.ndarray   # uint8[n]
     key: np.ndarray    # uint32[n]
     prior: np.ndarray  # uint16[n]
+    pre_ones: np.ndarray  # uint16[n] — within-batch per-key exclusive 1-count
+    pre_tot: np.ndarray   # uint16[n] — within-batch per-key exclusive total
     host_probs: np.ndarray  # uint16[n] — C++ reference, for differential tests
     dual0: np.ndarray  # int32[n_dual, 4]
 
@@ -126,19 +128,28 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
         kind = arr(np.uint8, n)
         key = arr(np.uint32, n)
         prior = arr(np.uint16, n)
+        pre_ones = arr(np.uint16, n)
+        pre_tot = arr(np.uint16, n)
         probs = arr(np.uint16, n)
         dual0 = arr(np.uint16, 4 * n_dual).astype(np.int32).reshape(n_dual, 4)
-        chunks.append(ChunkAnalysis(bit, kind, key, prior, probs, dual0))
+        chunks.append(ChunkAnalysis(bit, kind, key, prior, pre_ones, pre_tot, probs, dual0))
     return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha,
                     profile)
 
 
-def device_probs(an: Analysis, chunk: ChunkAnalysis) -> np.ndarray:
+def device_probs(an: Analysis, chunk: ChunkAnalysis, impl: str | None = None) -> np.ndarray:
     """Runs the JAX model pass for one chunk; returns uint16 probs."""
     _ensure_jax_cache()
     from .ops import model_pass as mp
+    impl = impl or mp.default_impl()
+    if impl == "v2":
+        return mp.run_chunk_v2(chunk.bit, chunk.kind, chunk.key, chunk.prior,
+                               chunk.pre_ones, chunk.pre_tot, chunk.dual0, an.batch,
+                               mp.default_sup(), an.fast_w, an.slow_w, an.sig_w,
+                               an.sig_alpha, an.n_sig)
     return mp.run_chunk(chunk.bit, chunk.kind, chunk.key, chunk.prior, chunk.dual0,
-                        an.batch, an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig)
+                        an.batch, an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig,
+                        impl=impl)
 
 
 def pick_lanes(n_pairs: int) -> int:

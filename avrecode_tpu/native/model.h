@@ -415,6 +415,16 @@ class PriorModel {
       update_ema(kind, key, bit);
       return;
     }
+    if (profile_ == 2) {
+      // Frozen-batch profile: increments are NOT visible within the batch —
+      // probabilities read the table as of the last flush. This removes the
+      // within-batch per-key prefix machinery from the device pass (the whole
+      // batch becomes one gather + one scatter per table); the serial decoder
+      // replays the identical semantics from this same code path.
+      pending_.push_back({uint8_t(bit), kind, key, 0});
+      if (pending_.size() >= batch_) flush_updates();
+      return;
+    }
     if (kind == kKindSig) {
       Estimator& e = sig_est_[key];
       if (bit) ++e.pos; else ++e.neg;
@@ -439,6 +449,19 @@ class PriorModel {
   // over its window (commutative; device equivalent is a masked elementwise
   // pass over the tables).
   void flush_updates() {
+    if (profile_ == 2) {
+      // Apply the deferred increments first (frozen-batch profile).
+      for (const Coded& c : pending_) {
+        if (c.kind == kKindPrior) continue;
+        if (c.kind == kKindSig) {
+          Estimator& e = sig_est_[c.key];
+          if (c.bit) ++e.pos; else ++e.neg;
+        } else {
+          Dual& d = dual_[c.key];
+          if (c.bit) { ++d.fp; ++d.sp; } else { ++d.fn; ++d.sn; }
+        }
+      }
+    }
     for (const Coded& c : pending_) {
       if (c.kind == kKindPrior) continue;  // no-op placeholder (alignment)
       if (c.kind == kKindSig) {

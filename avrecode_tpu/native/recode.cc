@@ -901,6 +901,9 @@ extern "C" {
 //           u32 n_dual_keys, u32 n_sig_keys,
 //           u32 fast_window, u32 slow_window, u32 sig_window, u32 sig_alpha
 //   per chunk: u64 n_pairs; bit u8[]; kind u8[]; key u32[]; prior u16[];
+//              pre_ones u16[]; pre_tot u16[] (within-batch per-key exclusive
+//              prefix counts — lets the device pass skip the sort/prefix
+//              machinery while keeping immediate-increment semantics);
 //              prob u16[] (host-computed, for differential testing);
 //              dual0 u16[4 * n_dual_keys] (fp,fn,sp,sn per key)
 int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
@@ -940,6 +943,36 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
       for (const auto& c : trace) w.u8(c.kind);
       for (const auto& c : trace) w.u32(c.key);
       for (const auto& c : trace) w.u16(c.prior);
+      // Within-batch per-key exclusive prefix counts (ones, total). One tight
+      // pass with epoch-tagged counters; kinds 0/1 share the Dual key space.
+      {
+        uint32_t batch = opt.batch_size ? opt.batch_size : 1;
+        std::vector<uint32_t> ep_d(PriorModel::kNumDualKeys, ~0u);
+        std::vector<uint32_t> ep_s(PriorModel::kNumSigKeys, ~0u);
+        std::vector<uint16_t> d1(PriorModel::kNumDualKeys), dt(PriorModel::kNumDualKeys);
+        std::vector<uint16_t> s1(PriorModel::kNumSigKeys), st2(PriorModel::kNumSigKeys);
+        std::vector<uint16_t> pre1(trace.size()), pret(trace.size());
+        for (size_t i = 0; i < trace.size(); ++i) {
+          const auto& c = trace[i];
+          if (c.kind == PriorModel::kKindPrior) continue;  // pre stays 0
+          uint32_t bidx = uint32_t(i / batch);
+          bool is_sig = c.kind == PriorModel::kKindSig;
+          auto& ep = is_sig ? ep_s : ep_d;
+          auto& c1 = is_sig ? s1 : d1;
+          auto& ct = is_sig ? st2 : dt;
+          if (ep[c.key] != bidx) {
+            ep[c.key] = bidx;
+            c1[c.key] = 0;
+            ct[c.key] = 0;
+          }
+          pre1[i] = c1[c.key];
+          pret[i] = ct[c.key];
+          c1[c.key] = uint16_t(c1[c.key] + (c.bit ? 1 : 0));
+          ct[c.key] = uint16_t(ct[c.key] + 1);
+        }
+        for (uint16_t v : pre1) w.u16(v);
+        for (uint16_t v : pret) w.u16(v);
+      }
       for (uint16_t p : probs) w.u16(p);
       for (const auto& d : dual0) {
         w.u16(d.fp);

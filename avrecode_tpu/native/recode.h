@@ -180,6 +180,7 @@ class ModelEncoder {
             trace_->push_back({uint8_t(bit), PriorModel::kKindPrior, 0,
                                uint16_t(kProbScale / 2)});
           push(bit, kProbScale / 2, kKlassBypassOther);
+          m_.note_passthrough();  // keep batch boundaries stream-aligned
         };
         for (int b = e.d - 1; b >= 0; --b) half((e.c >> b) & 1);
         const uint8_t* p = ss.pcm.data() + e.a;
@@ -267,6 +268,7 @@ class ModelEncoder {
             trace_->push_back({uint8_t(bit), PriorModel::kKindPrior, 0,
                                uint16_t(kProbScale / 2)});
           push(bit, kProbScale / 2, kKlassBypassOther);
+          m_.note_passthrough();  // keep batch boundaries stream-aligned
         }
         continue;
       }
@@ -294,7 +296,10 @@ class CavlcModelSource {
     if (role == kRPcmPad || role == kRPcmByte) {
       int nb = role == kRPcmByte ? 8 : (aux & 7);
       int32_t v = 0;
-      for (int b = 0; b < nb; ++b) v = (v << 1) | rans_.decode(kProbScale / 2);
+      for (int b = 0; b < nb; ++b) {
+        v = (v << 1) | rans_.decode(kProbScale / 2);
+        m_.note_passthrough();
+      }
       return v;
     }
     return m_.code_cavlc(
@@ -389,11 +394,17 @@ class ModelSource {
   void pcm_block(int n) {
     int npad = enc_.pcm_pad_width();
     uint32_t pad = 0;
-    for (int b = 0; b < npad; ++b) pad = (pad << 1) | rans_.decode(kProbScale / 2);
+    for (int b = 0; b < npad; ++b) {
+      pad = (pad << 1) | rans_.decode(kProbScale / 2);
+      m_.note_passthrough();
+    }
     std::vector<uint8_t> buf(static_cast<size_t>(n), 0);
     for (int i = 0; i < n; ++i) {
       int v = 0;
-      for (int b = 0; b < 8; ++b) v = (v << 1) | rans_.decode(kProbScale / 2);
+      for (int b = 0; b < 8; ++b) {
+        v = (v << 1) | rans_.decode(kProbScale / 2);
+        m_.note_passthrough();
+      }
       buf[i] = uint8_t(v);
     }
     enc_.pcm_bytes(buf.data(), buf.size(), pad, npad);

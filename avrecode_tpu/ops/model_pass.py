@@ -46,6 +46,210 @@ def _halve_while(x_pos, x_neg, window, iters=16):
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha"))
+def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, sig0,
+                  batch: int, sup: int, fast_w: int, slow_w: int, sig_w: int, sig_alpha: int):
+    """Prefix-free super-batched model pass (the fast path).
+
+    Identical output to model_pass (immediate-increment batched semantics);
+    all within-batch prefix counts and per-key batch deltas arrive
+    precomputed from the host's serial walk, so the device does only:
+
+      per super-step (`sup` batches):
+        2 sorted-unique row gathers (the step's distinct dual / sig keys),
+        a dense staging loop producing each sub-batch's start-of-batch dict
+        state (apply host deltas + halve — (U, 6) elementwise),
+        1 gather distributing staged state to bins,
+        dense probability math,
+        2 sorted-unique scatter-sets writing the final rows back.
+
+    Random-memory ops per super-step: 5, touching U rows + sup*batch bins —
+    this is what the XLA scatter/gather op overhead (~35-90us each on v5e)
+    dictates; everything else is VPU-dense.
+
+    Shapes (ns = number of super-steps, B = batch, U = ud + us):
+      kinds/priors/pre1/pret/bin_u: int32[ns, sup, B]; bin_u in [0, U) over
+        the concatenated (dual ++ sig) dict space; ext/pad bins point at the
+        last dual pad entry (rows initialized to 1 — no div-by-zero).
+      dk_d: int32[ns, ud] sorted unique dual rows (padded with extension
+        scratch rows n_dual, n_dual+1, ... so hints stay valid).
+      dk_s: int32[ns, us] likewise for sig.
+      dd: int32[ns, sup, ud, 2] per-sub-batch (ones, total) deltas; ds same
+        for sig.
+      dual0: int32[n_dual + ud, 4]; sig0: int32[n_sig + us, 2].
+    """
+    ud = dk_d.shape[1]
+    us = dk_s.shape[1]
+
+    def step(tables, xs):
+        dual, sig = tables
+        kind, prior, p1, pt, bu, kd, ks, ddel, sdel = xs
+        dstate0 = dual.at[kd].get(unique_indices=True, indices_are_sorted=True)
+        sstate0 = sig.at[ks].get(unique_indices=True, indices_are_sorted=True)
+
+        def stage(carry, deltas):
+            dst, sst = carry
+            d_one, d_tot = deltas[0][:, 0], deltas[0][:, 1]
+            s_one, s_tot = deltas[1][:, 0], deltas[1][:, 1]
+            cst = jnp.concatenate([
+                jnp.concatenate([dst, jnp.ones((ud, 2), jnp.int32)], axis=1),
+                jnp.concatenate([jnp.ones((us, 4), jnp.int32), sst], axis=1),
+            ], axis=0)  # (U, 6) start-of-sub-batch state
+            nfp = dst[:, 0] + d_one
+            nfn = dst[:, 1] + (d_tot - d_one)
+            nsp = dst[:, 2] + d_one
+            nsn = dst[:, 3] + (d_tot - d_one)
+            nfp, nfn = _halve_while(nfp, nfn, fast_w)
+            nsp, nsn = _halve_while(nsp, nsn, slow_w)
+            gp = sst[:, 0] + s_one
+            gn = sst[:, 1] + (s_tot - s_one)
+            gp, gn = _halve_while(gp, gn, sig_w)
+            return (jnp.stack([nfp, nfn, nsp, nsn], axis=1),
+                    jnp.stack([gp, gn], axis=1)), cst
+
+        (dfin, sfin), cstates = jax.lax.scan(stage, (dstate0, sstate0), (ddel, sdel))
+        # One gather distributes every sub-batch's staged state to its bins.
+        sub_idx = (jax.lax.broadcasted_iota(jnp.int32, (sup, batch), 0) * (ud + us)
+                   + bu.reshape(sup, batch)).reshape(-1)
+        st = cstates.reshape(sup * (ud + us), 6)[sub_idx]  # (sup*B, 6)
+
+        kind_f = kind.reshape(-1)
+        prior_f = prior.reshape(-1)
+        ones_f = p1.reshape(-1)
+        zeros_f = pt.reshape(-1) - ones_f
+        dfp = st[:, 0] + ones_f
+        dfn = st[:, 1] + zeros_f
+        dsp = st[:, 2] + ones_f
+        dsn = st[:, 3] + zeros_f
+        spos = st[:, 4] + ones_f
+        sneg = st[:, 5] + zeros_f
+        ps = (dsp << PROB_BITS) // (dsp + dsn)
+        pf = (dfp << PROB_BITS) // (dfp + dfn)
+        p_dual = _clamp_prob(jnp.where(prior_f > 0,
+                                       (pf + ps + 2 * prior_f) >> 2,
+                                       (pf + ps) >> 1))
+        p_slow = _clamp_prob(ps)
+        p_sig = _clamp_prob(((spos << PROB_BITS) + sig_alpha * prior_f) //
+                            (spos + sneg + sig_alpha))
+        prob = jnp.where(kind_f == 0, p_dual, jnp.where(kind_f == 1, p_slow, p_sig))
+        prob = jnp.where(kind_f == 3, _clamp_prob(prior_f), prob)
+
+        dual = dual.at[kd].set(dfin, unique_indices=True, indices_are_sorted=True)
+        sig = sig.at[ks].set(sfin, unique_indices=True, indices_are_sorted=True)
+        return (dual, sig), prob.astype(jnp.uint16)
+
+    (_, _), probs = jax.lax.scan(step, (dual0, sig0),
+                                 (kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds))
+    return probs.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "fast_w", "slow_w", "sig_w", "sig_alpha"))
+def model_pass_dict(bits, kinds, priors, bin_u, dict_keys, dual0, sig0, batch: int,
+                    fast_w: int, slow_w: int, sig_w: int, sig_alpha: int):
+    """Dictionary-compacted model pass: bit-identical to model_pass, ~10x fewer
+    random-memory operations.
+
+    The host pre-computes, per batch, the set of *distinct* unified keys (the
+    "dictionary", U entries, U << batch) and each bin's index into it. The
+    batch step then becomes dense work on (batch, U) one-hot matrices:
+
+      - per-bin estimator state = one-hot @ dict_rows  (MXU, exact in fp32);
+      - within-batch per-key exclusive prefix counts = exclusive cumsum of the
+        one-hot columns (VPU);
+      - per-key update totals = column sums;
+      - table gather/scatter touches only U rows per batch instead of `batch`
+        elements — the XLA scatter/gather cost (tens of ns per random row) is
+        what bounds the plain formulation.
+
+    bits/kinds/priors/bin_u: int32[n_batches, batch]; bin_u in [0, U).
+    dict_keys: int32[n_batches, U] unified keys (dual key, or n_dual + sig
+    key, scratch = n_dual - 1 for padding); every row's entries are unique.
+    """
+    n_dual = dual0.shape[0]
+    n_sig = sig0.shape[0]  # includes a trailing scratch row
+    u_width = dict_keys.shape[1]
+
+    def step(tables, xs):
+        dual, sig = tables
+        bit, kind, prior, bu, dk = xs
+        is_sig_row = dk >= n_dual
+        # Rows of the *other* table alias that table's scratch row (never a
+        # live key — a live row must have exactly one dict entry writing it).
+        drow = jnp.where(is_sig_row, n_dual - 1, dk)
+        srow = jnp.where(is_sig_row, dk - n_dual, n_sig - 1)
+        dstate = dual[drow]  # (U, 4)
+        sstate = sig[srow]   # (U, 2)
+
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (batch, u_width), 1)
+        onehot = bu[:, None] == iota_u           # (B, U) bool
+        oh_i = onehot.astype(jnp.int32)
+        o1 = oh_i * bit[:, None]
+        ex_ones = jnp.cumsum(o1, axis=0) - o1    # exclusive per-key prefix
+        ex_tot = jnp.cumsum(oh_i, axis=0) - oh_i
+        pre_ones = jnp.sum(jnp.where(onehot, ex_ones, 0), axis=1)
+        pre_tot = jnp.sum(jnp.where(onehot, ex_tot, 0), axis=1)
+        pre_zeros = pre_tot - pre_ones
+
+        # Per-bin start-of-batch state via one-hot contraction (counts and
+        # states < 2^24, exact in fp32 on the MXU).
+        oh_f = onehot.astype(jnp.float32)
+        dmat = jax.lax.dot(oh_f, dstate.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        smat = jax.lax.dot(oh_f, sstate.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        dfp = dmat[:, 0] + pre_ones
+        dfn = dmat[:, 1] + pre_zeros
+        dsp = dmat[:, 2] + pre_ones
+        dsn = dmat[:, 3] + pre_zeros
+        spos = smat[:, 0] + pre_ones
+        sneg = smat[:, 1] + pre_zeros
+
+        is_ext = kind == 3
+        ps = (dsp << PROB_BITS) // (dsp + dsn)
+        pf = (dfp << PROB_BITS) // (dfp + dfn)
+        p_dual = _clamp_prob(jnp.where(prior > 0,
+                                       (pf + ps + 2 * prior) >> 2,
+                                       (pf + ps) >> 1))
+        p_slow = _clamp_prob(ps)
+        p_sig = _clamp_prob(((spos << PROB_BITS) + sig_alpha * prior) //
+                            (spos + sneg + sig_alpha))
+        prob = jnp.where(kind == 0, p_dual, jnp.where(kind == 1, p_slow, p_sig))
+        prob = jnp.where(is_ext, _clamp_prob(prior), prob)
+
+        # Per-dict-row update totals. kind masking matches model_pass: ext
+        # bins update nothing; sig bins only the sig table. A sig row's bins
+        # are all kind==2, so its dual delta is zero by construction (and vice
+        # versa) — no explicit row routing needed.
+        m_dual = ((kind != 2) & (kind != 3)).astype(jnp.int32)
+        m_sig = (kind == 2).astype(jnp.int32)
+        d_ones = jnp.sum(oh_i * (bit * m_dual)[:, None], axis=0)
+        d_tot = jnp.sum(oh_i * m_dual[:, None], axis=0)
+        s_ones = jnp.sum(oh_i * (bit * m_sig)[:, None], axis=0)
+        s_tot = jnp.sum(oh_i * m_sig[:, None], axis=0)
+
+        # Updated + halved rows, written back with scatter-set. Duplicate row
+        # targets arise only where multiple dict entries alias a scratch row
+        # (never a live key), so value races touch garbage rows only.
+        nfp = dstate[:, 0] + d_ones
+        nfn = dstate[:, 1] + (d_tot - d_ones)
+        nsp = dstate[:, 2] + d_ones
+        nsn = dstate[:, 3] + (d_tot - d_ones)
+        nfp, nfn = _halve_while(nfp, nfn, fast_w)
+        nsp, nsn = _halve_while(nsp, nsn, slow_w)
+        new_d = jnp.stack([nfp, nfn, nsp, nsn], axis=1)
+        gp = sstate[:, 0] + s_ones
+        gn = sstate[:, 1] + (s_tot - s_ones)
+        gp, gn = _halve_while(gp, gn, sig_w)
+        new_s = jnp.stack([gp, gn], axis=1)
+        dual = dual.at[drow].set(new_d)
+        sig = sig.at[srow].set(new_s)
+        return (dual, sig), prob.astype(jnp.uint16)
+
+    (_, _), probs = jax.lax.scan(step, (dual0, sig0), (bits, kinds, priors, bin_u, dict_keys))
+    return probs.reshape(-1)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("batch", "fast_w", "slow_w", "sig_w", "sig_alpha", "impl"))
 def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, slow_w: int,
                sig_w: int, sig_alpha: int, impl: str = "sort"):
@@ -177,7 +381,131 @@ def _bucket(n_batches: int) -> int:
 
 def default_impl() -> str:
     import os
-    return os.environ.get("ARTC_MODEL_IMPL", "sort")
+    return os.environ.get("ARTC_MODEL_IMPL", "v2")
+
+
+def default_sup() -> int:
+    import os
+    return int(os.environ.get("ARTC_MODEL_SUP", "8"))
+
+
+def build_dicts(kind_p, key_p, n_dual_ext, batch):
+    """Per-batch unique-key dictionaries for the dict impl (host-side numpy).
+
+    Returns (bin_u int32[n_batches, batch], dict_keys int32[n_batches, U])
+    where U is a power-of-two bucket of the max per-batch unique count.
+    Unified key space: dual keys as-is (ext bins retargeted at the scratch
+    row n_dual_ext - 1, matching model_pass), sig keys offset by n_dual_ext.
+    """
+    scratch = n_dual_ext - 1
+    ukey = np.where(kind_p == 3, scratch, key_p.astype(np.int64))
+    ukey = np.where(kind_p == 2, key_p.astype(np.int64) + n_dual_ext, ukey)
+    nb = len(ukey) // batch
+    ukey_b = ukey.reshape(nb, batch)
+    uniqs = []
+    invs = np.empty((nb, batch), np.int32)
+    for i in range(nb):
+        u, inv = np.unique(ukey_b[i], return_inverse=True)
+        uniqs.append(u)
+        invs[i] = inv.astype(np.int32)
+    u_width = _bucket(max(len(u) for u in uniqs))
+    dict_keys = np.full((nb, u_width), scratch, np.int32)
+    for i, u in enumerate(uniqs):
+        dict_keys[i, :len(u)] = u.astype(np.int32)
+    # Padding entries duplicate the scratch key; they only ever re-write the
+    # scratch rows (value races on garbage), live rows keep unique writers.
+    return invs, dict_keys
+
+
+def build_v2_inputs(bit_p, kind_p, key_p, n_dual_ext, n_sig, batch, sup):
+    """Host-side (numpy) preprocessing for model_pass_v2: per-super-step
+    sorted-unique dictionaries, per-bin dict indices, per-sub-batch per-entry
+    (ones, total) deltas."""
+    n = len(kind_p)
+    ns = n // (sup * batch)
+    off = np.int64(1) << 32
+    sent = off * 2
+    ukey = np.where(kind_p == 2, key_p.astype(np.int64) + off, key_p.astype(np.int64))
+    ukey = np.where(kind_p == 3, sent, ukey)  # ext/pad bins own no dict entry
+    slab = ukey.reshape(ns, sup * batch)
+    uniqs, invs, nds = [], [], []
+    for i in range(ns):
+        u, inv = np.unique(slab[i], return_inverse=True)
+        if u[-1] == sent:
+            u = u[:-1]
+        uniqs.append(u)
+        invs.append(inv.astype(np.int32))
+        nds.append(int(np.searchsorted(u, off)))
+    max_d = max((nds[i] for i in range(ns)), default=0)
+    max_s = max((len(uniqs[i]) - nds[i] for i in range(ns)), default=0)
+    ud = _bucket(max_d + 1)
+    us = _bucket(max_s + 1)
+    dk_d = np.empty((ns, ud), np.int32)
+    dk_s = np.empty((ns, us), np.int32)
+    bin_u = np.empty((ns, sup * batch), np.int32)
+    dd = np.zeros((ns, sup, ud, 2), np.int32)
+    ds = np.zeros((ns, sup, us, 2), np.int32)
+    bit_i = bit_p.astype(np.int32)
+    m_dual = ((kind_p == 0) | (kind_p == 1)).astype(np.int32).reshape(ns, sup, batch)
+    m_sig = (kind_p == 2).astype(np.int32).reshape(ns, sup, batch)
+    bit_3 = bit_i.reshape(ns, sup, batch)
+    for i in range(ns):
+        u, inv, nd = uniqs[i], invs[i], nds[i]
+        nu = len(u)
+        dk_d[i, :nd] = u[:nd].astype(np.int32)
+        dk_d[i, nd:] = n_dual_ext + np.arange(ud - nd, dtype=np.int32)
+        dk_s[i, :nu - nd] = (u[nd:] - off).astype(np.int32)
+        dk_s[i, nu - nd:] = n_sig + np.arange(us - (nu - nd), dtype=np.int32)
+        bu = np.where(inv < nd, inv,
+                      np.where(inv < nu, ud + inv - nd, ud - 1))
+        bin_u[i] = bu
+        inv3 = inv.reshape(sup, batch)
+        for s in range(sup):
+            iv = inv3[s]
+            w_d = m_dual[i, s]
+            w_s = m_sig[i, s]
+            dd[i, s, :nd, 1] = np.bincount(iv, weights=w_d, minlength=nu)[:nd]
+            dd[i, s, :nd, 0] = np.bincount(iv, weights=w_d * bit_3[i, s], minlength=nu)[:nd]
+            ds[i, s, :nu - nd, 1] = np.bincount(iv, weights=w_s, minlength=nu)[nd:nu]
+            ds[i, s, :nu - nd, 0] = np.bincount(iv, weights=w_s * bit_3[i, s],
+                                                minlength=nu)[nd:nu]
+    return bin_u, dk_d, dk_s, dd, ds, ud, us
+
+
+def run_chunk_v2(bit, kind, key, prior, pre_ones, pre_tot, dual0, batch, sup,
+                 fast_w, slow_w, sig_w, sig_alpha, n_sig):
+    """numpy in/out wrapper for the fast path: pads the stream to whole
+    super-steps (padding bins become kind-3 no-ops), builds the dictionary
+    inputs, runs the jitted pass, trims."""
+    n = len(bit)
+    if n == 0:
+        return np.zeros(0, np.uint16)
+    n_dual = dual0.shape[0] + 1  # + legacy scratch row (ext retarget target)
+    span = sup * batch
+    m = _bucket(-(-n // span)) * span
+    pad = m - n
+    ns = m // span
+    kind_p = np.concatenate([kind.astype(np.int32), np.full(pad, 3, np.int32)])
+    bit_p = np.concatenate([bit.astype(np.int32), np.zeros(pad, np.int32)])
+    key_p = np.concatenate([key.astype(np.int32), np.zeros(pad, np.int32)])
+    prior_p = np.concatenate([prior.astype(np.int32), np.ones(pad, np.int32)])
+    pre1_p = np.concatenate([pre_ones.astype(np.int32), np.zeros(pad, np.int32)])
+    pret_p = np.concatenate([pre_tot.astype(np.int32), np.zeros(pad, np.int32)])
+    bin_u, dk_d, dk_s, dd, ds, ud, us = build_v2_inputs(
+        bit_p, kind_p, key_p, n_dual, n_sig, batch, sup)
+    dual_ext = np.concatenate(
+        [dual0.astype(np.int32), np.ones((1 + ud, 4), np.int32)], axis=0)
+    sig_ext = np.concatenate(
+        [np.zeros((n_sig, 2), np.int32), np.ones((us, 2), np.int32)], axis=0)
+    sh = (ns, sup, batch)
+    probs = model_pass_v2(
+        jnp.asarray(kind_p.reshape(sh)), jnp.asarray(prior_p.reshape(sh)),
+        jnp.asarray(pre1_p.reshape(sh)), jnp.asarray(pret_p.reshape(sh)),
+        jnp.asarray(bin_u.reshape(sh)), jnp.asarray(dk_d), jnp.asarray(dk_s),
+        jnp.asarray(dd), jnp.asarray(ds), jnp.asarray(dual_ext), jnp.asarray(sig_ext),
+        batch=int(batch), sup=int(sup), fast_w=int(fast_w), slow_w=int(slow_w),
+        sig_w=int(sig_w), sig_alpha=int(sig_alpha))
+    return np.asarray(probs)[:n]
 
 
 def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_alpha, n_sig,
@@ -186,6 +514,7 @@ def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_al
     n = len(bit)
     if n == 0:
         return np.zeros(0, np.uint16)
+    impl = impl or default_impl()
     n_dual = dual0.shape[0]
     m = _bucket(-(-n // batch)) * batch
     pad = m - n
@@ -195,10 +524,21 @@ def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_al
     key_p = np.concatenate([key.astype(np.int32), np.full(pad, scratch, np.int32)])
     prior_p = np.concatenate([prior.astype(np.int32), np.zeros(pad, np.int32)])
     dual_ext = np.concatenate([dual0.astype(np.int32), np.ones((1, 4), np.int32)], axis=0)
+    if impl == "dict":
+        nb = m // batch
+        bin_u, dict_keys = build_dicts(kind_p, key_p, n_dual + 1, batch)
+        sig0 = np.zeros((n_sig + 1, 2), np.int32)  # + scratch row
+        probs = model_pass_dict(
+            jnp.asarray(bit_p.reshape(nb, batch)), jnp.asarray(kind_p.reshape(nb, batch)),
+            jnp.asarray(prior_p.reshape(nb, batch)), jnp.asarray(bin_u),
+            jnp.asarray(dict_keys), jnp.asarray(dual_ext), jnp.asarray(sig0),
+            batch=int(batch), fast_w=int(fast_w), slow_w=int(slow_w), sig_w=int(sig_w),
+            sig_alpha=int(sig_alpha))
+        return np.asarray(probs)[:n]
     sig0 = np.zeros((n_sig, 2), np.int32)
     probs = model_pass(
         jnp.asarray(bit_p), jnp.asarray(kind_p), jnp.asarray(key_p), jnp.asarray(prior_p),
         jnp.asarray(dual_ext), jnp.asarray(sig0), batch=int(batch), fast_w=int(fast_w),
         slow_w=int(slow_w), sig_w=int(sig_w), sig_alpha=int(sig_alpha),
-        impl=impl or default_impl())
+        impl=impl)
     return np.asarray(probs)[:n]

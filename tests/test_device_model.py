@@ -45,6 +45,42 @@ def test_ema_profile_roundtrip(small_clip):
     assert rep.ok
 
 
+def test_model_pass_v2_bit_exact_all_impls(small_clip):
+    """The fast path (host-shipped prefix counts + super-batched dicts) must
+    match the host and the reference impls bit-for-bit."""
+    from avrecode_tpu import device
+    from avrecode_tpu.ops import model_pass as mp
+    an = device.analyze(small_clip, batch_size=1024)
+    c = an.chunks[0]
+    for sup in (1, 4):
+        p = mp.run_chunk_v2(c.bit, c.kind, c.key, c.prior, c.pre_ones, c.pre_tot,
+                            c.dual0, 1024, sup, an.fast_w, an.slow_w, an.sig_w,
+                            an.sig_alpha, an.n_sig)
+        assert np.array_equal(p, c.host_probs), f"sup={sup}"
+
+
+def test_model_pass_v2_pcm_stream(corpus_dir):
+    """PCM (kind-3 passthrough) bins must stay batch-aligned between the host
+    pending stream and the device trace stream."""
+    from avrecode_tpu import device, pipeline
+    with open(os.path.join(corpus_dir, "pcm_mixed.mp4"), "rb") as f:
+        data = f.read()
+    an = device.analyze(data, batch_size=512)
+    for c in an.chunks:
+        probs = device.device_probs(an, c, impl="v2")
+        assert np.array_equal(probs, c.host_probs)
+    comp_dev, _ = device.compress(data, batch_size=512)
+    dec, _ = pipeline.decompress(comp_dev)
+    assert dec == data
+
+
+def test_frozen_profile_roundtrip(small_clip):
+    """model_profile=2 (frozen batches) is a valid container variant."""
+    from avrecode_tpu import pipeline
+    rep = pipeline.roundtrip(small_clip, batch_size=1024, model_profile=2)
+    assert rep.ok
+
+
 def test_model_pass_mm_impl_bit_exact(small_clip):
     """The sort-free (masked-matmul) prefix formulation must match the
     sort-based one bit-for-bit on real traces."""
