@@ -49,6 +49,13 @@ class ChunkAnalysis:
     pre_tot: np.ndarray   # uint16[n] — within-batch per-key exclusive total
     host_probs: np.ndarray  # uint16[n] — C++ reference, for differential tests
     dual0: np.ndarray  # int32[n_dual, 4]
+    # model_pass_v2 tables (C++-precomputed; see recode.cc artc_analyze)
+    v2_m: int = 0                      # padded stream length (ns * sup * batch)
+    v2_bin_u: np.ndarray | None = None   # uint32[m]
+    v2_dk_d: np.ndarray | None = None    # int32[ns, ud]
+    v2_dk_s: np.ndarray | None = None    # int32[ns, us]
+    v2_dd: np.ndarray | None = None      # int32[ns, sup, ud, 2]
+    v2_ds: np.ndarray | None = None      # int32[ns, sup, us, 2]
 
 
 @dataclass
@@ -63,22 +70,26 @@ class Analysis:
     sig_w: int
     sig_alpha: int
     profile: int = 0
+    sup: int = 16
 
 
 def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int = 1,
-            model_profile: int = 0) -> Analysis:
+            model_profile: int = 0, sup: int = 0) -> Analysis:
+    from .ops import model_pass as mp
+    if sup <= 0:
+        sup = mp.default_sup()
     lib = host.lib()
     if not hasattr(lib, "_analyze_ready"):
         lib.artc_analyze.restype = ctypes.c_int
         lib.artc_analyze.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
         ]
         lib._analyze_ready = True
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
-    rc = lib.artc_analyze(data, len(data), lanes, chunk_mode, batch_size, model_profile,
+    rc = lib.artc_analyze(data, len(data), lanes, chunk_mode, batch_size, model_profile, sup,
                           ctypes.byref(out), ctypes.byref(out_len))
     if rc != 0:
         raise host.NativeError(lib.artc_last_error().decode())
@@ -86,7 +97,10 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
         raw = ctypes.string_at(out, out_len.value)
     finally:
         lib.artc_free(out)
+    return _parse_analysis(raw)
 
+
+def _parse_analysis(raw: bytes) -> Analysis:
     buf = np.frombuffer(raw, dtype=np.uint8)
     pos = 0
 
@@ -121,6 +135,7 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
     slow_w = u32()
     sig_w = u32()
     sig_alpha = u32()
+    sup_out = u32()
     chunks = []
     for _ in range(n_chunks):
         n = u64()
@@ -132,9 +147,19 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
         pre_tot = arr(np.uint16, n)
         probs = arr(np.uint16, n)
         dual0 = arr(np.uint16, 4 * n_dual).astype(np.int32).reshape(n_dual, 4)
-        chunks.append(ChunkAnalysis(bit, kind, key, prior, pre_ones, pre_tot, probs, dual0))
+        ns = u32()
+        ud = u32()
+        us = u32()
+        m = u64()
+        bin_u = arr(np.uint32, m)
+        dk_d = arr(np.uint32, ns * ud).astype(np.int32).reshape(ns, ud)
+        dk_s = arr(np.uint32, ns * us).astype(np.int32).reshape(ns, us)
+        dd = arr(np.uint16, ns * sup_out * ud * 2).astype(np.int32).reshape(ns, sup_out, ud, 2)
+        ds = arr(np.uint16, ns * sup_out * us * 2).astype(np.int32).reshape(ns, sup_out, us, 2)
+        chunks.append(ChunkAnalysis(bit, kind, key, prior, pre_ones, pre_tot, probs, dual0,
+                                    int(m), bin_u, dk_d, dk_s, dd, ds))
     return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha,
-                    profile)
+                    profile, sup_out)
 
 
 def device_probs(an: Analysis, chunk: ChunkAnalysis, impl: str | None = None) -> np.ndarray:
@@ -143,6 +168,12 @@ def device_probs(an: Analysis, chunk: ChunkAnalysis, impl: str | None = None) ->
     from .ops import model_pass as mp
     impl = impl or mp.default_impl()
     if impl == "v2":
+        if chunk.v2_bin_u is not None:
+            return mp.run_chunk_v2_tables(
+                chunk.kind, chunk.prior, chunk.pre_ones, chunk.pre_tot, chunk.v2_m,
+                chunk.v2_bin_u, chunk.v2_dk_d, chunk.v2_dk_s, chunk.v2_dd, chunk.v2_ds,
+                chunk.dual0, an.batch, an.sup, an.fast_w, an.slow_w, an.sig_w,
+                an.sig_alpha, an.n_sig)
         return mp.run_chunk_v2(chunk.bit, chunk.kind, chunk.key, chunk.prior,
                                chunk.pre_ones, chunk.pre_tot, chunk.dual0, an.batch,
                                mp.default_sup(), an.fast_w, an.slow_w, an.sig_w,
@@ -183,34 +214,67 @@ def device_blob_fused(an: Analysis, chunk: ChunkAnalysis) -> bytes:
     return blob
 
 
-def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
-             batch_size: int = 4096) -> tuple[bytes, host.Stats]:
-    """Full device-path compression (model + entropy on TPU/JAX)."""
-    an = analyze(data, lanes=lanes, chunk_mode=chunk_mode, batch_size=batch_size)
-    blobs = [device_blob(an, c) for c in an.chunks]
+def _session_lib():
     lib = host.lib()
-    if not hasattr(lib, "_ext_ready"):
-        lib.artc_compress_external.restype = ctypes.c_int
-        lib.artc_compress_external.argtypes = [
+    if not hasattr(lib, "_session_ready"):
+        lib.artc_session_open.restype = ctypes.c_void_p
+        lib.artc_session_open.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
             ctypes.c_int,
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ]
+        lib.artc_session_analyze.restype = ctypes.c_int
+        lib.artc_session_analyze.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.artc_session_pack.restype = ctypes.c_int
+        lib.artc_session_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(host.ArtcStatsC),
         ]
-        lib._ext_ready = True
-    blob_cat = b"".join(blobs)
-    lens = (ctypes.c_uint64 * len(blobs))(*[len(b) for b in blobs])
-    out = ctypes.POINTER(ctypes.c_uint8)()
-    out_len = ctypes.c_size_t()
-    st = host.ArtcStatsC()
-    rc = lib.artc_compress_external(data, len(data), lanes, chunk_mode, batch_size, 0,
-                                    blob_cat, lens, len(blobs),
-                                    ctypes.byref(out), ctypes.byref(out_len), ctypes.byref(st))
-    if rc != 0:
+        lib.artc_session_close.restype = None
+        lib.artc_session_close.argtypes = [ctypes.c_void_p]
+        lib._session_ready = True
+    return lib
+
+
+def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
+             batch_size: int = 4096) -> tuple[bytes, host.Stats]:
+    """Full device-path compression (model + entropy on TPU/JAX). One native
+    session shares pass1/nz-mode state between analysis and packing."""
+    from .ops import model_pass as mp
+    lib = _session_lib()
+    h = lib.artc_session_open(data, len(data), lanes, chunk_mode, batch_size, 0)
+    if not h:
         raise host.NativeError(lib.artc_last_error().decode())
     try:
-        result = ctypes.string_at(out, out_len.value)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_len = ctypes.c_size_t()
+        rc = lib.artc_session_analyze(h, mp.default_sup(), ctypes.byref(out),
+                                      ctypes.byref(out_len))
+        if rc != 0:
+            raise host.NativeError(lib.artc_last_error().decode())
+        try:
+            raw = ctypes.string_at(out, out_len.value)
+        finally:
+            lib.artc_free(out)
+        an = _parse_analysis(raw)
+        blobs = [device_blob(an, c) for c in an.chunks]
+        blob_cat = b"".join(blobs)
+        lens = (ctypes.c_uint64 * len(blobs))(*[len(b) for b in blobs])
+        pout = ctypes.POINTER(ctypes.c_uint8)()
+        pout_len = ctypes.c_size_t()
+        st = host.ArtcStatsC()
+        rc = lib.artc_session_pack(h, blob_cat, lens, len(blobs),
+                                   ctypes.byref(pout), ctypes.byref(pout_len),
+                                   ctypes.byref(st))
+        if rc != 0:
+            raise host.NativeError(lib.artc_last_error().decode())
+        try:
+            result = ctypes.string_at(pout, pout_len.value)
+        finally:
+            lib.artc_free(pout)
+        return result, host.Stats.from_c(st)
     finally:
-        lib.artc_free(out)
-    return result, host.Stats.from_c(st)
+        lib.artc_session_close(h)

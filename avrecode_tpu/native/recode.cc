@@ -333,7 +333,8 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
                                             size_t end, const Options& opt, Stats& st,
                                             std::vector<PriorModel::Coded>* trace,
                                             std::vector<uint16_t>* probs_out,
-                                            std::vector<Dual>* dual0, uint64_t nz_modes) {
+                                            std::vector<Dual>* dual0, uint64_t nz_modes,
+                                            bool encode_blob = true) {
   PriorModel model;
   model.set_profile(opt.model_profile);
   model.set_batch_size(opt.batch_size);
@@ -366,6 +367,7 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
   st.bill.nz_count += model.bill.nz_count;
   st.bill.eob_count += model.bill.eob_count;
   if (probs_out) *probs_out = probs;
+  if (!encode_blob) return {};  // analysis-only callers discard the blob
   return RansInterleaved::encode(bits, probs, opt.lanes);
 }
 
@@ -906,19 +908,55 @@ extern "C" {
 //              machinery while keeping immediate-increment semantics);
 //              prob u16[] (host-computed, for differential testing);
 //              dual0 u16[4 * n_dual_keys] (fp,fn,sp,sn per key)
-int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
-                 uint32_t batch_size, int model_profile, uint8_t** out, size_t* out_len) {
+static uint32_t bucket_pow2(uint32_t x) {
+  uint32_t b = 1;
+  while (b < x) b *= 2;
+  return b;
+}
+
+// Session: one pass1 + nz-mode pick shared between analysis export and
+// container packing (the pre-session flow ran both twice).
+struct ArtcSession {
+  std::vector<uint8_t> data;
+  artc::Options opt;
+  artc::Stats st;
+  artc::Pass1 p1;
+  std::vector<std::pair<size_t, size_t>> ranges;
+  std::vector<uint64_t> nz_modes;
+};
+
+void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_mode,
+                        uint32_t batch_size, int model_profile) {
   using namespace artc;
   try {
-    Options opt;
-    opt.lanes = lanes > 0 ? lanes : 16;
-    opt.chunk_mode = chunk_mode;
-    opt.batch_size = batch_size;
-    opt.model_profile = model_profile;
-    Stats st;
-    Pass1 p1 = run_pass1(data, size, opt, st);
-    std::vector<std::pair<size_t, size_t>> ranges;
-    chunk_ranges(p1.slices, st.n_chunks, &ranges);
+    auto* s = new ArtcSession;
+    s->data.assign(data, data + size);
+    s->opt.lanes = lanes > 0 ? lanes : 16;
+    s->opt.chunk_mode = chunk_mode;
+    s->opt.batch_size = batch_size;
+    s->opt.model_profile = model_profile;
+    s->p1 = run_pass1(s->data.data(), size, s->opt, s->st);
+    chunk_ranges(s->p1.slices, s->st.n_chunks, &s->ranges);
+    for (auto [b, e] : s->ranges)
+      s->nz_modes.push_back(pick_nz_modes(s->p1.slices, b, e, s->opt));
+    return s;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return nullptr;
+  }
+}
+
+void artc_session_close(void* h) { delete static_cast<ArtcSession*>(h); }
+
+int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
+  using namespace artc;
+  auto* se = static_cast<ArtcSession*>(h);
+  try {
+    const Options& opt = se->opt;
+    const Stats& st = se->st;
+    const Pass1& p1 = se->p1;
+    const auto& ranges = se->ranges;
+    uint32_t sup_u = sup > 0 ? uint32_t(sup) : 16;
     Writer w;
     w.u32(0x5a4c4e41);  // 'ANLZ'
     w.u32(uint32_t(st.n_chunks));
@@ -931,13 +969,16 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
     w.u32(uint32_t(PriorModel::kSlowWindow));
     w.u32(uint32_t(PriorModel::kWindowSig));
     w.u32(uint32_t(PriorModel::kSigMixAlpha));
-    for (auto [b, e] : ranges) {
+    w.u32(sup_u);
+    for (size_t ci = 0; ci < ranges.size(); ++ci) {
+      auto [b, e] = ranges[ci];
       std::vector<PriorModel::Coded> trace;
       std::vector<uint16_t> probs;
       std::vector<Dual> dual0;
       Stats tmp;
-      uint64_t modes = pick_nz_modes(p1.slices, b, e, opt);
-      run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0, modes);
+      uint64_t modes = se->nz_modes[ci];
+      run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0, modes,
+                      /*encode_blob=*/false);
       w.u64(trace.size());
       for (const auto& c : trace) w.u8(c.bit);
       for (const auto& c : trace) w.u8(c.kind);
@@ -980,6 +1021,83 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
         w.u16(d.sp);
         w.u16(d.sn);
       }
+      // ---- model_pass_v2 tables: per-super-step sorted-unique dicts,
+      // per-bin dict indices, per-sub-batch per-entry (ones, total) deltas.
+      {
+        uint32_t batch = opt.batch_size ? opt.batch_size : 1;
+        uint64_t span = uint64_t(sup_u) * batch;
+        uint64_t ns = bucket_pow2(uint32_t((trace.size() + span - 1) / span));
+        if (ns == 0) ns = 1;
+        uint64_t m = ns * span;
+        uint32_t n_dual_ext = uint32_t(PriorModel::kNumDualKeys) + 1;
+        // Phase 1: per-step unique key lists (epoch-tagged "seen" arrays).
+        std::vector<uint32_t> ep_d(PriorModel::kNumDualKeys, ~0u);
+        std::vector<uint32_t> ep_s(PriorModel::kNumSigKeys, ~0u);
+        std::vector<std::vector<uint32_t>> keys_d(ns), keys_s(ns);
+        for (uint64_t i = 0; i < trace.size(); ++i) {
+          const auto& c = trace[i];
+          if (c.kind == PriorModel::kKindPrior) continue;
+          uint32_t stp = uint32_t(i / span);
+          if (c.kind == PriorModel::kKindSig) {
+            if (ep_s[c.key] != stp) { ep_s[c.key] = stp; keys_s[stp].push_back(c.key); }
+          } else {
+            if (ep_d[c.key] != stp) { ep_d[c.key] = stp; keys_d[stp].push_back(c.key); }
+          }
+        }
+        uint32_t max_d = 1, max_s = 1;
+        for (uint64_t s = 0; s < ns; ++s) {
+          std::sort(keys_d[s].begin(), keys_d[s].end());
+          std::sort(keys_s[s].begin(), keys_s[s].end());
+          max_d = std::max<uint32_t>(max_d, uint32_t(keys_d[s].size()));
+          max_s = std::max<uint32_t>(max_s, uint32_t(keys_s[s].size()));
+        }
+        uint32_t ud = bucket_pow2(max_d + 1), us = bucket_pow2(max_s + 1);
+        // Phase 2: slot maps + per-bin indices + deltas.
+        std::vector<uint32_t> slot_d(PriorModel::kNumDualKeys), slot_s(PriorModel::kNumSigKeys);
+        std::vector<uint32_t> bin_u(m, ud - 1);  // ext/pad default
+        std::vector<uint32_t> dk_d(ns * ud), dk_s(ns * us);
+        std::vector<uint16_t> dd(ns * sup_u * uint64_t(ud) * 2, 0);
+        std::vector<uint16_t> ds(ns * sup_u * uint64_t(us) * 2, 0);
+        for (uint64_t s = 0; s < ns; ++s) {
+          for (uint32_t j = 0; j < ud; ++j)
+            dk_d[s * ud + j] = j < keys_d[s].size() ? keys_d[s][j]
+                                                    : n_dual_ext + (j - uint32_t(keys_d[s].size()));
+          for (uint32_t j = 0; j < us; ++j)
+            dk_s[s * us + j] = j < keys_s[s].size() ? keys_s[s][j]
+                                                    : uint32_t(PriorModel::kNumSigKeys) +
+                                                          (j - uint32_t(keys_s[s].size()));
+          for (uint32_t j = 0; j < keys_d[s].size(); ++j) slot_d[keys_d[s][j]] = j;
+          for (uint32_t j = 0; j < keys_s[s].size(); ++j) slot_s[keys_s[s][j]] = j;
+          uint64_t lo = s * span, hi = std::min<uint64_t>((s + 1) * span, trace.size());
+          for (uint64_t i = lo; i < hi; ++i) {
+            const auto& c = trace[i];
+            if (c.kind == PriorModel::kKindPrior) continue;
+            uint32_t sub = uint32_t((i - lo) / batch);
+            if (c.kind == PriorModel::kKindSig) {
+              uint32_t sl = slot_s[c.key];
+              bin_u[i] = ud + sl;
+              uint16_t* cell = &ds[(((s * sup_u) + sub) * us + sl) * 2];
+              cell[0] = uint16_t(cell[0] + (c.bit ? 1 : 0));
+              cell[1] = uint16_t(cell[1] + 1);
+            } else {
+              uint32_t sl = slot_d[c.key];
+              bin_u[i] = sl;
+              uint16_t* cell = &dd[(((s * sup_u) + sub) * ud + sl) * 2];
+              cell[0] = uint16_t(cell[0] + (c.bit ? 1 : 0));
+              cell[1] = uint16_t(cell[1] + 1);
+            }
+          }
+        }
+        w.u32(uint32_t(ns));
+        w.u32(ud);
+        w.u32(us);
+        w.u64(m);
+        for (uint32_t v : bin_u) w.u32(v);
+        for (uint32_t v : dk_d) w.u32(v);
+        for (uint32_t v : dk_s) w.u32(v);
+        for (uint16_t v : dd) w.u16(v);
+        for (uint16_t v : ds) w.u16(v);
+      }
     }
     *out = static_cast<uint8_t*>(malloc(w.buf.size()));
     memcpy(*out, w.buf.data(), w.buf.size());
@@ -989,6 +1107,49 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
     g_error = e.what();
     return -1;
   }
+}
+
+// Packs the container from caller-provided chunk blobs using the session's
+// pass1/nz-mode state (no recomputation).
+int artc_session_pack(void* h, const uint8_t* blob_data, const uint64_t* blob_lens,
+                      int n_blobs, uint8_t** out, size_t* out_len, ArtcStats* stats) {
+  using namespace artc;
+  auto* se = static_cast<ArtcSession*>(h);
+  try {
+    if (n_blobs != se->st.n_chunks) {
+      g_error = "blob count != chunk count";
+      return -1;
+    }
+    Stats st = se->st;  // copy: pack may run more than once per session
+    std::vector<std::vector<uint8_t>> blobs(n_blobs);
+    size_t off = 0;
+    for (int i = 0; i < n_blobs; ++i) {
+      blobs[i].assign(blob_data + off, blob_data + off + blob_lens[i]);
+      off += blob_lens[i];
+      st.recoded_bytes += blob_lens[i];
+    }
+    auto v = finalize_container(se->data.data(), se->data.size(), se->p1, blobs,
+                                se->nz_modes, se->opt, st);
+    *out = static_cast<uint8_t*>(malloc(v.size()));
+    memcpy(*out, v.data(), v.size());
+    *out_len = v.size();
+    fill_stats(st, stats);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
+// One-shot analysis export (opens and closes a session internally).
+int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
+                 uint32_t batch_size, int model_profile, int sup, uint8_t** out,
+                 size_t* out_len) {
+  void* h = artc_session_open(data, size, lanes, chunk_mode, batch_size, model_profile);
+  if (!h) return -1;
+  int rc = artc_session_analyze(h, sup, out, out_len);
+  artc_session_close(h);
+  return rc;
 }
 
 // Assembles a full container using caller-provided chunk blobs (the device

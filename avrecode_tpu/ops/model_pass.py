@@ -508,6 +508,36 @@ def run_chunk_v2(bit, kind, key, prior, pre_ones, pre_tot, dual0, batch, sup,
     return np.asarray(probs)[:n]
 
 
+def run_chunk_v2_tables(kind, prior, pre_ones, pre_tot, v2_m, bin_u, dk_d, dk_s, dd, ds,
+                        dual0, batch, sup, fast_w, slow_w, sig_w, sig_alpha, n_sig):
+    """Fast path with C++-precomputed dictionary tables (artc_analyze)."""
+    n = len(kind)
+    if n == 0:
+        return np.zeros(0, np.uint16)
+    m = int(v2_m)
+    pad = m - n
+    ns = m // (sup * batch)
+    ud = dk_d.shape[1]
+    us = dk_s.shape[1]
+    kind_p = np.concatenate([kind.astype(np.int32), np.full(pad, 3, np.int32)])
+    prior_p = np.concatenate([prior.astype(np.int32), np.ones(pad, np.int32)])
+    pre1_p = np.concatenate([pre_ones.astype(np.int32), np.zeros(pad, np.int32)])
+    pret_p = np.concatenate([pre_tot.astype(np.int32), np.zeros(pad, np.int32)])
+    dual_ext = np.concatenate(
+        [dual0.astype(np.int32), np.ones((1 + ud, 4), np.int32)], axis=0)
+    sig_ext = np.concatenate(
+        [np.zeros((n_sig, 2), np.int32), np.ones((us, 2), np.int32)], axis=0)
+    sh = (ns, sup, batch)
+    probs = model_pass_v2(
+        jnp.asarray(kind_p.reshape(sh)), jnp.asarray(prior_p.reshape(sh)),
+        jnp.asarray(pre1_p.reshape(sh)), jnp.asarray(pret_p.reshape(sh)),
+        jnp.asarray(bin_u.astype(np.int32).reshape(sh)), jnp.asarray(dk_d),
+        jnp.asarray(dk_s), jnp.asarray(dd), jnp.asarray(ds), jnp.asarray(dual_ext),
+        jnp.asarray(sig_ext), batch=int(batch), sup=int(sup), fast_w=int(fast_w),
+        slow_w=int(slow_w), sig_w=int(sig_w), sig_alpha=int(sig_alpha))
+    return np.asarray(probs)[:n]
+
+
 def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_alpha, n_sig,
               impl=None):
     """numpy in/out convenience wrapper: pads, runs the jitted pass, trims."""
