@@ -214,9 +214,10 @@ inline SliceHeader parse_slice_header(const uint8_t* rbsp, size_t size, int nal_
     h.field_pic = r.read_bit();
     if (h.field_pic) {
       h.bottom_field = r.read_bit();
+      // PAFF field pictures: reference management and ctx derivation differ;
+      // these fall back to literal passthrough (x264 emits MBAFF only).
       throw UnsupportedStream("field pictures");
     }
-    if (sps.mb_adaptive_frame_field) throw UnsupportedStream("MBAFF");
   }
   if (h.is_idr) h.idr_pic_id = r.read_ue();
   if (sps.pic_order_cnt_type == 0) {

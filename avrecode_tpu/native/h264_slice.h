@@ -60,6 +60,7 @@ struct MBInfo {
   uint8_t skip = 0;            // P_Skip / B_Skip
   uint8_t direct_or_skip = 0;  // B_Skip or B_Direct_16x16 (for B mb_type ctx)
   uint8_t transform8x8 = 0;
+  uint8_t field = 0;           // MBAFF: this MB pair is field-coded
   uint8_t cbp_luma = 0;        // 4 bits, one per 8x8
   uint8_t cbp_chroma = 0;      // 0..2
   uint8_t chroma_pred_nonzero = 0;
@@ -77,7 +78,7 @@ struct MBInfo {
   MBInfo() { clear(); }
   void clear() {
     slice_id = 0xffff;
-    intra = i16 = pcm = skip = direct_or_skip = transform8x8 = 0;
+    intra = i16 = pcm = skip = direct_or_skip = transform8x8 = field = 0;
     cbp_luma = cbp_chroma = chroma_pred_nonzero = qp_delta_nonzero = 0;
     cbf = 0;
     std::memset(mvd, 0, sizeof(mvd));
@@ -108,10 +109,12 @@ class SliceWalker {
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
       throw UnsupportedStream("bit depth != 8");
+    mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
   }
 
   // Walks the whole slice_data(); returns number of macroblocks decoded.
   int run() {
+    if (mbaff_) return run_mbaff();
     int mb_addr = sh_.first_mb_in_slice;
     const int num_mbs = pic_.mb_width * pic_.mb_height;
     int count = 0;
@@ -126,20 +129,9 @@ class SliceWalker {
       io_.begin_mb(mb_x_, mb_y_);
 
       bool skipped = false;
-      if (!sh_.is_intra()) {
-        int inc = 0;
-        const MBInfo* a = nb_mb(-1, 0);
-        const MBInfo* b = nb_mb(0, -1);
-        if (a && !a->skip) ++inc;
-        if (b && !b->skip) ++inc;
-        int base = sh_.is_b() ? kCtxMbSkipB : kCtxMbSkipP;
-        skipped = io_.decision(base + inc, kKlassSkip) != 0;
-      }
+      if (!sh_.is_intra()) skipped = decode_skip_flag();
       if (skipped) {
-        cur_->skip = 1;
-        cur_->direct_or_skip = 1;
-        if (!sh_.is_b()) cur_->ref[0][0] = cur_->ref[0][1] = cur_->ref[0][2] = cur_->ref[0][3] = 0;
-        prev_qp_delta_nonzero = false;
+        mark_skip(prev_qp_delta_nonzero);
       } else {
         decode_mb_layer(prev_qp_delta_nonzero);
       }
@@ -151,15 +143,186 @@ class SliceWalker {
   }
 
  private:
+  bool decode_skip_flag() {
+    int inc = 0;
+    NbLoc a = locate_luma(-1, 0);
+    NbLoc b = locate_luma(0, -1);
+    if (a.mb && !a.mb->skip) ++inc;
+    if (b.mb && !b.mb->skip) ++inc;
+    int base = sh_.is_b() ? kCtxMbSkipB : kCtxMbSkipP;
+    return io_.decision(base + inc, kKlassSkip) != 0;
+  }
+
+  void mark_skip(bool& prev_qp_delta_nonzero) {
+    cur_->skip = 1;
+    cur_->direct_or_skip = 1;
+    if (!sh_.is_b()) cur_->ref[0][0] = cur_->ref[0][1] = cur_->ref[0][2] = cur_->ref[0][3] = 0;
+    prev_qp_delta_nonzero = false;
+  }
+
+  // MBAFF slice_data() (7.3.4 with MbaffFrameFlag == 1): macroblock pairs,
+  // mb_field_decoding_flag coded in the first non-skipped MB of the pair
+  // (inferred from the left/above pair when both are skipped, 7.4.4),
+  // end_of_slice after the bottom MB only.
+  int run_mbaff() {
+    int pair_addr = sh_.first_mb_in_slice;  // CurrMbAddr = first_mb * 2
+    const int pair_w = pic_.mb_width, pair_h = pic_.mb_height / 2;
+    const int num_pairs = pair_w * pair_h;
+    int count = 0;
+    bool prev_qp_delta_nonzero = false;
+    while (true) {
+      if (pair_addr >= num_pairs) throw BitstreamError("mb pair address out of range");
+      mb_x_ = pair_addr % pair_w;
+      int pair_y = pair_addr / pair_w;
+      // Speculative field status (7.4.4 inference: left pair, else above).
+      const MBInfo* lp = pair_top(mb_x_ - 1, pair_y);
+      const MBInfo* ap = pair_top(mb_x_, pair_y - 1);
+      cur_field_ = lp ? lp->field != 0 : (ap ? ap->field != 0 : false);
+      bool field_known = false;
+      bool top_skipped = false;
+      for (int bottom = 0; bottom < 2; ++bottom) {
+        cur_bottom_ = bottom != 0;
+        mb_y_ = 2 * pair_y + bottom;
+        cur_ = &pic_.mbs[size_t(mb_y_) * pair_w + mb_x_];
+        cur_->clear();
+        cur_->slice_id = uint16_t(slice_id_);
+        cur_->field = cur_field_;
+        io_.begin_mb(mb_x_, mb_y_);
+        bool skipped = false;
+        if (!sh_.is_intra()) skipped = decode_skip_flag();
+        if (skipped) {
+          mark_skip(prev_qp_delta_nonzero);
+          if (!bottom) top_skipped = true;
+        } else {
+          if (!field_known && (!bottom || top_skipped)) {
+            cur_field_ = decode_mb_field_flag(mb_x_, pair_y);
+            field_known = true;
+            cur_->field = cur_field_;
+            if (bottom)  // retroactively applies to the skipped top MB too
+              pic_.mbs[size_t(mb_y_ - 1) * pair_w + mb_x_].field = cur_field_;
+          }
+          decode_mb_layer(prev_qp_delta_nonzero);
+        }
+        ++count;
+      }
+      if (io_.terminate()) break;
+      ++pair_addr;
+    }
+    return count;
+  }
+
+  // Top MB of the pair at pair coords (px, py), if available in this slice.
+  const MBInfo* pair_top(int px, int py) const {
+    if (px < 0 || py < 0 || px >= pic_.mb_width || 2 * py >= pic_.mb_height) return nullptr;
+    const MBInfo& m = pic_.mbs[size_t(2 * py) * pic_.mb_width + px];
+    return m.slice_id == slice_id_ ? &m : nullptr;
+  }
+
+  // mb_field_decoding_flag (9.3.3.1.1.2): ctxIdxInc from the left/above
+  // PAIR's field flags.
+  bool decode_mb_field_flag(int px, int py) {
+    const MBInfo* a = pair_top(px - 1, py);
+    const MBInfo* b = pair_top(px, py - 1);
+    int inc = (a && a->field ? 1 : 0) + (b && b->field ? 1 : 0);
+    return io_.decision(kCtxMbField + inc, kKlassOther) != 0;
+  }
+
   // ---- neighbor access -----------------------------------------------------
   // Returns the MB at (mb_x_+dx, mb_y_+dy) if it exists and belongs to the
-  // same slice (clause 6.4.9 availability for entropy decoding).
+  // same slice (clause 6.4.9 availability for entropy decoding). Only valid
+  // for non-MBAFF walks; MBAFF goes through locate_luma/locate_chroma.
   const MBInfo* nb_mb(int dx, int dy) const {
     int x = mb_x_ + dx, y = mb_y_ + dy;
     if (x < 0 || y < 0 || x >= pic_.mb_width || y >= pic_.mb_height) return nullptr;
     const MBInfo& m = pic_.mbs[size_t(y) * pic_.mb_width + x];
     if (m.slice_id != slice_id_) return nullptr;  // other/undecoded slice
     return &m;
+  }
+
+  struct NbLoc {
+    const MBInfo* mb = nullptr;  // null = unavailable
+    int lx = 0, ly = 0;          // local luma coords (pixels) within mb
+  };
+
+  // Neighbouring-location derivation (6.4.12): the MB (and local coords)
+  // containing the luma sample at (xN, yN) relative to the current MB's
+  // top-left, in the current MB's own frame/field geometry. Only the A/B
+  // offsets CABAC needs arise: xN >= -1, yN >= -1, not both negative.
+  NbLoc locate_luma(int xN, int yN) const {
+    if (!mbaff_) {
+      int dx = 0, dy = 0;
+      if (xN < 0) { dx = -1; xN += 16; }
+      if (yN < 0) { dy = -1; yN += 16; }
+      if (dx != 0 && dy != 0) return {};
+      const MBInfo* m = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
+      if (!m) return {};
+      return {m, xN, yN};
+    }
+    return locate_mbaff(xN, yN, 16);
+  }
+
+  // Chroma-plane variant: mbh = chroma MB height in samples (8 for 4:2:0,
+  // 16 for 4:2:2). Same member-selection rules in the chroma grid (6.4.12.2
+  // applies to any plane via MbHeightC).
+  NbLoc locate_chroma(int xN, int yN, int mbh) const {
+    if (!mbaff_) {
+      int dx = 0, dy = 0;
+      if (xN < 0) { dx = -1; xN += 8; }
+      if (yN < 0) { dy = -1; yN += mbh; }
+      if (dx != 0 && dy != 0) return {};
+      const MBInfo* m = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
+      if (!m) return {};
+      return {m, xN, yN};
+    }
+    return locate_mbaff(xN, yN, mbh, 8);
+  }
+
+  // MBAFF branch of 6.4.12.2, derived in pair-region sample space: a pair
+  // covers 2*mbh rows; frame members split them 0..mbh-1 / mbh..2*mbh-1,
+  // field members by row parity. Verified byte-exact against x264 MBAFF
+  // streams (the tests' mbaff corpus).
+  NbLoc locate_mbaff(int xN, int yN, int mbh, int mbw = 16) const {
+    const int pw = pic_.mb_width;
+    const int py = mb_y_ >> 1;
+    const bool cf = cur_field_;
+    const bool bot = cur_bottom_;
+    // Row of this MB's sample yN within the pair region (frame rows).
+    auto pair_row = [&](int y) { return cf ? (2 * y + (bot ? 1 : 0)) : (mbh * (bot ? 1 : 0) + y); };
+    if (xN >= 0 && yN >= 0) {
+      if (yN < mbh) return {cur_, xN, yN};
+      return {};
+    }
+    if (xN < 0) {
+      if (yN < 0) return {};  // diagonal neighbors never arise here
+      // Left neighbor: pair (mb_x_-1, py).
+      const MBInfo* ltop = pair_top(mb_x_ - 1, py);
+      if (!ltop) return {};
+      int gy = pair_row(yN);
+      bool nf = ltop->field != 0;
+      int member, ym;
+      if (nf) { member = gy & 1; ym = gy >> 1; }
+      else { member = gy >= mbh ? 1 : 0; ym = gy - member * mbh; }
+      return {ltop + size_t(member) * pw, xN + mbw, ym};
+    }
+    // Above neighbor: one row up in the current MB's own geometry.
+    int gy = pair_row(0) + (cf ? 2 * yN : yN);  // yN == -1
+    if (gy >= 0) {
+      // Still inside the current pair (frame bottom MB -> own pair top).
+      int member, ym;
+      if (cf) { member = gy & 1; ym = gy >> 1; }
+      else { member = gy >= mbh ? 1 : 0; ym = gy - member * mbh; }
+      const MBInfo* m = &pic_.mbs[size_t(2 * py + member) * pw + mb_x_];
+      if (m->slice_id != slice_id_) return {};
+      return {m, xN, ym};
+    }
+    const MBInfo* atop = pair_top(mb_x_, py - 1);
+    if (!atop) return {};
+    int gy2 = gy + 2 * mbh;
+    bool nf = atop->field != 0;
+    int member, ym;
+    if (nf) { member = gy2 & 1; ym = gy2 >> 1; }
+    else { member = gy2 >= mbh ? 1 : 0; ym = gy2 - member * mbh; }
+    return {atop + size_t(member) * pw, xN, ym};
   }
 
   // ---- mb_type ------------------------------------------------------------
@@ -170,8 +333,8 @@ class SliceWalker {
     int state = ctx_base;
     if (intra_slice) {
       int inc = 0;
-      const MBInfo* a = nb_mb(-1, 0);
-      const MBInfo* b = nb_mb(0, -1);
+      const MBInfo* a = locate_luma(-1, 0).mb;
+      const MBInfo* b = locate_luma(0, -1).mb;
       if (a && (a->i16 || a->pcm)) ++inc;
       if (b && (b->i16 || b->pcm)) ++inc;
       if (io_.decision(state + inc, kKlassOther) == 0) return 0;
@@ -204,8 +367,8 @@ class SliceWalker {
   // 23.. = intra (value-23).
   int decode_b_mb_type() {
     int inc = 0;
-    const MBInfo* a = nb_mb(-1, 0);
-    const MBInfo* b = nb_mb(0, -1);
+    const MBInfo* a = locate_luma(-1, 0).mb;
+    const MBInfo* b = locate_luma(0, -1).mb;
     if (a && !a->direct_or_skip) ++inc;
     if (b && !b->direct_or_skip) ++inc;
     if (!io_.decision(kCtxMbTypeB + inc, kKlassOther)) return 0;  // B_Direct_16x16
@@ -263,16 +426,26 @@ class SliceWalker {
   }
 
   // refIdxZeroFlagN-based condTermFlagN for a neighbor 4x4 at grid (gx,gy)
-  // (may be outside the MB).
+  // (may be outside the MB). MBAFF (9.3.3.1.1.6): a field neighbor of a
+  // frame MB has doubled reference indices, so "nonzero" means > 1 there.
   int ref_ctx_flag(int list, int gx, int gy) const {
-    const MBInfo* m;
-    int lx = gx, ly = gy;
-    if (!locate(gx, gy, &m, &lx, &ly)) return 0;
+    NbLoc n = locate_luma(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy);
+    const MBInfo* m = n.mb;
+    if (!m) return 0;
     if (m->intra || m->skip) return 0;
-    int b8 = (lx >> 1) + 2 * (ly >> 1);
+    int b8 = ((n.lx >> 3) & 1) + 2 * ((n.ly >> 3) & 1);
     // B_Direct_16x16 / direct 8x8 partitions store ref = -1 (list unused).
     int r = m->ref[list][b8];
-    return r > 0 ? 1 : 0;
+    int thresh = (mbaff_ && !cur_field_ && m->field) ? 1 : 0;
+    return r > thresh ? 1 : 0;
+  }
+
+  // Effective reference list size: a FIELD macroblock of an MBAFF frame
+  // addresses twice as many (field) references (7.4.5.2), so ref_idx is
+  // coded even when the slice's active count is 1.
+  int eff_num_ref(int list) const {
+    int nref = list ? sh_.num_ref_idx_l1_active : sh_.num_ref_idx_l0_active;
+    return (mbaff_ && cur_field_) ? 2 * nref : nref;
   }
 
   // mvd (9.3.2.3 UEG3 uCoff=9 + sign, 9.3.3.1.1.7 ctx). comp: 0=x,1=y.
@@ -300,27 +473,18 @@ class SliceWalker {
   }
 
   int abs_mvd_at(int list, int comp, int gx, int gy) const {
-    const MBInfo* m;
-    int lx, ly;
-    if (!locate(gx, gy, &m, &lx, &ly)) return 0;
+    NbLoc n = locate_luma(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy);
+    const MBInfo* m = n.mb;
+    if (!m) return 0;
     if (m->intra || m->skip) return 0;
-    int v = m->mvd[list][lx + 4 * ly][comp];
-    return v < 0 ? -v : v;
-  }
-
-  // Locate a 4x4 grid position possibly outside the current MB. Returns false
-  // if the containing MB is unavailable. (lx,ly) = position within that MB.
-  bool locate(int gx, int gy, const MBInfo** m, int* lx, int* ly) const {
-    int dx = 0, dy = 0;
-    if (gx < 0) { dx = -1; gx += 4; }
-    if (gy < 0) { dy = -1; gy += 4; }
-    if (dx != 0 && dy != 0) return false;  // only A/B neighbors arise
-    const MBInfo* mb = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
-    if (!mb) return false;
-    *m = mb;
-    *lx = gx;
-    *ly = gy;
-    return true;
+    int v = m->mvd[list][(n.lx >> 2) + 4 * (n.ly >> 2)][comp];
+    v = v < 0 ? -v : v;
+    // MBAFF vertical-mvd unit conversion (9.3.3.1.1.7): field rows are half
+    // frame rows, so a frame neighbor's vertical mvd halves into field units
+    // and a field neighbor's doubles into frame units.
+    if (mbaff_ && comp == 1 && m->field != uint8_t(cur_field_))
+      v = cur_field_ ? v / 2 : v * 2;
+    return v;
   }
 
   // ---- macroblock layer ---------------------------------------------------
@@ -416,15 +580,15 @@ class SliceWalker {
   }
 
   bool decode_transform8x8() {
-    const MBInfo* a = nb_mb(-1, 0);
-    const MBInfo* b = nb_mb(0, -1);
+    const MBInfo* a = locate_luma(-1, 0).mb;
+    const MBInfo* b = locate_luma(0, -1).mb;
     int inc = (a && a->transform8x8 ? 1 : 0) + (b && b->transform8x8 ? 1 : 0);
     return io_.decision(kCtxTransform8x8 + inc, kKlassOther) != 0;
   }
 
   void decode_chroma_pred_mode() {
-    const MBInfo* a = nb_mb(-1, 0);
-    const MBInfo* b = nb_mb(0, -1);
+    const MBInfo* a = locate_luma(-1, 0).mb;
+    const MBInfo* b = locate_luma(0, -1).mb;
     int inc = (a && a->chroma_pred_nonzero ? 1 : 0) + (b && b->chroma_pred_nonzero ? 1 : 0);
     int mode = 0;
     if (io_.decision(kCtxChromaPred + inc, kKlassOther)) {
@@ -477,7 +641,7 @@ class SliceWalker {
     // ref_idx: all L0 then all L1; commit each immediately (a later partition's
     // context may reference an earlier partition of this same MB).
     for (int list = 0; list < 2; ++list) {
-      int nref = list ? sh_.num_ref_idx_l1_active : sh_.num_ref_idx_l0_active;
+      int nref = eff_num_ref(list);
       for (int p = 0; p < nparts; ++p) {
         if (!(parts[p].pred & (1 << list))) continue;
         int r = (nref > 1) ? decode_ref_idx(list, parts[p].bx, parts[p].by) : 0;
@@ -553,7 +717,7 @@ class SliceWalker {
     // ref_idx: all L0 then all L1; commit each immediately (later 8x8s'
     // contexts may reference earlier 8x8s of this same MB).
     for (int list = 0; list < 2; ++list) {
-      int nref = list ? sh_.num_ref_idx_l1_active : sh_.num_ref_idx_l0_active;
+      int nref = eff_num_ref(list);
       for (int i = 0; i < 4; ++i) {
         bool direct = sh_.is_b() && sub[i] == 0;
         if (direct || !(sub_pred(sub[i]) & (1 << list))) continue;
@@ -585,31 +749,43 @@ class SliceWalker {
   }
 
   // ---- cbp / qp -----------------------------------------------------------
+  // condTermFlagN for one cbp-luma decision (9.3.3.1.1.4 via the 8x8-block
+  // neighbor, 6.4.11.2): the neighbor 8x8 containing the sample left of /
+  // above the current 8x8's top-left. `partial` = bits decoded so far of the
+  // current MB's cbp (in-MB neighbors). Unavailable or I_PCM neighbors act as
+  // fully-coded (condTerm 0 under the inverted !(cbp&bit) formulation).
+  int cbp_luma_cond(int b8, int partial, bool left) const {
+    int x0 = 8 * (b8 & 1), y0 = 8 * (b8 >> 1);
+    int xN = left ? x0 - 1 : x0;
+    int yN = left ? y0 : y0 - 1;
+    const MBInfo* m;
+    int xM, yM;
+    if (xN >= 0 && yN >= 0) {
+      m = cur_;
+      xM = xN;
+      yM = yN;
+      int bit = (xM >> 3) + 2 * (yM >> 3);
+      return !((partial >> bit) & 1);
+    }
+    NbLoc n = locate_luma(xN, yN);
+    if (!n.mb) return 0;  // unavailable -> treated as fully coded
+    int cbp = n.mb->pcm ? 0xf : n.mb->cbp_luma;
+    int bit = (n.lx >> 3) + 2 * (n.ly >> 3);
+    return !((cbp >> bit) & 1);
+  }
+
   int decode_cbp_luma() {
-    const MBInfo* a = nb_mb(-1, 0);
-    const MBInfo* b = nb_mb(0, -1);
-    // condTermFlagN = 0 when the neighbor is unavailable, I_PCM, or its cbp
-    // bit is set (9.3.3.1.1.4); with the inverted !(cbp&bit) formulation that
-    // means unavailable/PCM neighbors act as fully-coded (0xf). Validated by
-    // byte-exact re-encode against x264 streams.
-    int cbp_a = a ? (a->pcm ? 0xf : a->cbp_luma) : 0xf;
-    int cbp_b = b ? (b->pcm ? 0xf : b->cbp_luma) : 0xf;
     int cbp = 0;
-    int inc;
-    inc = !(cbp_a & 0x2) + 2 * !(cbp_b & 0x4);
-    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther);
-    inc = !(cbp & 0x1) + 2 * !(cbp_b & 0x8);
-    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << 1;
-    inc = !(cbp_a & 0x8) + 2 * !(cbp & 0x1);
-    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << 2;
-    inc = !(cbp & 0x4) + 2 * !(cbp & 0x2);
-    cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << 3;
+    for (int b8 = 0; b8 < 4; ++b8) {
+      int inc = cbp_luma_cond(b8, cbp, true) + 2 * cbp_luma_cond(b8, cbp, false);
+      cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << b8;
+    }
     return cbp;
   }
 
   int decode_cbp_chroma() {
-    const MBInfo* a = nb_mb(-1, 0);
-    const MBInfo* b = nb_mb(0, -1);
+    const MBInfo* a = locate_luma(-1, 0).mb;
+    const MBInfo* b = locate_luma(0, -1).mb;
     int ca = a ? (a->pcm ? 2 : a->cbp_chroma) : 0;
     int cb = b ? (b->pcm ? 2 : b->cbp_chroma) : 0;
     int inc = (ca != 0 ? 1 : 0) + 2 * (cb != 0 ? 1 : 0);
@@ -689,51 +865,37 @@ class SliceWalker {
     return (n->cbf & bit_mask) ? 1 : 0;
   }
   int cbf_ctx_luma_dc() const {
-    return cbf_ctx(kCatLumaDC, cond_mb(nb_mb(-1, 0), 1ull << 16), cond_mb(nb_mb(0, -1), 1ull << 16));
+    return cbf_ctx(kCatLumaDC, cond_mb(locate_luma(-1, 0).mb, 1ull << 16),
+                   cond_mb(locate_luma(0, -1).mb, 1ull << 16));
   }
   int cbf_ctx_chroma_dc(int c) const {
-    return cbf_ctx(kCatChromaDC, cond_mb(nb_mb(-1, 0), 1ull << (17 + c)),
-                   cond_mb(nb_mb(0, -1), 1ull << (17 + c)));
+    return cbf_ctx(kCatChromaDC, cond_mb(locate_luma(-1, 0).mb, 1ull << (17 + c)),
+                   cond_mb(locate_luma(0, -1).mb, 1ull << (17 + c)));
   }
   // Luma 4x4 / I16 AC: neighbor 4x4 at grid position; cross-MB wraps to the
-  // adjacent MB's opposite column/row.
+  // adjacent MB's opposite column/row (MBAFF-mapped under locate_luma).
   int cbf_ctx_luma4x4(int blk) const {
     int gx = kBlk4x4X[blk], gy = kBlk4x4Y[blk];
     int cat = cur_->i16 ? kCatLumaAC : kCatLuma4x4;
     return cbf_ctx(cat, cond_luma4x4(gx - 1, gy), cond_luma4x4(gx, gy - 1));
   }
   int cond_luma4x4(int gx, int gy) const {
-    const MBInfo* m;
-    int lx, ly;
-    if (!locate4(gx, gy, &m, &lx, &ly)) return cur_->intra ? 1 : 0;
-    if (m->pcm) return 1;
-    return (m->cbf >> (lx + 4 * ly)) & 1;
+    NbLoc n = locate_luma(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy);
+    if (!n.mb) return cur_->intra ? 1 : 0;
+    if (n.mb->pcm) return 1;
+    return (n.mb->cbf >> ((n.lx >> 2) + 4 * (n.ly >> 2))) & 1;
   }
-  bool locate4(int gx, int gy, const MBInfo** m, int* lx, int* ly) const {
-    int dx = 0, dy = 0;
-    if (gx < 0) { dx = -1; gx += 4; }
-    if (gy < 0) { dy = -1; gy += 4; }
-    const MBInfo* mb = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
-    if (!mb) return false;
-    *m = mb;
-    *lx = gx;
-    *ly = gy;
-    return true;
-  }
-  // Chroma AC: 2x2 grid per component.
+  // Chroma AC: 2x2 grid per component (2x4 for 4:2:2), in chroma samples.
   int cbf_ctx_chroma_ac(int c, int blk) const {
     int gx = blk & 1, gy = blk >> 1;
     return cbf_ctx(kCatChromaAC, cond_chroma_ac(c, gx - 1, gy), cond_chroma_ac(c, gx, gy - 1));
   }
   int cond_chroma_ac(int c, int gx, int gy) const {
-    int gh = 2 * numc8x8_;  // chroma AC grid is 2 wide x gh tall (6.4.11.6)
-    int dx = 0, dy = 0;
-    if (gx < 0) { dx = -1; gx += 2; }
-    if (gy < 0) { dy = -1; gy += gh; }
-    const MBInfo* mb = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
-    if (!mb) return cur_->intra ? 1 : 0;
-    if (mb->pcm) return 1;
-    return (mb->cbf >> (19 + 8 * c + gx + 2 * gy)) & 1;
+    int mbh = 8 * numc8x8_;  // chroma MB height in samples (6.4.11.6)
+    NbLoc n = locate_chroma(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy, mbh);
+    if (!n.mb) return cur_->intra ? 1 : 0;
+    if (n.mb->pcm) return 1;
+    return (n.mb->cbf >> (19 + 8 * c + (n.lx >> 2) + 2 * (n.ly >> 2))) & 1;
   }
 
   // Decode one residual block: coded_block_flag (unless cat 5), significance
@@ -792,21 +954,30 @@ class SliceWalker {
     io_.end_block();
   }
 
+  // Field-coded MBs (MBAFF) use the field significance context banks and the
+  // field position-class row of the 8x8 offset table (9.3.3.1.3).
   int sig_ctx(int cat, int pos) const {
-    if (cat == kCatLuma8x8) return kCtxSig8x8Base + kSigCoeffFlagOffset8x8[0][pos];
+    bool fld = mbaff_ && cur_field_;
+    if (cat == kCatLuma8x8)
+      return (fld ? kCtxSig8x8BaseField : kCtxSig8x8Base) +
+             kSigCoeffFlagOffset8x8[fld ? 1 : 0][pos];
+    int base = fld ? kCtxSigBaseField : kCtxSigBase;
     if (cat == kCatChromaDC) {
       int p = pos / numc8x8_;  // Min(levelListIdx / NumC8x8, 2), 9.3.3.1.3
-      return kCtxSigBase + kCatSigOffset[cat] + (p < 2 ? p : 2);
+      return base + kCatSigOffset[cat] + (p < 2 ? p : 2);
     }
-    return kCtxSigBase + kCatSigOffset[cat] + pos;
+    return base + kCatSigOffset[cat] + pos;
   }
   int last_ctx(int cat, int pos) const {
-    if (cat == kCatLuma8x8) return kCtxLast8x8Base + kLastCoeffFlagOffset8x8[pos];
+    bool fld = mbaff_ && cur_field_;
+    if (cat == kCatLuma8x8)
+      return (fld ? kCtxLast8x8BaseField : kCtxLast8x8Base) + kLastCoeffFlagOffset8x8[pos];
+    int base = fld ? kCtxLastBaseField : kCtxLastBase;
     if (cat == kCatChromaDC) {
       int p = pos / numc8x8_;
-      return kCtxLastBase + kCatSigOffset[cat] + (p < 2 ? p : 2);
+      return base + kCatSigOffset[cat] + (p < 2 ? p : 2);
     }
-    return kCtxLastBase + kCatSigOffset[cat] + pos;
+    return base + kCatSigOffset[cat] + pos;
   }
 
   const SPS& sps_;
@@ -817,6 +988,9 @@ class SliceWalker {
   int numc8x8_ = 1;  // 1 = 4:2:0, 2 = 4:2:2
   IO& io_;
   int mb_x_ = 0, mb_y_ = 0;
+  bool mbaff_ = false;
+  bool cur_bottom_ = false;  // MBAFF: bottom MB of the current pair
+  bool cur_field_ = false;   // MBAFF: current pair is field-coded (or inferred)
   MBInfo* cur_ = nullptr;
 };
 

@@ -57,9 +57,14 @@ inline constexpr int kCtxQpDelta = 60;
 inline constexpr int kCtxChromaPred = 64;
 inline constexpr int kCtxIntra4x4PredFlag = 68;
 inline constexpr int kCtxIntra4x4PredRem = 69;
+inline constexpr int kCtxMbField = 70;          // mb_field_decoding_flag (MBAFF)
 inline constexpr int kCtxCbpLuma = 73;
 inline constexpr int kCtxCbpChroma = 77;
 inline constexpr int kCtxEndOfSlice = 276;
+inline constexpr int kCtxSigBaseField = 277;     // field-coded MBs (MBAFF/PAFF)
+inline constexpr int kCtxLastBaseField = 338;
+inline constexpr int kCtxSig8x8BaseField = 436;
+inline constexpr int kCtxLast8x8BaseField = 451;
 inline constexpr int kCtxTransform8x8 = 399;
 
 // Pseudo context ids for the recode model (mirrors the reference's dummy

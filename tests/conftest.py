@@ -73,6 +73,13 @@ def corpus_dir(tmp_path_factory):
         # Mixed PCM + coded MBs (structured content at low QP).
         "pcm_mixed.mp4": ("w=160 h=128 frames=4 qp=2 profile=high bframes=1 "
                           "xparams=psy=0"),
+        # MBAFF interlaced coding: pair addressing, mb_field flags + inference,
+        # field/frame neighbor mapping (6.4.12), field sig ctx banks, doubled
+        # field reference lists, mvd unit scaling.
+        "mbaff.264": ("w=160 h=128 frames=10 qp=25 bframes=2 profile=high "
+                      "seed=5 xparams=interlaced=1:ref=3"),
+        "mbaff422.mp4": ("w=176 h=144 frames=6 qp=24 bframes=2 "
+                         "profile=high422 pixfmt=422 xparams=interlaced=1"),
     }
     for name, args in specs.items():
         subprocess.run(

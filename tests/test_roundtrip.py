@@ -10,7 +10,7 @@ from avrecode_tpu import pipeline
 CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264",
          "stress_wpred.264", "stress_aud.mp4", "stress_cavlc.264",
          "c422.264", "c422.mp4", "pcm_cabac.264", "pcm_cavlc.264",
-         "pcm_mixed.mp4"]
+         "pcm_mixed.mp4", "mbaff.264", "mbaff422.mp4"]
 
 
 @pytest.mark.parametrize("clip", CLIPS)
@@ -71,7 +71,7 @@ def test_billing_populated(corpus_dir):
 
 def test_syntax_engine_byte_exact(corpus_dir, check_syntax_tool):
     """Every CABAC slice decodes + re-encodes byte-exactly (M2 gate)."""
-    for clip in ["i_main.264", "ipb_high.264", "multislice.264"]:
+    for clip in ["i_main.264", "ipb_high.264", "multislice.264", "mbaff.264"]:
         out = subprocess.run(
             [check_syntax_tool, os.path.join(corpus_dir, clip)],
             capture_output=True, text=True,
