@@ -15,8 +15,8 @@ from . import pipeline
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="avrecode-tpu", description=__doc__)
-    p.add_argument("command", choices=["compress", "decompress", "roundtrip"])
-    p.add_argument("input")
+    p.add_argument("command", choices=["compress", "decompress", "roundtrip", "corpus"])
+    p.add_argument("input", help="file; for corpus: a directory or glob of files")
     p.add_argument("output", nargs="?")
     p.add_argument("--lanes", type=int, default=16, help="rANS entropy lanes per chunk")
     p.add_argument("--chunk-mode", type=int, default=0, choices=[0, 1],
@@ -24,7 +24,42 @@ def main(argv=None) -> int:
     p.add_argument("--bill", action="store_true", help="print per-class bit accounting (JSON)")
     p.add_argument("--bill-table", action="store_true",
                    help="print a human-readable ours-vs-CABAC cost table to stderr")
+    p.add_argument("--device", action="store_true",
+                   help="corpus: use the TPU device path per file")
+    p.add_argument("--host-workers", type=int, default=2,
+                   help="corpus: concurrent files per process")
     args = p.parse_args(argv)
+
+    if args.command == "corpus":
+        # Multi-host corpus recompression (parallel/distributed.py): files
+        # shard across jax processes; single-process runs need no cluster.
+        import glob
+        import os
+        from .parallel import distributed as dist
+        if not args.output:
+            p.error("corpus requires an output directory")
+        if os.path.isdir(args.input):
+            paths = [os.path.join(args.input, n) for n in sorted(os.listdir(args.input))
+                     if os.path.isfile(os.path.join(args.input, n))]
+        else:
+            paths = sorted(glob.glob(args.input))
+        if not paths:
+            p.error(f"no input files match {args.input!r}")
+        pidx, pcount = dist.init_distributed()
+        rep = dist.corpus_compress(paths, args.output, use_device=args.device,
+                                   chunk_mode=args.chunk_mode,
+                                   host_workers=args.host_workers)
+        print(json.dumps({
+            "process": f"{pidx}/{pcount}",
+            "files": rep.files,
+            "failures": rep.failures,
+            "input_bytes": rep.input_bytes,
+            "output_bytes": rep.output_bytes,
+            "ratio": rep.ratio,
+            "wall_s": round(rep.wall_s, 2),
+            "mb_s": round(rep.input_bytes / 1e6 / rep.wall_s, 3) if rep.wall_s else 0.0,
+        }))
+        return 0 if rep.failures == 0 else 1
 
     with open(args.input, "rb") as f:
         data = f.read()

@@ -1,0 +1,72 @@
+"""Parallel/distributed machinery tests on the virtual 8-device CPU mesh
+(conftest forces the CPU backend with xla_force_host_platform_device_count)."""
+import os
+
+import numpy as np
+import pytest
+
+
+def test_mesh_construction():
+    import jax
+    from avrecode_tpu.parallel.mesh import make_mesh
+    n = len(jax.devices())
+    if n < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(n_gop=4, n_lane=2)
+    assert mesh.shape == {"gop": 4, "lane": 2}
+
+
+def test_sharded_recompress_step_matches_single_device():
+    """The GOP x lane sharded step must produce the identical probabilities
+    and lane words as the unsharded per-chunk path (multi-chip determinism:
+    SURVEY.md §7 hard part 4)."""
+    import jax
+    import jax.numpy as jnp
+    from avrecode_tpu.parallel.mesh import make_mesh
+    from avrecode_tpu.parallel.pipeline import sharded_recompress_step
+    from avrecode_tpu.ops import model_pass as mp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(n_gop=4, n_lane=2)
+    G, N, batch = 4, 512, 256
+    n_dual, n_sig = 64, 128
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (G, N)).astype(np.int32)
+    kinds = rng.integers(0, 3, (G, N)).astype(np.int32)
+    keys = np.where(kinds == 2, rng.integers(0, n_sig, (G, N)),
+                    rng.integers(0, n_dual - 1, (G, N))).astype(np.int32)
+    priors = rng.integers(1, 32767, (G, N)).astype(np.int32)
+    dual0 = np.ones((G, n_dual, 4), np.int32) * 3
+    sig0 = np.zeros((G, n_sig, 2), np.int32)
+
+    build = sharded_recompress_step(mesh, batch=batch)
+    step = build(K_total=8)
+    probs, x_final, words, emits, total_words = step(
+        *map(jnp.asarray, (bits, kinds, keys, priors, dual0, sig0)))
+
+    for g in range(G):
+        ref = mp.model_pass(*map(jnp.asarray,
+                                 (bits[g], kinds[g], keys[g], priors[g], dual0[g], sig0[g])),
+                            batch=batch, fast_w=48, slow_w=640, sig_w=80, sig_alpha=1)
+        assert np.array_equal(np.asarray(probs)[g], np.asarray(ref)), f"chunk {g}"
+    assert int(total_words) > 0
+
+
+def test_corpus_compress_single_process(corpus_dir, tmp_path):
+    """File-level corpus orchestration: shard, compress, verify, report."""
+    from avrecode_tpu.parallel import distributed as dist
+    paths = [os.path.join(corpus_dir, n)
+             for n in ["i_main.264", "cavlc.mp4", "mbaff.264"]]
+    rep = dist.corpus_compress(paths, str(tmp_path), use_device=False, verify=True)
+    assert rep.failures == 0
+    assert rep.files == 3
+    assert rep.ratio < 1.0
+    assert len(os.listdir(tmp_path)) == 3
+
+
+def test_corpus_cli(corpus_dir, tmp_path):
+    from avrecode_tpu import cli
+    rc = cli.main(["corpus", os.path.join(corpus_dir, "*.264"), str(tmp_path)])
+    assert rc == 0
+    assert len(os.listdir(tmp_path)) > 0
