@@ -107,8 +107,13 @@ class SliceWalker {
     if (sps.chroma_format_idc != 1 && sps.chroma_format_idc != 2)
       throw UnsupportedStream("chroma_format not 4:2:0/4:2:2");
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
-    if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
-      throw UnsupportedStream("bit depth != 8");
+    // High 10: entropy syntax is depth-agnostic apart from the I_PCM sample
+    // width and the (already spec-clamped) negative SliceQPY range.
+    if (sps.bit_depth_luma > 14 || sps.bit_depth_chroma > 14)
+      throw UnsupportedStream("bit depth > 14");
+    int pcm_bits = 256 * sps.bit_depth_luma + 128 * numc8x8_ * sps.bit_depth_chroma;
+    if (pcm_bits % 8) throw UnsupportedStream("unaligned I_PCM payload");
+    pcm_bytes_ = pcm_bits / 8;
     mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
   }
 
@@ -515,7 +520,7 @@ class SliceWalker {
         // byte alignment; no pred modes, cbp, qp_delta, or residual syntax.
         // Neighbor contexts treat PCM as fully-coded via cur_->pcm.
         cur_->pcm = 1;
-        io_.pcm_block(256 + 128 * numc8x8_);
+        io_.pcm_block(pcm_bytes_);
         prev_qp_delta_nonzero = false;
         return;
       }
@@ -986,6 +991,7 @@ class SliceWalker {
   PictureState& pic_;
   int slice_id_;
   int numc8x8_ = 1;  // 1 = 4:2:0, 2 = 4:2:2
+  int pcm_bytes_ = 384;  // I_PCM payload size (bit-depth dependent)
   IO& io_;
   int mb_x_ = 0, mb_y_ = 0;
   bool mbaff_ = false;

@@ -131,7 +131,7 @@ static void walk_cabac_job(SliceJob& j) {
                (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2) |
                    (j.sps.chroma_format_idc == 2 ? 16 : 0),
                j.sps.mb_width(), j.sps.mb_height(),
-               sh.slice_qp | (sh.cabac_init_idc << 16));
+               (sh.slice_qp & 0xffff) | (sh.cabac_init_idc << 16));
   PictureState pic;  // private: availability is same-slice only (6.4.9)
   pic.reset(j.sps.mb_width(), j.sps.mb_height());
   RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),

@@ -159,7 +159,7 @@ class ModelEncoder {
   void apply(const SymbolStream& ss, const SymbolStream::Event& e, size_t ev_idx) {
     switch (e.type) {
       case kEvBeginSlice:
-        m_.seed_from_cabac((e.d >> 16) & 0xffff, e.d & 0xffff);
+        m_.seed_from_cabac((e.d >> 16) & 0xffff, int16_t(e.d & 0xffff));
         m_.set_chroma422((e.a & 16) != 0);
         m_.begin_slice((e.a >> 2) & 3, (e.a & 2) != 0, e.b, e.c);
         break;

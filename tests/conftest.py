@@ -80,6 +80,10 @@ def corpus_dir(tmp_path_factory):
                       "seed=5 xparams=interlaced=1:ref=3"),
         "mbaff422.mp4": ("w=176 h=144 frames=6 qp=24 bframes=2 "
                          "profile=high422 pixfmt=422 xparams=interlaced=1"),
+        # High 10 (10-bit): wider levels, 2-byte-ish I_PCM samples, negative
+        # SliceQPY clamp in context init.
+        "hi10.264": ("w=160 h=128 frames=8 qp=12 bframes=2 slices=2 "
+                     "profile=high10 pixfmt=420p10 xparams=8x8dct=1:ref=4"),
     }
     for name, args in specs.items():
         subprocess.run(

@@ -22,21 +22,28 @@ extern "C" {
 
 static void fill_frame(AVFrame* f, int idx, unsigned seed, bool noise) {
   const int w = f->width, h = f->height;
+  const bool is10 = f->format == AV_PIX_FMT_YUV420P10LE;
+  const bool is444 = f->format == AV_PIX_FMT_YUV444P;
+  auto put = [&](int plane, int x, int y, int v) {
+    if (is10) ((uint16_t*)(f->data[plane] + y * f->linesize[plane]))[x] = (uint16_t)(v << 2 | (v & 3));
+    else f->data[plane][y * f->linesize[plane] + x] = (uint8_t)v;
+  };
   unsigned rng = seed * 2654435761u + idx * 40503u + 1;
   auto rnd = [&rng]() {
     rng = rng * 1664525u + 1013904223u;
     return (rng >> 16) & 0xff;
   };
+  const int cw = is444 ? w : w / 2;
+  const int chh = is444 ? h : (f->format == AV_PIX_FMT_YUV422P ? h : h / 2);
   if (noise) {
     // Pure random frames: maximal intra cost, forces I_PCM macroblocks at
     // very low QP (x264 picks PCM when coded bits would exceed raw size).
     for (int y = 0; y < h; ++y)
-      for (int x = 0; x < w; ++x) f->data[0][y * f->linesize[0] + x] = (uint8_t)rnd();
-    int chn = f->format == AV_PIX_FMT_YUV422P ? h : h / 2;
-    for (int y = 0; y < chn; ++y)
-      for (int x = 0; x < w / 2; ++x) {
-        f->data[1][y * f->linesize[1] + x] = (uint8_t)rnd();
-        f->data[2][y * f->linesize[2] + x] = (uint8_t)rnd();
+      for (int x = 0; x < w; ++x) put(0, x, y, rnd());
+    for (int y = 0; y < chh; ++y)
+      for (int x = 0; x < cw; ++x) {
+        put(1, x, y, rnd());
+        put(2, x, y, rnd());
       }
     return;
   }
@@ -49,13 +56,12 @@ static void fill_frame(AVFrame* f, int idx, unsigned seed, bool noise) {
       int px = (v / 3 + g * 2 / 3);
       if (y >= h / 2 && y < h / 2 + 16) px = (px + rnd()) / 2;  // noise band
       if (((x >> 4) + (y >> 4) + (idx >> 2)) % 7 == 0) px = 235;  // moving blocks
-      f->data[0][y * f->linesize[0] + x] = (uint8_t)px;
+      put(0, x, y, px);
     }
-  int ch = f->format == AV_PIX_FMT_YUV422P ? h : h / 2;
-  for (int y = 0; y < ch; ++y)
-    for (int x = 0; x < w / 2; ++x) {
-      f->data[1][y * f->linesize[1] + x] = (uint8_t)((x * 2 + idx * 7) & 0xff);
-      f->data[2][y * f->linesize[2] + x] = (uint8_t)((y * 2 + idx * 3) & 0xff);
+  for (int y = 0; y < chh; ++y)
+    for (int x = 0; x < cw; ++x) {
+      put(1, x, y, (x * 2 + idx * 7) & 0xff);
+      put(2, x, y, (y * 2 + idx * 3) & 0xff);
     }
 }
 
@@ -87,7 +93,11 @@ int main(int argc, char** argv) {
   c->time_base = {1, 25};
   c->framerate = {25, 1};
   bool is422 = kv["pixfmt"] == "422";
-  c->pix_fmt = is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
+  bool is10 = kv["pixfmt"] == "420p10";
+  bool is444 = kv["pixfmt"] == "444";
+  c->pix_fmt = is10 ? AV_PIX_FMT_YUV420P10LE
+                    : is444 ? AV_PIX_FMT_YUV444P
+                            : is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
   c->gop_size = atoi(kv["gop"].c_str());
   c->max_b_frames = atoi(kv["bframes"].c_str());
   av_opt_set(c->priv_data, "preset", kv["preset"].c_str(), 0);
