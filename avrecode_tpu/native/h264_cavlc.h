@@ -10,9 +10,9 @@
 // so value-level transport suffices; compress-time verification guards any
 // encoder quirk).
 //
-// Scope (baseline/main CAVLC): progressive frames, 4:2:0, I/P slices
-// (I_4x4, I_16x16, P_L0_*, P_8x8[ref0], P_Skip runs), 4x4 transform.
-// B slices / 8x8 transform / MBAFF fall back to passthrough.
+// Scope (baseline/main/high CAVLC): progressive frames, 4:2:0, I/P/B
+// slices (all partition types incl. B_8x8/direct), 4x4 and 8x8 transforms,
+// I_PCM. MBAFF-interlaced CAVLC falls back to passthrough.
 //
 // VIO concept (value transport, mirrored on compress/decompress):
 //   uint32_t ue(Role, int ctx [, max]);  int32_t se(Role, int ctx);
@@ -57,7 +57,8 @@ enum CavlcRole : uint8_t {
   // I_PCM transport (fixed p=1/2 bins; no adaptive keys — see ModelEncoder).
   kRPcmPad = 18,   // alignment bits before the samples (aux = bit count)
   kRPcmByte = 19,  // one raw sample byte
-  kNumCavlcRoles = 20,
+  kRTransform8x8 = 20,  // transform_size_8x8_flag (1 bit, adaptive)
+  kNumCavlcRoles = 21,
 };
 
 // ---------------------------------------------------------------------------
@@ -215,8 +216,10 @@ class CavlcWalker {
               int slice_id, IO& io)
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
     if (sps.chroma_format_idc != 1) throw UnsupportedStream("cavlc: chroma != 4:2:0");
-    if (sh.is_b()) throw UnsupportedStream("cavlc: B slices");
-    if (pps.transform_8x8_mode) throw UnsupportedStream("cavlc: 8x8 transform");
+    if (sps.mb_adaptive_frame_field && !sh.field_pic)
+      throw UnsupportedStream("cavlc: MBAFF");
+    if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
+      throw UnsupportedStream("cavlc: bit depth != 8");
   }
 
   // Walks slice_data(); IO signals end via more_data(). Returns MB count.
@@ -265,15 +268,16 @@ class CavlcWalker {
   }
 
   void decode_mb() {
-    uint32_t mb_type = io_.ue(kRMbType, sh_.is_intra() ? 0 : 1);
+    uint32_t mb_type = io_.ue(kRMbType, sh_.is_intra() ? 0 : (sh_.is_b() ? 2 : 1));
     int intra_code;
     bool is_intra;
     int inter_type = -1;
+    uint32_t intra_base = sh_.is_b() ? 23 : 5;  // Table 7-14 / 7-13 offsets
     if (sh_.is_intra()) {
       intra_code = int(mb_type);
       is_intra = true;
-    } else if (mb_type >= 5) {
-      intra_code = int(mb_type) - 5;
+    } else if (mb_type >= intra_base) {
+      intra_code = int(mb_type) - int(intra_base);
       is_intra = true;
     } else {
       inter_type = int(mb_type);
@@ -295,6 +299,7 @@ class CavlcWalker {
       }
       if (intra_code > 25) throw BitstreamError("cavlc: bad intra mb_type");
       cur_->intra = 1;
+      bool t8 = false;
       if (intra_code > 0) {
         i16 = true;
         cur_->intra16 = 1;
@@ -302,70 +307,141 @@ class CavlcWalker {
         cbp_luma = (v >= 12) ? 0xf : 0;
         cbp_chroma = (v % 12) / 4;
       } else {
-        for (int b = 0; b < 16; ++b) {
+        if (pps_.transform_8x8_mode) t8 = io_.u(1, kRTransform8x8, 0) != 0;
+        int n = t8 ? 4 : 16;
+        for (int b = 0; b < n; ++b) {
           if (io_.u(1, kRIntraPredFlag, 0) == 0) io_.u(3, kRIntraPredRem, 0);
         }
       }
       io_.ue(kRChromaPred, 0);  // intra_chroma_pred_mode
+      if (!i16) {
+        uint32_t code = io_.ue(kRCbp, 0);
+        if (code > 47) throw BitstreamError("cavlc: bad cbp code");
+        int cbp = kGolombToIntra4x4Cbp[code];
+        cbp_luma = cbp & 0xf;
+        cbp_chroma = cbp >> 4;
+        if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
+      }
+      if (cbp_luma || cbp_chroma || i16) {
+        io_.se(kRQpDelta, 0);
+        decode_residual(i16, cbp_luma, cbp_chroma);
+      }
+      return;
+    }
+
+    // Inter MB (P or B).
+    bool direct16 = sh_.is_b() && inter_type == 0;
+    bool no_small = true;
+    if (direct16) {
+      no_small = sps_.direct_8x8_inference;
     } else {
-      decode_inter_pred(inter_type);
+      no_small = decode_inter_pred(inter_type);
     }
-
-    if (!i16) {
-      uint32_t code = io_.ue(kRCbp, is_intra ? 0 : 1);
-      if (code > 47) throw BitstreamError("cavlc: bad cbp code");
-      int cbp = is_intra ? kGolombToIntra4x4Cbp[code] : kGolombToInterCbp[code];
-      cbp_luma = cbp & 0xf;
-      cbp_chroma = cbp >> 4;
-      if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
+    uint32_t code = io_.ue(kRCbp, 1);
+    if (code > 47) throw BitstreamError("cavlc: bad cbp code");
+    int cbp = kGolombToInterCbp[code];
+    cbp_luma = cbp & 0xf;
+    cbp_chroma = cbp >> 4;
+    if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
+    if (cbp_luma && pps_.transform_8x8_mode && no_small &&
+        (!direct16 || sps_.direct_8x8_inference)) {
+      // transform_size_8x8_flag: residual coding is unchanged in CAVLC (an
+      // 8x8 is carried as 4 interleaved 4x4 blocks, 7.3.5.3.2).
+      io_.u(1, kRTransform8x8, 1);
     }
-
-    if (cbp_luma || cbp_chroma || i16) {
+    if (cbp_luma || cbp_chroma) {
       io_.se(kRQpDelta, 0);
-      decode_residual(i16, cbp_luma, cbp_chroma);
+      decode_residual(false, cbp_luma, cbp_chroma);
     }
   }
 
-  void decode_inter_pred(int inter_type) {
-    int nref = sh_.num_ref_idx_l0_active;
-    auto ref = [&](int ctx) {
+  // Returns NoSubMbPartSizeLessThan8x8Flag (gates the 8x8-transform flag).
+  bool decode_inter_pred(int inter_type) {
+    auto ref = [&](int list, int ctx) {
+      int nref = list ? sh_.num_ref_idx_l1_active : sh_.num_ref_idx_l0_active;
       if (nref <= 1) return;
-      if (nref == 2) io_.u(1, kRRefIdx, ctx);  // te(v) with cMax 1
-      else io_.ue(kRRefIdx, ctx);
+      if (nref == 2) io_.u(1, kRRefIdx, ctx | (list << 2));  // te(v), cMax 1
+      else io_.ue(kRRefIdx, ctx | (list << 2));
     };
-    auto mvd = [&] {
-      io_.se(kRMvd, 0);
-      io_.se(kRMvd, 1);
+    auto mvd = [&](int list) {
+      io_.se(kRMvd, 0 | (list << 2));
+      io_.se(kRMvd, 1 | (list << 2));
     };
-    switch (inter_type) {
-      case 0:  // P_L0_16x16
-        ref(0);
-        mvd();
-        break;
-      case 1:  // P_L0_L0_16x8
-      case 2:  // P_L0_L0_8x16
-        ref(0);
-        ref(0);
-        mvd();
-        mvd();
-        break;
-      case 3:    // P_8x8
-      case 4: {  // P_8x8ref0
-        int sub[4];
-        for (int i = 0; i < 4; ++i) {
-          sub[i] = int(io_.ue(kRSubMbType, 0));
-          if (sub[i] > 3) throw BitstreamError("cavlc: bad sub_mb_type");
+    if (!sh_.is_b()) {
+      switch (inter_type) {
+        case 0:  // P_L0_16x16
+          ref(0, 0);
+          mvd(0);
+          return true;
+        case 1:  // P_L0_L0_16x8
+        case 2:  // P_L0_L0_8x16
+          ref(0, 0);
+          ref(0, 0);
+          mvd(0);
+          mvd(0);
+          return true;
+        case 3:    // P_8x8
+        case 4: {  // P_8x8ref0
+          int sub[4];
+          bool no_small = true;
+          for (int i = 0; i < 4; ++i) {
+            sub[i] = int(io_.ue(kRSubMbType, 0));
+            if (sub[i] > 3) throw BitstreamError("cavlc: bad sub_mb_type");
+            if (sub[i] != 0) no_small = false;
+          }
+          if (inter_type == 3)
+            for (int i = 0; i < 4; ++i) ref(0, 1);
+          static const int kParts[4] = {1, 2, 2, 4};
+          for (int i = 0; i < 4; ++i)
+            for (int p = 0; p < kParts[sub[i]]; ++p) mvd(0);
+          return no_small;
         }
-        if (inter_type == 3)
-          for (int i = 0; i < 4; ++i) ref(1);
-        static const int kParts[4] = {1, 2, 2, 4};
-        for (int i = 0; i < 4; ++i)
-          for (int p = 0; p < kParts[sub[i]]; ++p) mvd();
-        break;
+        default:
+          throw BitstreamError("cavlc: bad P mb_type");
       }
-      default:
-        throw BitstreamError("cavlc: bad P mb_type");
     }
+    // B slice (Table 7-14; same value mapping as the CABAC walker).
+    static const int8_t kBPred[22][2] = {
+        {0, 0},                                          // 0 = direct (no pred)
+        {1, 0}, {2, 0}, {3, 0},                          // 16x16 L0/L1/Bi
+        {1, 1}, {1, 1}, {2, 2}, {2, 2}, {1, 2}, {1, 2},  // 4..9
+        {2, 1}, {2, 1}, {1, 3}, {1, 3}, {2, 3}, {2, 3},  // 10..15
+        {3, 1}, {3, 1}, {3, 2}, {3, 2}, {3, 3}, {3, 3},  // 16..21
+    };
+    if (inter_type >= 1 && inter_type <= 21) {
+      int nparts = inter_type <= 3 ? 1 : 2;
+      for (int list = 0; list < 2; ++list)
+        for (int p = 0; p < nparts; ++p)
+          if (kBPred[inter_type][p] & (1 << list)) ref(list, 0);
+      for (int list = 0; list < 2; ++list)
+        for (int p = 0; p < nparts; ++p)
+          if (kBPred[inter_type][p] & (1 << list)) mvd(list);
+      return true;
+    }
+    if (inter_type == 22) {  // B_8x8
+      static const int8_t kSubPred[13] = {0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
+      static const int8_t kSubParts[13] = {1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 4, 4, 4};
+      int sub[4];
+      bool no_small = true;
+      for (int i = 0; i < 4; ++i) {
+        sub[i] = int(io_.ue(kRSubMbType, 1));
+        if (sub[i] > 12) throw BitstreamError("cavlc: bad B sub_mb_type");
+        if (sub[i] == 0) {
+          if (!sps_.direct_8x8_inference) no_small = false;
+        } else if (sub[i] >= 4) {
+          no_small = false;
+        }
+      }
+      for (int list = 0; list < 2; ++list)
+        for (int i = 0; i < 4; ++i)
+          if (sub[i] != 0 && (kSubPred[sub[i]] & (1 << list))) ref(list, 1);
+      for (int list = 0; list < 2; ++list)
+        for (int i = 0; i < 4; ++i)
+          if (sub[i] != 0 && (kSubPred[sub[i]] & (1 << list)))
+            for (int p = 0; p < kSubParts[sub[i]]; ++p) mvd(list);
+      return no_small;
+    }
+    throw BitstreamError("cavlc: bad B mb_type");
   }
 
   // ---- residuals (9.2) ----------------------------------------------------

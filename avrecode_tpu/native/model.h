@@ -78,7 +78,7 @@ class PriorModel {
   static constexpr size_t kCbfBase2 = kResBase + 3 * kResStride;
   static constexpr size_t kSkipBase = kCbfBase2 + 3 * 40;
   // CAVLC value-model keys: (role, aux-hash, binarization node).
-  static constexpr int kNumCavlcRolesM = 18;
+  static constexpr int kNumCavlcRolesM = 24;
   static constexpr int kCavlcAux = 64;
   static constexpr int kCavlcNodes = 20;
   static constexpr size_t kCavlcBase = kSkipBase + 12;
@@ -698,7 +698,7 @@ class PriorModel {
   static int cavlc_fixed_bits(uint8_t role, uint8_t aux) {
     switch (role) {
       case 2: case 3: case 12: return aux >> 4;      // IntraPredFlag/Rem, T1Sign (u-packed)
-      case 5: return aux >> 4;                       // RefIdx via u(1); 0 => ue-coded
+      case 5: case 20: return aux >> 4;              // RefIdx/Transform8x8 via u(1); 0 => ue
       case 14: return aux >> 3;                      // LevelSuffix
       default: return 0;
     }

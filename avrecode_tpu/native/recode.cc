@@ -446,7 +446,7 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   const auto& paramsets = p1.paramsets;
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
-  w.u8(5);  // version 5: tri-modal sig modes (varint u64, 2 bits/cell)
+  w.u8(6);  // version 6: CAVLC role space 24 (8x8 transform, B slices)
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
@@ -581,7 +581,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   const uint8_t* magic = r.bytes(4);
   if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
   uint8_t version = r.u8();
-  if (version != 5) throw std::runtime_error("unsupported container version");
+  if (version != 6) throw std::runtime_error("unsupported container version");
   r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();

@@ -57,6 +57,11 @@ def corpus_dir(tmp_path_factory):
         "stress_cavlc.264": ("w=160 h=128 frames=8 qp=14 cabac=0 bframes=0 "
                              "profile=baseline slices=2 "
                              "xparams=ref=4:partitions=all"),
+        # CAVLC high profile: B slices (all partition/direct/sub types) and
+        # the 8x8 transform (flag only — residuals stay 4x4-interleaved).
+        "cavlc_b8.264": ("w=160 h=128 frames=10 qp=22 cabac=0 bframes=2 "
+                         "profile=high seed=4 "
+                         "xparams=8x8dct=1:ref=3:partitions=all:weightb=1"),
         # 4:2:2 chroma (high422): exercises 8-coeff chroma DC blocks, the
         # cat-3 gt1 ctx cap, and the 2x4 chroma AC grid.
         "c422.264": ("w=160 h=128 frames=8 qp=20 bframes=2 slices=2 "
