@@ -104,14 +104,18 @@ class SliceWalker {
   SliceWalker(const SPS& sps, const PPS& pps, const SliceHeader& sh, PictureState& pic,
               int slice_id, IO& io)
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
-    if (sps.chroma_format_idc != 1 && sps.chroma_format_idc != 2)
-      throw UnsupportedStream("chroma_format not 4:2:0/4:2:2");
+    if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
+      throw UnsupportedStream("chroma_format not 4:2:0/4:2:2/4:4:4");
+    if (sps.separate_colour_plane)
+      throw UnsupportedStream("separate colour planes");
+    is444_ = sps.chroma_format_idc == 3;
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     // High 10: entropy syntax is depth-agnostic apart from the I_PCM sample
     // width and the (already spec-clamped) negative SliceQPY range.
     if (sps.bit_depth_luma > 14 || sps.bit_depth_chroma > 14)
       throw UnsupportedStream("bit depth > 14");
-    int pcm_bits = 256 * sps.bit_depth_luma + 128 * numc8x8_ * sps.bit_depth_chroma;
+    int pcm_bits = 256 * sps.bit_depth_luma +
+                   (is444_ ? 512 : 128 * numc8x8_) * sps.bit_depth_chroma;
     if (pcm_bits % 8) throw UnsupportedStream("unaligned I_PCM payload");
     pcm_bytes_ = pcm_bits / 8;
     mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
@@ -549,7 +553,7 @@ class SliceWalker {
         }
       }
     }
-    if (is_intra_mb) decode_chroma_pred_mode();
+    if (is_intra_mb && !is444_) decode_chroma_pred_mode();
 
     bool no_small_parts = true;  // NoSubMbPartSizeLessThan8x8Flag
     if (!is_intra_mb) {
@@ -566,7 +570,7 @@ class SliceWalker {
 
     if (!i16) {
       cbp_luma = decode_cbp_luma();
-      cbp_chroma = decode_cbp_chroma();
+      cbp_chroma = is444_ ? 0 : decode_cbp_chroma();
       if (cbp_luma && pps_.transform_8x8_mode && !is_intra_mb && no_small_parts &&
           (inter_type != 0 || sps_.direct_8x8_inference)) {
         t8x8 = decode_transform8x8();
@@ -578,7 +582,8 @@ class SliceWalker {
 
     if (cbp_luma || cbp_chroma || i16) {
       decode_qp_delta(prev_qp_delta_nonzero);
-      decode_residual(i16, cbp_luma, cbp_chroma, t8x8);
+      if (is444_) decode_residual_444(i16, cbp_luma, t8x8);
+      else decode_residual(i16, cbp_luma, cbp_chroma, t8x8);
     } else {
       prev_qp_delta_nonzero = false;
     }
@@ -857,6 +862,99 @@ class SliceWalker {
     }
   }
 
+  // ChromaArrayType==3: residual_luma() per component; Cb/Cr use cats
+  // 6-9/10-13 for contexts but are presented to the MODEL with their luma
+  // analogue cats (0/1/2/5) and distinct slots — the model's key/billing
+  // space stays 6 cats wide; plane separation rides the slot.
+  void decode_residual_444(bool i16, int cbp_luma, bool t8x8) {
+    for (int comp = 0; comp < 3; ++comp) {
+      int cat_dc = comp == 0 ? kCatLumaDC : 6 + 4 * (comp - 1);
+      int cat_ac = cat_dc + 1;
+      int cat_4x4 = cat_dc + 2;
+      int cat_8x8 = comp == 0 ? kCatLuma8x8 : 9 + 4 * (comp - 1);
+      int slot_dc = comp == 0 ? kSlotLumaDC : kSlotPlaneDC + (comp - 1) * 21;
+      int slot_4x4 = comp == 0 ? kSlotLuma4x4 : kSlotPlane4x4 + (comp - 1) * 21;
+      int slot_8x8 = comp == 0 ? kSlotLuma8x8 : kSlotPlane8x8 + (comp - 1) * 21;
+      int bit0 = comp * 17;  // per-plane cbf bits: 0..15 grid, 16 DC
+      if (i16) {
+        decode_block444(cat_dc, kCatLumaDC, slot_dc, 16, comp, -1, bit0 + 16);
+        if (cbp_luma)
+          for (int blk = 0; blk < 16; ++blk)
+            decode_block444(cat_ac, kCatLumaAC, slot_4x4 + blk, 15, comp, blk,
+                            bit0 + kBlk4x4X[blk] + 4 * kBlk4x4Y[blk]);
+        continue;
+      }
+      for (int b8 = 0; b8 < 4; ++b8) {
+        if (!(cbp_luma & (1 << b8))) continue;
+        if (t8x8) {
+          // 4:4:4 codes a real coded_block_flag for 8x8 cats (9.3.3.1.1.9).
+          decode_block444(cat_8x8, kCatLuma8x8, slot_8x8 + b8, 64, comp, -2 - b8, -1);
+        } else {
+          for (int k = 0; k < 4; ++k) {
+            int blk = 4 * b8 + k;
+            decode_block444(cat_4x4, kCatLuma4x4, slot_4x4 + blk, 16, comp, blk,
+                            bit0 + kBlk4x4X[blk] + 4 * kBlk4x4Y[blk]);
+          }
+        }
+      }
+    }
+  }
+
+  // blk >= 0: 4x4 block index (cbf ctx via grid neighbors); blk == -1: DC
+  // (MB-level neighbors); blk == -2-b8: 8x8 block b8.
+  void decode_block444(int cat, int model_cat, int slot, int max_coeff, int comp, int blk,
+                       int cbf_bit) {
+    int bit0 = comp * 17;
+    int cbf_ctx_idx;
+    if (blk == -1) {
+      cbf_ctx_idx = kCbfCtxBase[cat] +
+                    cond_mb(locate_luma(-1, 0).mb, 1ull << (bit0 + 16)) +
+                    2 * cond_mb(locate_luma(0, -1).mb, 1ull << (bit0 + 16));
+    } else if (blk >= 0) {
+      int gx = kBlk4x4X[blk], gy = kBlk4x4Y[blk];
+      cbf_ctx_idx = kCbfCtxBase[cat] + cond_plane4x4(comp, gx - 1, gy) +
+                    2 * cond_plane4x4(comp, gx, gy - 1);
+    } else {
+      int b8 = -2 - blk;
+      int gx = 2 * kBlk8x8X[b8], gy = 2 * kBlk8x8Y[b8];
+      cbf_ctx_idx = kCbfCtxBase[cat] + cond_plane8x8(comp, gx - 1, gy) +
+                    2 * cond_plane8x8(comp, gx, gy - 1);
+    }
+    io_.begin_block(slot, model_cat, max_coeff);
+    int cbf = io_.decision(cbf_ctx_idx, kKlassCbf);
+    if (cbf) {
+      if (blk >= 0) cur_->cbf |= 1ull << (bit0 + kBlk4x4X[blk] + 4 * kBlk4x4Y[blk]);
+      else if (blk == -1) cur_->cbf |= 1ull << (bit0 + 16);
+      else {
+        int b8 = -2 - blk;
+        for (int k = 0; k < 4; ++k) {
+          int gx = 2 * kBlk8x8X[b8] + (k & 1), gy = 2 * kBlk8x8Y[b8] + (k >> 1);
+          cur_->cbf |= 1ull << (bit0 + gx + 4 * gy);
+        }
+      }
+      decode_coeffs(cat, max_coeff);
+    }
+    io_.end_block();
+  }
+
+  int cond_plane4x4(int comp, int gx, int gy) const {
+    NbLoc n = locate_luma(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy);
+    if (!n.mb) return cur_->intra ? 1 : 0;
+    if (n.mb->pcm) return 1;
+    return (n.mb->cbf >> (comp * 17 + (n.lx >> 2) + 4 * (n.ly >> 2))) & 1;
+  }
+
+  // condTermFlagN for an 8x8-cat coded_block_flag (9.3.3.1.1.9): the
+  // neighboring 8x8 transform block exists only if mbAddrN itself used the
+  // 8x8 transform; otherwise condTermFlagN is 0 regardless of its 4x4 cbf.
+  int cond_plane8x8(int comp, int gx, int gy) const {
+    NbLoc n = locate_luma(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy);
+    if (!n.mb) return cur_->intra ? 1 : 0;
+    if (n.mb->pcm) return 1;
+    if (!n.mb->transform8x8) return 0;
+    return (n.mb->cbf >> (comp * 17 + (n.lx >> 2) + 4 * (n.ly >> 2))) & 1;
+  }
+
   // coded_block_flag ctxIdxInc helpers (9.3.3.1.1.9). Each returns the full
   // ctxIdx for the block's cbf bin, or the condTerm pieces folded in.
   int cbf_ctx(int cat, int cond_a, int cond_b) const {
@@ -913,76 +1011,77 @@ class SliceWalker {
       cbf = io_.decision(cbf_ctx_idx, kKlassCbf);
       if (cbf && cbf_bit >= 0) cur_->cbf |= 1ull << cbf_bit;
     }
-    if (cbf) {
-      uint8_t sig[64] = {0};
-      int last_pos = -1;
-      int i = 0;
-      for (; i < max_coeff - 1; ++i) {
-        if (io_.sig_bin(sig_ctx(cat, i), i)) {
-          sig[i] = 1;
-          if (io_.eob_bin(last_ctx(cat, i), i)) { last_pos = i; break; }
-        }
-      }
-      if (last_pos < 0) {
-        sig[max_coeff - 1] = 1;
-        io_.implicit_sig_last(max_coeff - 1);
-        last_pos = max_coeff - 1;
-      }
-      // Levels, reverse scan order (9.3.3.1.3 context state machine).
-      int num_eq1 = 0, num_gt1 = 0;
-      int abs_base = (cat == kCatLuma8x8) ? kCtxAbs8x8Base : kCtxAbsBase + kCatAbsOffset[cat];
-      for (int p = last_pos; p >= 0; --p) {
-        if (!sig[p]) continue;
-        int ctx0 = (num_gt1 != 0) ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
-        if (io_.res_bin(abs_base + ctx0, p)) {
-          // gt1 ctx clips at 3 for chroma DC (9.3.3.1.3 ctxBlockCat 3) - only
-          // reachable with >4 gt1 coeffs, i.e. only in 4:2:2's 8-coeff DC.
-          int gt1_cap = (cat == kCatChromaDC) ? 3 : 4;
-          int ctx_n = 5 + (num_gt1 < gt1_cap ? num_gt1 : gt1_cap);
-          int level = 2;
-          while (level < 15 && io_.res_bin(abs_base + ctx_n, p)) ++level;
-          if (level == 15) {  // UEG0 suffix
-            int k = 0;
-            while (io_.bypass(kKlassBypassRes)) {
-              level += 1 << k;
-              if (++k > 24) throw BitstreamError("level suffix too long");
-            }
-            while (k--) level += io_.bypass(kKlassBypassRes) << k;
-          }
-          ++num_gt1;
-        } else {
-          ++num_eq1;
-        }
-        io_.bypass(kKlassSign);  // coeff_sign_flag
-      }
-    }
+    if (cbf) decode_coeffs(cat, max_coeff);
     io_.end_block();
   }
 
-  // Field-coded MBs (MBAFF) use the field significance context banks and the
-  // field position-class row of the 8x8 offset table (9.3.3.1.3).
+  // Significance map + levels (9.3.3.1.3); cat may be any ctxBlockCat 0..13
+  // (cats 6-13 = the ChromaArrayType==3 Cb/Cr banks).
+  void decode_coeffs(int cat, int max_coeff) {
+    uint8_t sig[64] = {0};
+    int last_pos = -1;
+    int i = 0;
+    for (; i < max_coeff - 1; ++i) {
+      if (io_.sig_bin(sig_ctx(cat, i), i)) {
+        sig[i] = 1;
+        if (io_.eob_bin(last_ctx(cat, i), i)) { last_pos = i; break; }
+      }
+    }
+    if (last_pos < 0) {
+      sig[max_coeff - 1] = 1;
+      io_.implicit_sig_last(max_coeff - 1);
+      last_pos = max_coeff - 1;
+    }
+    // Levels, reverse scan order (9.3.3.1.3 context state machine).
+    int num_eq1 = 0, num_gt1 = 0;
+    int abs_base = kAbsCtxBase[cat];
+    for (int p = last_pos; p >= 0; --p) {
+      if (!sig[p]) continue;
+      int ctx0 = (num_gt1 != 0) ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4);
+      if (io_.res_bin(abs_base + ctx0, p)) {
+        // gt1 ctx clips at 3 for chroma DC (9.3.3.1.3 ctxBlockCat 3) - only
+        // reachable with >4 gt1 coeffs, i.e. only in 4:2:2's 8-coeff DC.
+        int gt1_cap = (cat == kCatChromaDC) ? 3 : 4;
+        int ctx_n = 5 + (num_gt1 < gt1_cap ? num_gt1 : gt1_cap);
+        int level = 2;
+        while (level < 15 && io_.res_bin(abs_base + ctx_n, p)) ++level;
+        if (level == 15) {  // UEG0 suffix
+          int k = 0;
+          while (io_.bypass(kKlassBypassRes)) {
+            level += 1 << k;
+            if (++k > 24) throw BitstreamError("level suffix too long");
+          }
+          while (k--) level += io_.bypass(kKlassBypassRes) << k;
+        }
+        ++num_gt1;
+      } else {
+        ++num_eq1;
+      }
+      io_.bypass(kKlassSign);  // coeff_sign_flag
+    }
+  }
+
+  static bool cat_is_8x8(int cat) { return cat == 5 || cat == 9 || cat == 13; }
+
+  // Field-coded MBs (MBAFF) select the field rows of the context-base tables
+  // and the field position-class row of the 8x8 offset table (9.3.3.1.3).
   int sig_ctx(int cat, int pos) const {
-    bool fld = mbaff_ && cur_field_;
-    if (cat == kCatLuma8x8)
-      return (fld ? kCtxSig8x8BaseField : kCtxSig8x8Base) +
-             kSigCoeffFlagOffset8x8[fld ? 1 : 0][pos];
-    int base = fld ? kCtxSigBaseField : kCtxSigBase;
+    int fld = (mbaff_ && cur_field_) ? 1 : 0;
+    if (cat_is_8x8(cat)) return kSigCtxBase[fld][cat] + kSigCoeffFlagOffset8x8[fld][pos];
     if (cat == kCatChromaDC) {
       int p = pos / numc8x8_;  // Min(levelListIdx / NumC8x8, 2), 9.3.3.1.3
-      return base + kCatSigOffset[cat] + (p < 2 ? p : 2);
+      return kSigCtxBase[fld][cat] + (p < 2 ? p : 2);
     }
-    return base + kCatSigOffset[cat] + pos;
+    return kSigCtxBase[fld][cat] + pos;
   }
   int last_ctx(int cat, int pos) const {
-    bool fld = mbaff_ && cur_field_;
-    if (cat == kCatLuma8x8)
-      return (fld ? kCtxLast8x8BaseField : kCtxLast8x8Base) + kLastCoeffFlagOffset8x8[pos];
-    int base = fld ? kCtxLastBaseField : kCtxLastBase;
+    int fld = (mbaff_ && cur_field_) ? 1 : 0;
+    if (cat_is_8x8(cat)) return kLastCtxBase[fld][cat] + kLastCoeffFlagOffset8x8[pos];
     if (cat == kCatChromaDC) {
       int p = pos / numc8x8_;
-      return base + kCatSigOffset[cat] + (p < 2 ? p : 2);
+      return kLastCtxBase[fld][cat] + (p < 2 ? p : 2);
     }
-    return base + kCatSigOffset[cat] + pos;
+    return kLastCtxBase[fld][cat] + pos;
   }
 
   const SPS& sps_;
@@ -994,6 +1093,7 @@ class SliceWalker {
   int pcm_bytes_ = 384;  // I_PCM payload size (bit-depth dependent)
   IO& io_;
   int mb_x_ = 0, mb_y_ = 0;
+  bool is444_ = false;
   bool mbaff_ = false;
   bool cur_bottom_ = false;  // MBAFF: bottom MB of the current pair
   bool cur_field_ = false;   // MBAFF: current pair is field-coded (or inferred)

@@ -43,6 +43,22 @@ inline constexpr int kCtxAbs8x8Base = 426;       // cat 5
 inline constexpr int kCatSigOffset[5] = {0, 15, 29, 44, 47};
 inline constexpr int kCatAbsOffset[5] = {0, 10, 20, 30, 39};
 
+// Full ctxIdxOffset assignment by ctxBlockCat 0..13 (cats 6-13 are the
+// ChromaArrayType==3 Cb/Cr banks), frame and field rows. Derived from the
+// spec's Table 9-40 layout and verified by bank correlation against the
+// generated context-init tables (each Cb/Cr bank's init values replicate its
+// luma analogue; the three 8x8 coded_block_flag banks fill 1012..1023).
+inline constexpr int kCbfCtxBase[14] = {85,  89,  93,  97,  101, 1012, 460,
+                                        464, 468, 1016, 472, 476, 480, 1020};
+inline constexpr int kSigCtxBase[2][14] = {
+    {105, 120, 134, 149, 152, 402, 484, 499, 513, 660, 528, 543, 557, 718},
+    {277, 292, 306, 321, 324, 436, 776, 791, 805, 675, 820, 835, 849, 733}};
+inline constexpr int kLastCtxBase[2][14] = {
+    {166, 181, 195, 210, 213, 417, 572, 587, 601, 690, 616, 631, 645, 748},
+    {338, 353, 367, 382, 385, 451, 864, 879, 893, 699, 908, 923, 937, 757}};
+inline constexpr int kAbsCtxBase[14] = {227, 237, 247, 257, 266, 426, 952,
+                                        962, 972, 708, 982, 992, 1002, 766};
+
 inline constexpr int kCtxMbTypeI = 3;
 inline constexpr int kCtxMbSkipP = 11;
 inline constexpr int kCtxMbTypeP = 14;
@@ -82,7 +98,11 @@ enum BlockSlot : int {
   kSlotLuma8x8 = 17,  // +blk8x8 (0..3)
   kSlotChromaDC = 21, // +component (0..1)
   kSlotChromaAC = 23, // +component*8+blk (blk 0..3 for 4:2:0, 0..7 for 4:2:2)
-  kNumBlockSlots = 39,
+  // ChromaArrayType==3 (4:4:4): Cb/Cr planes carry luma-shaped block sets.
+  kSlotPlaneDC = 39,   // +(comp-1)*21
+  kSlotPlane4x4 = 40,  // +(comp-1)*21 + blk (0..15)
+  kSlotPlane8x8 = 56,  // +(comp-1)*21 + blk8x8 (0..3)
+  kNumBlockSlots = 81,
 };
 
 }  // namespace artc

@@ -298,6 +298,23 @@ class PriorModel {
   // bypass); coded_block_flag and mb_skip_flag add a temporal prior dimension
   // (previous picture, same block/MB); signs and terminates use fixed
   // probabilities (measured: adaptivity only adds noise there).
+  // The ChromaArrayType==3 extension banks (Cb/Cr cats 6-13) share the
+  // estimator key spaces of their luma/chroma analogues — deterministic on
+  // both codec sides; plane separation rides the slot/cat where it matters.
+  static int canon_cbf_ctx(int ctx) {
+    if (ctx >= 1012) return 93 + ((ctx - 1012) & 3);       // 8x8 cats -> cat-2 bank
+    if (ctx >= 472 && ctx < 484) return 85 + (ctx - 472);  // Cr DC/AC/4x4
+    if (ctx >= 460 && ctx < 472) return 85 + (ctx - 460);  // Cb DC/AC/4x4
+    return ctx;
+  }
+  static int canon_abs_ctx(int ctx) {
+    if (ctx >= 982 && ctx < 1012) return kCtxAbsBase + (ctx - 982);
+    if (ctx >= 952 && ctx < 982) return kCtxAbsBase + (ctx - 952);
+    if (ctx >= 766 && ctx < 776) return kCtxAbs8x8Base + (ctx - 766);
+    if (ctx >= 708 && ctx < 718) return kCtxAbs8x8Base + (ctx - 708);
+    return ctx;
+  }
+
   size_t route(int ctx, BinKlass klass) {
     size_t base = size_t(sc_) * kCtxStride;
     switch (klass) {
@@ -310,7 +327,8 @@ class PriorModel {
         return base + ctx;
       case kKlassCbf: {
         int prev = frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_) > 0 ? 1 : 0;
-        return kCbfBase2 + size_t(sc_) * 40 + size_t(ctx - kCtxCbfBase) * 2 + prev;
+        return kCbfBase2 + size_t(sc_) * 40 +
+               size_t(canon_cbf_ctx(ctx) - kCtxCbfBase) * 2 + prev;
       }
       case kKlassSkip: {
         int compact = (ctx >= kCtxMbSkipB) ? ctx - kCtxMbSkipB + 3 : ctx - kCtxMbSkipP;
@@ -506,6 +524,7 @@ class PriorModel {
   // Residual level bins conditioned on the block's nonzero count in addition
   // to the spec context (a prior the reference never exploits).
   size_t res_key(int ctx, int pos) const {
+    ctx = canon_abs_ctx(ctx);
     int idx = (ctx >= kCtxAbs8x8Base) ? 49 + (ctx - kCtxAbs8x8Base) : ctx - kCtxAbsBase;
     int cnt = nnz_total_ >= 1 ? nnz_total_ : observed_;  // observed in off-mode
     int nnz_class = cnt < 16 ? cnt : 15;

@@ -89,6 +89,14 @@ def corpus_dir(tmp_path_factory):
         # SliceQPY clamp in context init.
         "hi10.264": ("w=160 h=128 frames=8 qp=12 bframes=2 slices=2 "
                      "profile=high10 pixfmt=420p10 xparams=8x8dct=1:ref=4"),
+        # High 4:4:4 Predictive: per-plane luma-shaped residuals with the
+        # Cb/Cr extension context banks (cats 6-13), coded 8x8 cbf, no chroma
+        # pred mode / chroma cbp bins.
+        "c444.264": ("w=176 h=144 frames=8 qp=20 bframes=2 slices=2 "
+                     "profile=high444 pixfmt=444 seed=3 "
+                     "xparams=ref=4:partitions=all:trellis=2"),
+        "c444p10i.264": ("w=128 h=96 frames=6 qp=18 bframes=1 "
+                         "profile=high444 pixfmt=444p10 xparams=interlaced=1"),
     }
     for name, args in specs.items():
         subprocess.run(

@@ -22,8 +22,8 @@ extern "C" {
 
 static void fill_frame(AVFrame* f, int idx, unsigned seed, bool noise) {
   const int w = f->width, h = f->height;
-  const bool is10 = f->format == AV_PIX_FMT_YUV420P10LE;
-  const bool is444 = f->format == AV_PIX_FMT_YUV444P;
+  const bool is10 = f->format == AV_PIX_FMT_YUV420P10LE || f->format == AV_PIX_FMT_YUV444P10LE;
+  const bool is444 = f->format == AV_PIX_FMT_YUV444P || f->format == AV_PIX_FMT_YUV444P10LE;
   auto put = [&](int plane, int x, int y, int v) {
     if (is10) ((uint16_t*)(f->data[plane] + y * f->linesize[plane]))[x] = (uint16_t)(v << 2 | (v & 3));
     else f->data[plane][y * f->linesize[plane] + x] = (uint8_t)v;
@@ -95,9 +95,11 @@ int main(int argc, char** argv) {
   bool is422 = kv["pixfmt"] == "422";
   bool is10 = kv["pixfmt"] == "420p10";
   bool is444 = kv["pixfmt"] == "444";
-  c->pix_fmt = is10 ? AV_PIX_FMT_YUV420P10LE
-                    : is444 ? AV_PIX_FMT_YUV444P
-                            : is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
+  bool is44410 = kv["pixfmt"] == "444p10";
+  c->pix_fmt = is44410 ? AV_PIX_FMT_YUV444P10LE
+               : is10 ? AV_PIX_FMT_YUV420P10LE
+                      : is444 ? AV_PIX_FMT_YUV444P
+                              : is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
   c->gop_size = atoi(kv["gop"].c_str());
   c->max_b_frames = atoi(kv["bframes"].c_str());
   av_opt_set(c->priv_data, "preset", kv["preset"].c_str(), 0);
