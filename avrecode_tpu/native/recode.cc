@@ -4,6 +4,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <mutex>
 #include <thread>
 
@@ -40,6 +41,20 @@ struct ParamSet {
 constexpr size_t kMaxTailPatch = 16;
 
 }  // namespace
+
+// Env-gated phase timing (ARTC_TIMING=1): stderr lines, no effect on output.
+static bool timing_enabled() {
+  static bool on = [] {
+    const char* e = getenv("ARTC_TIMING");
+    return e && *e && *e != '0';
+  }();
+  return on;
+}
+static double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 namespace {
 struct Pass1 {
@@ -368,7 +383,11 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
   st.bill.eob_count += model.bill.eob_count;
   if (probs_out) *probs_out = probs;
   if (!encode_blob) return {};  // analysis-only callers discard the blob
-  return RansInterleaved::encode(bits, probs, opt.lanes);
+  double tr = timing_enabled() ? now_s() : 0;
+  auto blob = RansInterleaved::encode(bits, probs, opt.lanes);
+  if (timing_enabled())
+    fprintf(stderr, "[artc]   rans encode %.3fs (%zu bins)\n", now_s() - tr, bits.size());
+  return blob;
 }
 
 // Empirical per-(slice_class, cat) mode choice: run the model pass once with
@@ -404,6 +423,7 @@ static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
     std::vector<uint8_t> bits;
     std::vector<uint16_t> probs;
     ModelEncoder enc(m, bits, probs);
+    enc.set_discard_output(true);  // probes only need the billing counters
     uint64_t seen = 0;
     for (size_t si = begin; si < end && seen < kProbeBinCap; ++si) {
       if (slices[si].coding != 0) continue;
@@ -522,7 +542,11 @@ static std::vector<uint8_t> finalize_container(const uint8_t* data, size_t size,
 std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& opt,
                               Stats* stats) {
   Stats st;
+  double t0 = timing_enabled() ? now_s() : 0;
   Pass1 p1 = run_pass1(data, size, opt, st);
+  if (timing_enabled())
+    fprintf(stderr, "[artc] pass1 %.3fs (%zu slices)\n", now_s() - t0, p1.slices.size());
+  double t1 = timing_enabled() ? now_s() : 0;
   std::vector<std::pair<size_t, size_t>> ranges;
   chunk_ranges(p1.slices, st.n_chunks, &ranges);
   std::vector<std::vector<uint8_t>> blobs(ranges.size());
@@ -534,7 +558,10 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   if (n_workers <= 1) {
     for (size_t c = 0; c < ranges.size(); ++c) {
       auto [b, e] = ranges[c];
+      double tp = timing_enabled() ? now_s() : 0;
       nz_modes[c] = pick_nz_modes(p1.slices, b, e, opt);
+      if (timing_enabled())
+        fprintf(stderr, "[artc]   nz-mode probe %.3fs\n", now_s() - tp);
       blobs[c] = run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr,
                                  nz_modes[c]);
       st.recoded_bytes += blobs[c].size();
@@ -569,7 +596,12 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
       });
     for (auto& t : workers) t.join();
   }
+  if (timing_enabled())
+    fprintf(stderr, "[artc] model+encode %.3fs (%zu chunks)\n", now_s() - t1,
+            ranges.size());
+  double t2 = timing_enabled() ? now_s() : 0;
   auto out = finalize_container(data, size, p1, blobs, nz_modes, opt, st);
+  if (timing_enabled()) fprintf(stderr, "[artc] pack %.3fs\n", now_s() - t2);
   if (stats) *stats = st;
   return out;
 }

@@ -74,9 +74,13 @@ class ModelEncoder {
 
   // Optional per-pair trace of (kind, key, prior) — the device-path input.
   void set_trace(std::vector<PriorModel::Coded>* t) { trace_ = t; }
+  // Billing-only mode (nz-mode probes): skip storing the (bit, prob) pairs.
+  void set_discard_output(bool d) { discard_ = d; }
 
   void process(const SymbolStream& ss) {
     size_t ev = 0;
+    bits_.reserve(bits_.size() + ss.bins.size() + ss.bins.size() / 8);
+    probs_.reserve(probs_.size() + ss.bins.size() + ss.bins.size() / 8);
     for (size_t i = 0; i <= ss.bins.size(); ++i) {
       while (ev < ss.events.size() && ss.events[ev].at == i) {
         apply(ss, ss.events[ev], ev);
@@ -86,7 +90,7 @@ class ModelEncoder {
       const SymbolStream::Bin& b = ss.bins[i];
       switch (b.klass) {
         case kKlassSig: {
-          if (m_.nz_on()) ensure_nnz(ss, i, ev);
+          if (m_.nz_on()) ensure_nnz();
           else if (m_.needs_nnz()) m_.mark_in_sig();
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
           if (trace_)
@@ -157,6 +161,7 @@ class ModelEncoder {
 
  private:
   void apply(const SymbolStream& ss, const SymbolStream::Event& e, size_t ev_idx) {
+    (void)ev_idx;
     switch (e.type) {
       case kEvBeginSlice:
         m_.seed_from_cabac((e.d >> 16) & 0xffff, int16_t(e.d & 0xffff));
@@ -164,10 +169,13 @@ class ModelEncoder {
         m_.begin_slice((e.a >> 2) & 3, (e.a & 2) != 0, e.b, e.c);
         break;
       case kEvBeginMB: m_.begin_mb(e.a, e.b); break;
-      case kEvBeginBlock: m_.begin_block(e.a, e.b, e.c); break;
+      case kEvBeginBlock:
+        cur_block_nnz_ = e.d;  // recorder-annotated nonzero count
+        m_.begin_block(e.a, e.b, e.c);
+        break;
       case kEvEndBlock: m_.end_block(); break;
       case kEvImplicitLast:
-        ensure_nnz(ss, e.at, ev_idx);
+        if (m_.nz_on()) ensure_nnz();
         m_.note_implicit_last();
         break;
       case kEvPcm: {
@@ -191,20 +199,13 @@ class ModelEncoder {
     }
   }
 
-  void ensure_nnz(const SymbolStream& ss, size_t bin_idx, size_t ev_idx) {
+  void ensure_nnz() {
     if (!m_.needs_nnz()) return;
-    // Count the current block's significant coefficients by scanning ahead to
-    // its EndBlock event (the stream-order inversion: NZ-count bits precede
-    // the significance map, reference recode.cpp:1204-1254 / SURVEY.md §3.4).
-    size_t end_at = ss.bins.size();
-    bool implicit = false;
-    for (size_t k = ev_idx; k < ss.events.size(); ++k) {
-      if (ss.events[k].type == kEvEndBlock) { end_at = ss.events[k].at; break; }
-      if (ss.events[k].type == kEvImplicitLast) implicit = true;
-    }
-    int cnt = implicit ? 1 : 0;
-    for (size_t j = bin_idx; j < end_at; ++j)
-      if (ss.bins[j].klass == kKlassSig && ss.bins[j].bin) ++cnt;
+    // The block's total significant-coefficient count, annotated on its
+    // BeginBlock event by the recorder (the stream-order inversion: NZ-count
+    // bits precede the significance map, reference recode.cpp:1204-1254 /
+    // SURVEY.md §3.4 — here the count is known up-front, no scan-ahead).
+    int cnt = cur_block_nnz_;
     m_.code_nz(
         [this](uint32_t key, int putbit) {
           if (trace_)
@@ -231,8 +232,10 @@ class ModelEncoder {
     return table[pp >> 3];
   }
   void push(int bit, uint32_t p, uint8_t klass) {
-    bits_.push_back(uint8_t(bit));
-    probs_.push_back(uint16_t(p));
+    if (!discard_) {
+      bits_.push_back(uint8_t(bit));
+      probs_.push_back(uint16_t(p));
+    }
     uint64_t mb = cost_mb(bit, p);
     m_.bill.mbits[klass] += mb;
     ++m_.bill.count[klass];
@@ -240,8 +243,10 @@ class ModelEncoder {
       m_.sigc_mbits[m_.slice_class()][m_.cur_cat()] += mb;
   }
   void push_nz(int bit, uint32_t p) {
-    bits_.push_back(uint8_t(bit));
-    probs_.push_back(uint16_t(p));
+    if (!discard_) {
+      bits_.push_back(uint8_t(bit));
+      probs_.push_back(uint16_t(p));
+    }
     uint64_t mb = cost_mb(bit, p);
     m_.bill.nz_mbits += mb;
     ++m_.bill.nz_count;
@@ -252,6 +257,8 @@ class ModelEncoder {
   std::vector<uint8_t>& bits_;
   std::vector<uint16_t>& probs_;
   std::vector<PriorModel::Coded>* trace_ = nullptr;
+  int cur_block_nnz_ = 0;
+  bool discard_ = false;
 
  public:
   // CAVLC slices: transport every recorded syntax value through the adaptive

@@ -21,7 +21,9 @@ namespace artc {
 
 enum EventType : uint8_t {
   kEvBeginMB = 0,      // a = mb_x, b = mb_y
-  kEvBeginBlock = 1,   // a = slot, b = cat, c = max_coeff
+  kEvBeginBlock = 1,   // a = slot, b = cat, c = max_coeff,
+                       // d = block nonzero count (filled by the recorder at
+                       //     EndBlock so model passes need no scan-ahead)
   kEvEndBlock = 2,
   kEvImplicitLast = 3, // a = pos
   kEvBeginSlice = 4,   // a = flags (bit0 intra, bit1 new_picture),
@@ -103,6 +105,7 @@ class RecordingSource {
   int sig_bin(int ctx, int pos) {
     int64_t p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
+    cur_nnz_ += b;
     out_->bins.push_back({uint16_t(ctx), kKlassSig, uint8_t(b), int16_t(pos), cost_mbits(p0)});
     return b;
   }
@@ -137,12 +140,23 @@ class RecordingSource {
     out_->pcm.insert(out_->pcm.end(), rbsp_ + byte, rbsp_ + byte + n);
     dec_ = CabacDecoder(rbsp_, size_, (byte + n) * 8);
   }
-  void implicit_sig_last(int pos) { out_->event(kEvImplicitLast, pos); }
+  void implicit_sig_last(int pos) {
+    ++cur_nnz_;
+    out_->event(kEvImplicitLast, pos);
+  }
   void begin_mb(int mb_x, int mb_y) { out_->event(kEvBeginMB, mb_x, mb_y); }
   void begin_block(int slot, int cat, int max_coeff) {
+    cur_begin_ev_ = out_->events.size();
+    cur_nnz_ = 0;
     out_->event(kEvBeginBlock, slot, cat, max_coeff);
   }
-  void end_block() { out_->event(kEvEndBlock); }
+  void end_block() {
+    // Annotate the block's BeginBlock event with its nonzero count so the
+    // model passes (which serialize the count *before* the significance map,
+    // SURVEY.md §3.4) need no per-block scan-ahead.
+    out_->events[cur_begin_ev_].d = cur_nnz_;
+    out_->event(kEvEndBlock);
+  }
 
   const CabacDecoder& decoder() const { return dec_; }
 
@@ -152,6 +166,8 @@ class RecordingSource {
   size_t size_;
   CabacContexts ctxs_;
   SymbolStream* out_;
+  size_t cur_begin_ev_ = 0;
+  int cur_nnz_ = 0;
 };
 
 // Replays a recorded SymbolStream through the spec CABAC encoder, regenerating
