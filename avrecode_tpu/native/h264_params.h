@@ -87,6 +87,11 @@ struct SliceHeader {
   bool is_intra() const { return slice_type == SliceType::I || slice_type == SliceType::SI; }
   bool is_b() const { return slice_type == SliceType::B; }
   bool is_p() const { return slice_type == SliceType::P || slice_type == SliceType::SP; }
+  // Height of THIS picture in MBs: a PAFF field picture is half frame height.
+  template <class SPST>
+  int pic_mb_height(const SPST& sps) const {
+    return field_pic ? sps.mb_height() / 2 : sps.mb_height();
+  }
 };
 
 class UnsupportedStream : public std::runtime_error {
@@ -211,13 +216,13 @@ inline SliceHeader parse_slice_header(const uint8_t* rbsp, size_t size, int nal_
   if (sps.separate_colour_plane) r.read_bits(2);  // colour_plane_id
   h.frame_num = r.read_bits(sps.log2_max_frame_num);
   if (!sps.frame_mbs_only) {
+    // PAFF field pictures (field_pic_flag=1): the picture is a single parity
+    // field of half frame height; every MB is field-coded (field ctx-table
+    // rows, 9.3.3.1.3) with plain raster addressing — no MBAFF pair
+    // machinery, no ref_idx doubling (the header's active counts already
+    // address field references, 7.4.5.2).
     h.field_pic = r.read_bit();
-    if (h.field_pic) {
-      h.bottom_field = r.read_bit();
-      // PAFF field pictures: reference management and ctx derivation differ;
-      // these fall back to literal passthrough (x264 emits MBAFF only).
-      throw UnsupportedStream("field pictures");
-    }
+    if (h.field_pic) h.bottom_field = r.read_bit();
   }
   if (h.is_idr) h.idr_pic_id = r.read_ue();
   if (sps.pic_order_cnt_type == 0) {

@@ -119,6 +119,10 @@ class SliceWalker {
     if (pcm_bits % 8) throw UnsupportedStream("unaligned I_PCM payload");
     pcm_bytes_ = pcm_bits / 8;
     mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
+    // PAFF field picture: every MB is field-coded (field ctx-table rows) with
+    // plain raster addressing; MBAFF-only machinery (pair stepping, ref_idx
+    // doubling, mvd unit scaling, mixed-parity neighbor mapping) stays off.
+    cur_field_ = sh.field_pic;
   }
 
   // Walks the whole slice_data(); returns number of macroblocks decoded.
@@ -135,6 +139,7 @@ class SliceWalker {
       cur_ = &pic_.mbs[mb_addr];
       cur_->clear();
       cur_->slice_id = uint16_t(slice_id_);
+      cur_->field = cur_field_;  // PAFF: all MBs field-coded
       io_.begin_mb(mb_x_, mb_y_);
 
       bool skipped = false;
@@ -351,7 +356,7 @@ class SliceWalker {
     } else {
       if (io_.decision(state, kKlassOther) == 0) return 0;
     }
-    if (io_.terminate()) return 25;  // I_PCM
+    if (io_.terminate(/*end_of_slice=*/false)) return 25;  // I_PCM
     int mb_type = 1;
     mb_type += 12 * io_.decision(state + 1, kKlassOther);
     if (io_.decision(state + 2, kKlassOther))
@@ -1063,10 +1068,11 @@ class SliceWalker {
 
   static bool cat_is_8x8(int cat) { return cat == 5 || cat == 9 || cat == 13; }
 
-  // Field-coded MBs (MBAFF) select the field rows of the context-base tables
-  // and the field position-class row of the 8x8 offset table (9.3.3.1.3).
+  // Field-coded MBs (MBAFF field pairs and every MB of a PAFF field picture)
+  // select the field rows of the context-base tables and the field
+  // position-class row of the 8x8 offset table (9.3.3.1.3).
   int sig_ctx(int cat, int pos) const {
-    int fld = (mbaff_ && cur_field_) ? 1 : 0;
+    int fld = cur_field_ ? 1 : 0;
     if (cat_is_8x8(cat)) return kSigCtxBase[fld][cat] + kSigCoeffFlagOffset8x8[fld][pos];
     if (cat == kCatChromaDC) {
       int p = pos / numc8x8_;  // Min(levelListIdx / NumC8x8, 2), 9.3.3.1.3
@@ -1075,7 +1081,7 @@ class SliceWalker {
     return kSigCtxBase[fld][cat] + pos;
   }
   int last_ctx(int cat, int pos) const {
-    int fld = (mbaff_ && cur_field_) ? 1 : 0;
+    int fld = cur_field_ ? 1 : 0;
     if (cat_is_8x8(cat)) return kLastCtxBase[fld][cat] + kLastCoeffFlagOffset8x8[pos];
     if (cat == kCatChromaDC) {
       int p = pos / numc8x8_;

@@ -99,7 +99,7 @@ static void walk_cavlc_job(SliceJob& j) {
   SliceRecord rec;
   rec.coding = 1;
   CavlcPicture cpic;
-  cpic.reset(j.sps.mb_width(), j.sps.mb_height());
+  cpic.reset(j.sps.mb_width(), j.sh.pic_mb_height(j.sps));
   CavlcRecorder crec(rbsp.data(), rbsp.size(), j.sh.header_end_bit, &rec.cstream);
   CavlcWalker<CavlcRecorder> cw(j.sps, j.pps, j.sh, cpic, j.slice_id, crec);
   cw.run();
@@ -108,7 +108,7 @@ static void walk_cavlc_job(SliceJob& j) {
     bw.put_bit((rbsp[b >> 3] >> (7 - (b & 7))) & 1);
   RecordedValues rv(rec.cstream);
   CavlcPicture cpic2;
-  cpic2.reset(j.sps.mb_width(), j.sps.mb_height());
+  cpic2.reset(j.sps.mb_width(), j.sh.pic_mb_height(j.sps));
   CavlcReplayer<RecordedValues> rep(rv, bw);
   CavlcWalker<CavlcReplayer<RecordedValues>> cw2(j.sps, j.pps, j.sh, cpic2, j.slice_id, rep);
   cw2.run();
@@ -145,10 +145,10 @@ static void walk_cabac_job(SliceJob& j) {
   rec.ss.event(kEvBeginSlice,
                (sh.is_intra() ? 1 : 0) | (new_picture ? 2 : 0) | (slice_class << 2) |
                    (j.sps.chroma_format_idc == 2 ? 16 : 0),
-               j.sps.mb_width(), j.sps.mb_height(),
+               j.sps.mb_width(), sh.pic_mb_height(j.sps),
                (sh.slice_qp & 0xffff) | (sh.cabac_init_idc << 16));
   PictureState pic;  // private: availability is same-slice only (6.4.9)
-  pic.reset(j.sps.mb_width(), j.sps.mb_height());
+  pic.reset(j.sps.mb_width(), sh.pic_mb_height(j.sps));
   RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),
                       sh.cabac_init_idc, sh.slice_qp, &rec.ss);
   SliceWalker<RecordingSource> walker(j.sps, j.pps, sh, pic, j.slice_id, src);
@@ -711,7 +711,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
         bw.put_bit((s.header_rbsp[1 + (b >> 3)] >> (7 - (b & 7))) & 1);
       CavlcModelSource src(*cs.model, *cs.rans, s.n_values);
       CavlcPicture cpic;
-      cpic.reset(sps->mb_width(), sps->mb_height());
+      cpic.reset(sps->mb_width(), sh.pic_mb_height(*sps));
       CavlcReplayer<CavlcModelSource> rep(src, bw);
       CavlcWalker<CavlcReplayer<CavlcModelSource>> w(*sps, *pps, sh, cpic, slice_id, rep);
       w.run();
@@ -738,11 +738,11 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     SliceHeader sh = parse_slice_header(hdr_rbsp.data(), hdr_rbsp.size(), nal_type, nal_ref_idc,
                                         sps_map, pps_map, &sps, &pps);
     bool new_picture = sh.first_mb_in_slice == 0;
-    if (new_picture) pic.reset(sps->mb_width(), sps->mb_height());
+    if (new_picture) pic.reset(sps->mb_width(), sh.pic_mb_height(*sps));
     cs.model->seed_from_cabac(sh.cabac_init_idc, sh.slice_qp);
     cs.model->set_chroma422(sps->chroma_format_idc == 2);
     cs.model->begin_slice(sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1), new_picture,
-                          sps->mb_width(), sps->mb_height());
+                          sps->mb_width(), sh.pic_mb_height(*sps));
     ModelSource src(*cs.model, *cs.rans, sh.is_intra(), sh.cabac_init_idc, sh.slice_qp);
     SliceWalker<ModelSource> walker(*sps, *pps, sh, pic, slice_id, src);
     walker.run();

@@ -347,7 +347,8 @@ class ModelSource {
     enc_.encode_bypass(bit);
     return bit;
   }
-  int terminate() {
+  int terminate(bool end_of_slice = true) {
+    (void)end_of_slice;
     int bit = rans_.decode(m_.bin_prob(kCtxTerminate, kKlassTerminate));
     m_.bin_update(kCtxTerminate, kKlassTerminate, bit);
     enc_.encode_terminate(bit);

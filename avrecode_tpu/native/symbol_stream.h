@@ -96,7 +96,11 @@ class RecordingSource {
     out_->bins.push_back({uint16_t(kCtxBypass), klass, uint8_t(b), -1, cost_mbits(p0)});
     return b;
   }
-  int terminate() {
+  // end_of_slice distinguishes the slice-end bin from the I_PCM mb_type
+  // check; both are spec terminate bins (coded identically) — the flag only
+  // matters to generating sources (tools/make_synth.cc).
+  int terminate(bool end_of_slice = true) {
+    (void)end_of_slice;
     int64_t p0 = potential();
     int b = dec_.decode_terminate();
     out_->bins.push_back({uint16_t(kCtxTerminate), kKlassTerminate, uint8_t(b), -1, cost_mbits(p0)});

@@ -103,6 +103,22 @@ def corpus_dir(tmp_path_factory):
             [gen, os.path.join(tmp, name)] + args.split(),
             check=True, capture_output=True,
         )
+    # PAFF field pictures: x264 only implements MBAFF, so these are produced
+    # by tools/make_synth.cc (walker-driven synthesis, validated against the
+    # system libavcodec under AV_EF_EXPLODE inside the tool itself).
+    synth = _build_tool("make_synth", tmp, ["-lavcodec", "-lavutil"])
+    if synth is not None:
+        synth_specs = {
+            "paff_i.264": "w=160 h=128 fields=6 ptype=0 seed=2",
+            "paff_ip.264": "w=160 h=128 fields=10 ptype=1 seed=3 slices=2",
+            "paff_pcm.264": "w=160 h=128 fields=4 ptype=1 pcm=1 seed=4",
+            "synth_prog.264": "w=160 h=128 fields=6 paff=0 seed=5",
+        }
+        for name, args in synth_specs.items():
+            subprocess.run(
+                [synth, os.path.join(tmp, name)] + args.split(),
+                check=True, capture_output=True,
+            )
     return tmp
 
 

@@ -55,14 +55,14 @@ int main(int argc, char** argv) {
         if (!pps->entropy_coding_mode) { ++n_unsupported; continue; }  // CAVLC
         ++n_slices;
         if (sh.first_mb_in_slice == 0) {
-          pic.reset(sps->mb_width(), sps->mb_height());
+          pic.reset(sps->mb_width(), sh.pic_mb_height(*sps));
         }
         ++slice_id;
         SymbolStream ss;
         int slice_class = sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1);
         ss.event(kEvBeginSlice,
                  (sh.is_intra() ? 1 : 0) | (sh.first_mb_in_slice == 0 ? 2 : 0) | (slice_class << 2),
-                 sps->mb_width(), sps->mb_height(),
+                 sps->mb_width(), sh.pic_mb_height(*sps),
                  sh.slice_qp | (sh.cabac_init_idc << 16));
         RecordingSource src(rbsp.data(), rbsp.size(), sh.data_bit_offset, sh.is_intra(),
                             sh.cabac_init_idc, sh.slice_qp, &ss);
