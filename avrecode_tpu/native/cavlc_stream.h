@@ -48,9 +48,11 @@ class CavlcRecorder {
     rec(kRTotalCoeff, uint8_t(nc_class | (model_ctx << 3)), *total_coeff);
     rec(kRT1s, uint8_t(nc_class), *t1s);
   }
-  uint32_t total_zeros(int tz_idx, bool chroma_dc, int ctx) {
-    uint32_t v = r_.total_zeros(tz_idx, chroma_dc);
-    rec(kRTotalZeros, uint8_t((chroma_dc ? 0x80 : 0) | tz_idx), int32_t(v));
+  uint32_t total_zeros(int tz_idx, int dc_kind, int ctx) {
+    uint32_t v = r_.total_zeros(tz_idx, dc_kind);
+    // aux: 0x80 = 4:2:0 chroma DC (legacy key shape), 0xC0 = 4:2:2 chroma DC.
+    rec(kRTotalZeros, uint8_t((dc_kind == 1 ? 0x80 : dc_kind == 2 ? 0xC0 : 0) | tz_idx),
+        int32_t(v));
     return v;
   }
   uint32_t run_before(int zeros_left, int ctx) {
@@ -121,9 +123,10 @@ class CavlcReplayer {
     *t1s = src_.next(kRT1s, uint8_t(nc_class));
     w_.coeff_token(nc_class, *total_coeff, *t1s);
   }
-  uint32_t total_zeros(int tz_idx, bool chroma_dc, int ctx) {
-    uint32_t v = uint32_t(src_.next(kRTotalZeros, uint8_t((chroma_dc ? 0x80 : 0) | tz_idx)));
-    w_.total_zeros(tz_idx, chroma_dc, v);
+  uint32_t total_zeros(int tz_idx, int dc_kind, int ctx) {
+    uint32_t v = uint32_t(src_.next(
+        kRTotalZeros, uint8_t((dc_kind == 1 ? 0x80 : dc_kind == 2 ? 0xC0 : 0) | tz_idx)));
+    w_.total_zeros(tz_idx, dc_kind, v);
     return v;
   }
   uint32_t run_before(int zeros_left, int ctx) {

@@ -10,9 +10,10 @@
 // so value-level transport suffices; compress-time verification guards any
 // encoder quirk).
 //
-// Scope (baseline/main/high CAVLC): progressive frames, 4:2:0, I/P/B
-// slices (all partition types incl. B_8x8/direct), 4x4 and 8x8 transforms,
-// I_PCM. MBAFF-interlaced CAVLC falls back to passthrough.
+// Scope (baseline/main/high/high10/high422/high444 CAVLC): progressive frames
+// and PAFF field pictures, 4:2:0 / 4:2:2 / 4:4:4 chroma, bit depths to 14,
+// I/P/B slices (all partition types incl. B_8x8/direct), 4x4 and 8x8
+// transforms, I_PCM. MBAFF-interlaced CAVLC falls back to passthrough.
 //
 // VIO concept (value transport, mirrored on compress/decompress):
 //   uint32_t ue(Role, int ctx [, max]);  int32_t se(Role, int ctx);
@@ -74,24 +75,31 @@ class CavlcBitReader {
   uint32_t u(int n) { return r_.read_bits(n); }
   uint32_t u1() { return r_.read_bit(); }
 
-  // coeff_token (Table 9-5). nc_class: 0..3 for luma nC ranges, 4 = chroma DC.
+  // coeff_token (Table 9-5). nc_class: 0..3 for luma nC ranges,
+  // 4 = chroma DC (4:2:0, nC==-1), 5 = chroma DC (4:2:2, nC==-2).
   void coeff_token(int nc_class, int* total_coeff, int* t1s) {
-    const uint8_t* len = nc_class == 4 ? kChromaDcCoeffTokenLen : kCoeffTokenLen[nc_class];
-    const uint8_t* bits = nc_class == 4 ? kChromaDcCoeffTokenBits : kCoeffTokenBits[nc_class];
-    int n = nc_class == 4 ? 20 : 68;
+    const uint8_t* len = nc_class == 4   ? kChromaDcCoeffTokenLen
+                         : nc_class == 5 ? kChromaDc422CoeffTokenLen
+                                         : kCoeffTokenLen[nc_class];
+    const uint8_t* bits = nc_class == 4   ? kChromaDcCoeffTokenBits
+                          : nc_class == 5 ? kChromaDc422CoeffTokenBits
+                                          : kCoeffTokenBits[nc_class];
+    int n = nc_class == 4 ? 20 : (nc_class == 5 ? 36 : 68);
     match_vlc(len, bits, n, total_coeff, t1s);
   }
 
-  uint32_t total_zeros(int tz_idx, bool chroma_dc) {
+  // dc_kind: 0 = luma/chroma AC, 1 = 4:2:0 chroma DC, 2 = 4:2:2 chroma DC.
+  uint32_t total_zeros(int tz_idx, int dc_kind) {
     // tz_idx = total_coeff (1-based); tables indexed [total_coeff-1][value].
-    const uint8_t* len = chroma_dc ? kChromaDcTotalZerosLen[tz_idx - 1]
-                                   : kTotalZerosLen[tz_idx - 1];
-    const uint8_t* bits = chroma_dc ? kChromaDcTotalZerosBits[tz_idx - 1]
-                                    : kTotalZerosBits[tz_idx - 1];
-    int n = chroma_dc ? 4 : 16;
-    int a, b;
+    const uint8_t* len = dc_kind == 1   ? kChromaDcTotalZerosLen[tz_idx - 1]
+                         : dc_kind == 2 ? kChromaDc422TotalZerosLen[tz_idx - 1]
+                                        : kTotalZerosLen[tz_idx - 1];
+    const uint8_t* bits = dc_kind == 1   ? kChromaDcTotalZerosBits[tz_idx - 1]
+                          : dc_kind == 2 ? kChromaDc422TotalZerosBits[tz_idx - 1]
+                                         : kTotalZerosBits[tz_idx - 1];
+    int n = dc_kind == 1 ? 4 : (dc_kind == 2 ? 8 : 16);
+    int a;
     match_vlc1(len, bits, n, &a);
-    (void)b;
     return uint32_t(a);
   }
 
@@ -159,11 +167,15 @@ class CavlcBitWriter {
   void coeff_token(int nc_class, int total_coeff, int t1s) {
     int idx = 4 * total_coeff + t1s;
     if (nc_class == 4) w_.put_bits(kChromaDcCoeffTokenBits[idx], kChromaDcCoeffTokenLen[idx]);
+    else if (nc_class == 5)
+      w_.put_bits(kChromaDc422CoeffTokenBits[idx], kChromaDc422CoeffTokenLen[idx]);
     else w_.put_bits(kCoeffTokenBits[nc_class][idx], kCoeffTokenLen[nc_class][idx]);
   }
-  void total_zeros(int tz_idx, bool chroma_dc, uint32_t v) {
-    if (chroma_dc) w_.put_bits(kChromaDcTotalZerosBits[tz_idx - 1][v],
-                               kChromaDcTotalZerosLen[tz_idx - 1][v]);
+  void total_zeros(int tz_idx, int dc_kind, uint32_t v) {
+    if (dc_kind == 1) w_.put_bits(kChromaDcTotalZerosBits[tz_idx - 1][v],
+                                  kChromaDcTotalZerosLen[tz_idx - 1][v]);
+    else if (dc_kind == 2) w_.put_bits(kChromaDc422TotalZerosBits[tz_idx - 1][v],
+                                       kChromaDc422TotalZerosLen[tz_idx - 1][v]);
     else w_.put_bits(kTotalZerosBits[tz_idx - 1][v], kTotalZerosLen[tz_idx - 1][v]);
   }
   void run_before(int zeros_left, uint32_t v) {
@@ -185,8 +197,11 @@ class CavlcBitWriter {
 struct CavlcMB {
   uint16_t slice_id = 0xffff;
   uint8_t intra16 = 0, intra = 0, skip = 0;
-  uint8_t luma_tc[16] = {0};    // total_coeff per 4x4 (grid x + 4*y)
-  uint8_t chroma_tc[2][4] = {{0}, {0}};  // per component, 2x2 grid
+  // total_coeff per 4x4 per colour plane (plane 0 = luma; 1/2 used when
+  // ChromaArrayType == 3, where Cb/Cr are coded with luma semantics).
+  uint8_t plane_tc[3][16] = {{0}, {0}, {0}};
+  // Chroma AC grids for ChromaArrayType 1/2: 2x2 (4:2:0) or 2x4 (4:2:2).
+  uint8_t chroma_tc[2][8] = {{0}, {0}};
 };
 
 struct CavlcPicture {
@@ -215,11 +230,20 @@ class CavlcWalker {
   CavlcWalker(const SPS& sps, const PPS& pps, const SliceHeader& sh, CavlcPicture& pic,
               int slice_id, IO& io)
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
-    if (sps.chroma_format_idc != 1) throw UnsupportedStream("cavlc: chroma != 4:2:0");
+    if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
+      throw UnsupportedStream("cavlc: chroma_format not 4:2:0/4:2:2/4:4:4");
+    if (sps.separate_colour_plane) throw UnsupportedStream("cavlc: separate colour planes");
     if (sps.mb_adaptive_frame_field && !sh.field_pic)
       throw UnsupportedStream("cavlc: MBAFF");
-    if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
-      throw UnsupportedStream("cavlc: bit depth != 8");
+    is444_ = sps.chroma_format_idc == 3;
+    numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
+    // VLC syntax is bit-depth agnostic apart from the I_PCM payload width.
+    if (sps.bit_depth_luma > 14 || sps.bit_depth_chroma > 14)
+      throw UnsupportedStream("cavlc: bit depth > 14");
+    int pcm_bits = 256 * sps.bit_depth_luma +
+                   (is444_ ? 512 : 128 * numc8x8_) * sps.bit_depth_chroma;
+    if (pcm_bits % 8) throw UnsupportedStream("cavlc: unaligned I_PCM payload");
+    pcm_bytes_ = pcm_bits / 8;
   }
 
   // Walks slice_data(); IO signals end via more_data(). Returns MB count.
@@ -291,10 +315,11 @@ class CavlcWalker {
         // I_PCM (7.3.5): pcm_alignment bits + raw samples read directly from
         // the bitstream. Neighbor nC is 16 for every block of a PCM MB (9.2.1).
         cur_->intra = 1;
-        for (int i = 0; i < 16; ++i) cur_->luma_tc[i] = 16;
+        for (int p = 0; p < 3; ++p)
+          for (int i = 0; i < 16; ++i) cur_->plane_tc[p][i] = 16;
         for (int c = 0; c < 2; ++c)
-          for (int i = 0; i < 4; ++i) cur_->chroma_tc[c][i] = 16;
-        io_.pcm_block(384);
+          for (int i = 0; i < 8; ++i) cur_->chroma_tc[c][i] = 16;
+        io_.pcm_block(pcm_bytes_);
         return;
       }
       if (intra_code > 25) throw BitstreamError("cavlc: bad intra mb_type");
@@ -313,11 +338,11 @@ class CavlcWalker {
           if (io_.u(1, kRIntraPredFlag, 0) == 0) io_.u(3, kRIntraPredRem, 0);
         }
       }
-      io_.ue(kRChromaPred, 0);  // intra_chroma_pred_mode
+      if (!is444_) io_.ue(kRChromaPred, 0);  // intra_chroma_pred_mode
       if (!i16) {
         uint32_t code = io_.ue(kRCbp, 0);
-        if (code > 47) throw BitstreamError("cavlc: bad cbp code");
-        int cbp = kGolombToIntra4x4Cbp[code];
+        if (code > (is444_ ? 15u : 47u)) throw BitstreamError("cavlc: bad cbp code");
+        int cbp = is444_ ? kGolombToIntra4x4CbpGray[code] : kGolombToIntra4x4Cbp[code];
         cbp_luma = cbp & 0xf;
         cbp_chroma = cbp >> 4;
         if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
@@ -338,8 +363,8 @@ class CavlcWalker {
       no_small = decode_inter_pred(inter_type);
     }
     uint32_t code = io_.ue(kRCbp, 1);
-    if (code > 47) throw BitstreamError("cavlc: bad cbp code");
-    int cbp = kGolombToInterCbp[code];
+    if (code > (is444_ ? 15u : 47u)) throw BitstreamError("cavlc: bad cbp code");
+    int cbp = is444_ ? kGolombToInterCbpGray[code] : kGolombToInterCbp[code];
     cbp_luma = cbp & 0xf;
     cbp_chroma = cbp >> 4;
     if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
@@ -445,24 +470,24 @@ class CavlcWalker {
   }
 
   // ---- residuals (9.2) ----------------------------------------------------
-  // nC for a luma 4x4 at grid (gx,gy): mean of available left/up total_coeff.
-  int luma_nc(int gx, int gy) const {
-    int na = -1, nb = -1;
-    na = tc_at(gx - 1, gy, -1);
-    nb = tc_at(gx, gy - 1, -1);
+  // nC for a plane 4x4 at grid (gx,gy): mean of available left/up total_coeff.
+  int luma_nc(int plane, int gx, int gy) const {
+    int na = tc_at(plane, gx - 1, gy, -1);
+    int nb = tc_at(plane, gx, gy - 1, -1);
     if (na >= 0 && nb >= 0) return (na + nb + 1) >> 1;
     if (na >= 0) return na;
     if (nb >= 0) return nb;
     return 0;
   }
-  int tc_at(int gx, int gy, int def) const {
+  int tc_at(int plane, int gx, int gy, int def) const {
     int dx = 0, dy = 0;
     if (gx < 0) { dx = -1; gx += 4; }
     if (gy < 0) { dy = -1; gy += 4; }
     const CavlcMB* m = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
     if (!m) return def;
-    return m->luma_tc[gx + 4 * gy];
+    return m->plane_tc[plane][gx + 4 * gy];
   }
+  // Chroma AC grid: 2 wide x 2*numc8x8 high (4:2:0 / 4:2:2).
   int chroma_nc(int c, int gx, int gy) const {
     int na = ctc_at(c, gx - 1, gy, -1);
     int nb = ctc_at(c, gx, gy - 1, -1);
@@ -474,7 +499,7 @@ class CavlcWalker {
   int ctc_at(int c, int gx, int gy, int def) const {
     int dx = 0, dy = 0;
     if (gx < 0) { dx = -1; gx += 2; }
-    if (gy < 0) { dy = -1; gy += 2; }
+    if (gy < 0) { dy = -1; gy += 2 * numc8x8_; }
     const CavlcMB* m = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
     if (!m) return def;
     return m->chroma_tc[c][gx + 2 * gy];
@@ -487,9 +512,30 @@ class CavlcWalker {
   }
 
   void decode_residual(bool i16, int cbp_luma, int cbp_chroma) {
+    // Plane 0 (luma), then — for ChromaArrayType 3 — Cb and Cr with identical
+    // luma semantics (7.3.5.3.2); chroma DC/AC only for ChromaArrayType 1/2.
+    for (int plane = 0; plane < (is444_ ? 3 : 1); ++plane)
+      decode_plane_residual(plane, i16, cbp_luma);
+    if (!is444_ && cbp_chroma) {
+      // Chroma DC: (4 * NumC8x8) coefficients; 4:2:2 uses the nC == -2
+      // coeff_token column (class 5) and the 9-9(b) total_zeros tables.
+      int ncoeff = 4 * numc8x8_;
+      for (int c = 0; c < 2; ++c)
+        residual_block(0, ncoeff, /*dc_kind=*/numc8x8_ == 2 ? 2 : 1);
+      if (cbp_chroma == 2)
+        for (int c = 0; c < 2; ++c)
+          for (int k = 0; k < 4 * numc8x8_; ++k) {
+            int gx = k & 1, gy = k >> 1;
+            int tc = residual_block(chroma_nc(c, gx, gy), 15, 0);
+            cur_->chroma_tc[c][gx + 2 * gy] = uint8_t(tc);
+          }
+    }
+  }
+
+  void decode_plane_residual(int plane, bool i16, int cbp_luma) {
     if (i16) {
-      // Luma DC: 16 coefficients, nC from neighbors like block 0.
-      residual_block(luma_nc(0, 0), 16, /*chroma_dc=*/false, nullptr);
+      // DC: 16 coefficients, nC from neighbors like block 0.
+      residual_block(luma_nc(plane, 0, 0), 16, 0);
     }
     int max_luma = i16 ? 15 : 16;
     for (int b8 = 0; b8 < 4; ++b8)
@@ -497,28 +543,19 @@ class CavlcWalker {
         int blk = 4 * b8 + k;
         int gx = kBlk4x4X[blk], gy = kBlk4x4Y[blk];
         if (cbp_luma & (1 << b8)) {
-          int tc = residual_block(luma_nc(gx, gy), max_luma, false, nullptr);
-          cur_->luma_tc[gx + 4 * gy] = uint8_t(tc);
+          int tc = residual_block(luma_nc(plane, gx, gy), max_luma, 0);
+          cur_->plane_tc[plane][gx + 4 * gy] = uint8_t(tc);
         }
       }
-    if (cbp_chroma) {
-      for (int c = 0; c < 2; ++c) residual_block(0, 4, /*chroma_dc=*/true, nullptr);
-      if (cbp_chroma == 2)
-        for (int c = 0; c < 2; ++c)
-          for (int k = 0; k < 4; ++k) {
-            int gx = k & 1, gy = k >> 1;
-            int tc = residual_block(chroma_nc(c, gx, gy), 15, false, nullptr);
-            cur_->chroma_tc[c][gx + 2 * gy] = uint8_t(tc);
-          }
-    }
   }
 
   // One CAVLC residual block (9.2.1-9.2.4). nc_val = the derived nC (model
-  // context; VLC table class derives from it). Returns total_coeff.
-  int residual_block(int nc_val, int max_coeff, bool chroma_dc, int* /*unused*/) {
+  // context; VLC table class derives from it). dc_kind: 0 = regular,
+  // 1 = 4:2:0 chroma DC, 2 = 4:2:2 chroma DC. Returns total_coeff.
+  int residual_block(int nc_val, int max_coeff, int dc_kind) {
     int ncls = nc_class(nc_val);
     int total_coeff, t1s;
-    io_.coeff_token(chroma_dc ? 4 : ncls, nc_val < 7 ? nc_val : 7, &total_coeff, &t1s);
+    io_.coeff_token(dc_kind ? 3 + dc_kind : ncls, nc_val < 7 ? nc_val : 7, &total_coeff, &t1s);
     if (total_coeff > max_coeff) throw BitstreamError("cavlc: total_coeff too large");
     if (total_coeff == 0) return 0;
     for (int i = 0; i < t1s; ++i) io_.u(1, kRT1Sign, 0);
@@ -544,7 +581,7 @@ class CavlcWalker {
     // total_zeros + run_before (9.2.3).
     int zeros_left = 0;
     if (total_coeff < max_coeff) {
-      zeros_left = int(io_.total_zeros(total_coeff, chroma_dc, chroma_dc ? 1 : 0));
+      zeros_left = int(io_.total_zeros(total_coeff, dc_kind, dc_kind ? 1 : 0));
     }
     for (int i = 0; i < total_coeff - 1 && zeros_left > 0; ++i) {
       uint32_t run = io_.run_before(zeros_left, 0);
@@ -563,6 +600,9 @@ class CavlcWalker {
   int mb_x_ = 0, mb_y_ = 0;
   CavlcMB* cur_ = nullptr;
   int prev_skip_ctx_ = 0;
+  bool is444_ = false;
+  int numc8x8_ = 1;      // 1 = 4:2:0, 2 = 4:2:2
+  int pcm_bytes_ = 384;  // I_PCM payload size (chroma format + depth)
 };
 
 }  // namespace artc

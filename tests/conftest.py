@@ -78,6 +78,15 @@ def corpus_dir(tmp_path_factory):
         # Mixed PCM + coded MBs (structured content at low QP).
         "pcm_mixed.mp4": ("w=160 h=128 frames=4 qp=2 profile=high bframes=1 "
                           "xparams=psy=0"),
+        # CAVLC beyond 4:2:0/8-bit: 4:2:2 chroma DC (nC==-2 coeff_token +
+        # 9-9(b) total_zeros), 10-bit (AVC-Intra-style), 4:4:4 per-plane
+        # luma-semantics residuals with the gray cbp me(v) mapping.
+        "cav422.264": ("w=160 h=128 frames=6 qp=20 cabac=0 bframes=2 "
+                       "profile=high422 pixfmt=422"),
+        "cav10.264": ("w=160 h=128 frames=6 qp=14 cabac=0 bframes=1 "
+                      "profile=high10 pixfmt=420p10"),
+        "cav444.264": ("w=160 h=128 frames=6 qp=20 cabac=0 bframes=1 "
+                       "profile=high444 pixfmt=444"),
         # MBAFF interlaced coding: pair addressing, mb_field flags + inference,
         # field/frame neighbor mapping (6.4.12), field sig ctx banks, doubled
         # field reference lists, mvd unit scaling.
