@@ -59,7 +59,8 @@ enum CavlcRole : uint8_t {
   kRPcmPad = 18,   // alignment bits before the samples (aux = bit count)
   kRPcmByte = 19,  // one raw sample byte
   kRTransform8x8 = 20,  // transform_size_8x8_flag (1 bit, adaptive)
-  kNumCavlcRoles = 21,
+  kRMbField = 21,       // mb_field_decoding_flag (MBAFF, 1 bit)
+  kNumCavlcRoles = 22,
 };
 
 // ---------------------------------------------------------------------------
@@ -197,6 +198,7 @@ class CavlcBitWriter {
 struct CavlcMB {
   uint16_t slice_id = 0xffff;
   uint8_t intra16 = 0, intra = 0, skip = 0;
+  uint8_t field = 0;  // MBAFF: this MB's pair is field-coded
   // total_coeff per 4x4 per colour plane (plane 0 = luma; 1/2 used when
   // ChromaArrayType == 3, where Cb/Cr are coded with luma semantics).
   uint8_t plane_tc[3][16] = {{0}, {0}, {0}};
@@ -233,8 +235,7 @@ class CavlcWalker {
     if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
       throw UnsupportedStream("cavlc: chroma_format not 4:2:0/4:2:2/4:4:4");
     if (sps.separate_colour_plane) throw UnsupportedStream("cavlc: separate colour planes");
-    if (sps.mb_adaptive_frame_field && !sh.field_pic)
-      throw UnsupportedStream("cavlc: MBAFF");
+    mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
     is444_ = sps.chroma_format_idc == 3;
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     // VLC syntax is bit-depth agnostic apart from the I_PCM payload width.
@@ -248,6 +249,7 @@ class CavlcWalker {
 
   // Walks slice_data(); IO signals end via more_data(). Returns MB count.
   int run() {
+    if (mbaff_) return run_mbaff();
     int mb_addr = sh_.first_mb_in_slice;
     const int num_mbs = pic_.mb_width * pic_.mb_height;
     int count = 0;
@@ -275,6 +277,99 @@ class CavlcWalker {
   }
 
  private:
+  // MBAFF slice_data() (7.3.4 with MbaffFrameFlag == 1, CAVLC):
+  // CurrMbAddr iterates MBs with pair addressing (pair = addr/2, bottom =
+  // addr&1). mb_field_decoding_flag is read before macroblock_layer() when
+  // the MB is the top of its pair, or the bottom whose top was skipped; for
+  // fully-skipped pairs it is inferred from the left, else above, pair
+  // (7.4.4). The flag applies retroactively to a skipped top MB.
+  int run_mbaff() {
+    int mb_addr = 2 * sh_.first_mb_in_slice;
+    const int pw = pic_.mb_width;
+    const int num_mbs = pw * pic_.mb_height;
+    int count = 0;
+    bool top_skipped = false;  // top of the current pair consumed by skip run
+    while (io_.more_data()) {
+      int skip_run = 0;
+      if (!sh_.is_intra()) {
+        skip_run = int(io_.ue(kRMbSkipRun, prev_skip_ctx_));
+        prev_skip_ctx_ = skip_run > 0;
+        for (int i = 0; i < skip_run; ++i) {
+          if (mb_addr >= num_mbs) throw BitstreamError("cavlc: skip past end");
+          setup_mb_mbaff(mb_addr, /*field_known=*/false);
+          cur_->skip = 1;
+          if ((mb_addr & 1) == 0) {
+            top_skipped = true;
+          } else {
+            // Fully-skipped pair: infer the field flag (7.4.4) and stamp it
+            // on both members.
+            bool fld = infer_pair_field(mb_addr >> 1);
+            set_pair_field(mb_addr >> 1, fld);
+            top_skipped = false;
+          }
+          ++mb_addr;
+          ++count;
+        }
+        if (!io_.more_data()) {
+          // Trailing skip run may end on a top MB; its pair's flag is
+          // inferred (the bottom is outside the slice only at slice end).
+          if (top_skipped) set_pair_field(mb_addr >> 1, infer_pair_field(mb_addr >> 1));
+          break;
+        }
+      }
+      if (mb_addr >= num_mbs) throw BitstreamError("cavlc: mb past end");
+      bool bottom = (mb_addr & 1) != 0;
+      bool flag_here = !bottom || top_skipped;
+      setup_mb_mbaff(mb_addr, /*field_known=*/!flag_here);
+      if (flag_here) {
+        cur_field_ = io_.u(1, kRMbField, 0) != 0;
+        set_pair_field(mb_addr >> 1, cur_field_);
+      }
+      decode_mb();
+      if (bottom) top_skipped = false;
+      ++mb_addr;
+      ++count;
+    }
+    return count;
+  }
+
+  // 7.4.4 inference: left pair of the same slice, else above pair, else 0.
+  bool infer_pair_field(int pair_addr) const {
+    int px = pair_addr % pic_.mb_width, py = pair_addr / pic_.mb_width;
+    if (const CavlcMB* l = pair_top(px - 1, py)) return l->field != 0;
+    if (const CavlcMB* a = pair_top(px, py - 1)) return a->field != 0;
+    return false;
+  }
+  void set_pair_field(int pair_addr, bool fld) {
+    int px = pair_addr % pic_.mb_width, py = pair_addr / pic_.mb_width;
+    for (int m = 0; m < 2; ++m) {
+      CavlcMB& mb = pic_.mbs[size_t(2 * py + m) * pic_.mb_width + px];
+      if (mb.slice_id == slice_id_) mb.field = fld ? 1 : 0;
+    }
+  }
+  const CavlcMB* pair_top(int px, int py) const {
+    if (px < 0 || py < 0 || px >= pic_.mb_width || 2 * py >= pic_.mb_height) return nullptr;
+    const CavlcMB& m = pic_.mbs[size_t(2 * py) * pic_.mb_width + px];
+    return m.slice_id == slice_id_ ? &m : nullptr;
+  }
+
+  void setup_mb_mbaff(int addr, bool field_known) {
+    int pair = addr >> 1;
+    cur_bottom_ = (addr & 1) != 0;
+    mb_x_ = pair % pic_.mb_width;
+    int py = pair / pic_.mb_width;
+    mb_y_ = 2 * py + (cur_bottom_ ? 1 : 0);
+    cur_ = &pic_.mbs[size_t(mb_y_) * pic_.mb_width + mb_x_];
+    *cur_ = CavlcMB();
+    cur_->slice_id = uint16_t(slice_id_);
+    if (field_known) {
+      // Bottom MB of a pair whose flag was already read (or stamped).
+      cur_field_ = pic_.mbs[size_t(2 * py) * pic_.mb_width + mb_x_].field != 0;
+    }
+    cur_->field = cur_field_ ? 1 : 0;
+    io_.begin_mb(mb_x_, mb_y_);
+  }
+
   void setup_mb(int addr) {
     mb_x_ = addr % pic_.mb_width;
     mb_y_ = addr / pic_.mb_width;
@@ -384,6 +479,9 @@ class CavlcWalker {
   bool decode_inter_pred(int inter_type) {
     auto ref = [&](int list, int ctx) {
       int nref = list ? sh_.num_ref_idx_l1_active : sh_.num_ref_idx_l0_active;
+      // A field MB of an MBAFF frame addresses twice as many (field)
+      // references (7.4.5.2) — changes the te(v) binarization bound.
+      if (mbaff_ && cur_field_) nref *= 2;
       if (nref <= 1) return;
       if (nref == 2) io_.u(1, kRRefIdx, ctx | (list << 2));  // te(v), cMax 1
       else io_.ue(kRRefIdx, ctx | (list << 2));
@@ -480,6 +578,14 @@ class CavlcWalker {
     return 0;
   }
   int tc_at(int plane, int gx, int gy, int def) const {
+    if (mbaff_) {
+      // Sample-space neighbour derivation (6.4.12 / 9.2.1): the 4x4 block
+      // containing the luma sample one left/up of this block's top-left
+      // (a negative block coord means the sample just outside, i.e. -1).
+      auto n = locate_mbaff(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy, 16);
+      if (!n.mb) return def;
+      return n.mb->plane_tc[plane][(n.lx >> 2) + 4 * (n.ly >> 2)];
+    }
     int dx = 0, dy = 0;
     if (gx < 0) { dx = -1; gx += 4; }
     if (gy < 0) { dy = -1; gy += 4; }
@@ -497,12 +603,66 @@ class CavlcWalker {
     return 0;
   }
   int ctc_at(int c, int gx, int gy, int def) const {
+    if (mbaff_) {
+      auto n = locate_mbaff(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy, 8 * numc8x8_, 8);
+      if (!n.mb) return def;
+      return n.mb->chroma_tc[c][(n.lx >> 2) + 2 * (n.ly >> 2)];
+    }
     int dx = 0, dy = 0;
     if (gx < 0) { dx = -1; gx += 2; }
     if (gy < 0) { dy = -1; gy += 2 * numc8x8_; }
     const CavlcMB* m = (dx == 0 && dy == 0) ? cur_ : nb_mb(dx, dy);
     if (!m) return def;
     return m->chroma_tc[c][gx + 2 * gy];
+  }
+
+  struct NbLoc {
+    const CavlcMB* mb = nullptr;
+    int lx = 0, ly = 0;  // local sample coords within the neighbour MB
+  };
+
+  // MBAFF branch of 6.4.12 in pair-region sample space (same derivation as
+  // the CABAC walker's locate_mbaff, on the CAVLC total_coeff state).
+  NbLoc locate_mbaff(int xN, int yN, int mbh, int mbw = 16) const {
+    const int pw = pic_.mb_width;
+    const int py = mb_y_ >> 1;
+    const bool cf = cur_field_;
+    const bool bot = cur_bottom_;
+    auto pair_row = [&](int y) {
+      return cf ? (2 * y + (bot ? 1 : 0)) : (mbh * (bot ? 1 : 0) + y);
+    };
+    if (xN >= 0 && yN >= 0) {
+      if (yN < mbh) return {cur_, xN, yN};
+      return {};
+    }
+    if (xN < 0) {
+      if (yN < 0) return {};
+      const CavlcMB* ltop = pair_top(mb_x_ - 1, py);
+      if (!ltop) return {};
+      int gy = pair_row(yN);
+      bool nf = ltop->field != 0;
+      int member, ym;
+      if (nf) { member = gy & 1; ym = gy >> 1; }
+      else { member = gy >= mbh ? 1 : 0; ym = gy - member * mbh; }
+      return {ltop + size_t(member) * pw, xN + mbw, ym};
+    }
+    int gy = pair_row(0) + (cf ? 2 * yN : yN);  // yN == -1
+    if (gy >= 0) {
+      int member, ym;
+      if (cf) { member = gy & 1; ym = gy >> 1; }
+      else { member = gy >= mbh ? 1 : 0; ym = gy - member * mbh; }
+      const CavlcMB* m = &pic_.mbs[size_t(2 * py + member) * pw + mb_x_];
+      if (m->slice_id != slice_id_) return {};
+      return {m, xN, ym};
+    }
+    const CavlcMB* atop = pair_top(mb_x_, py - 1);
+    if (!atop) return {};
+    int gy2 = gy + 2 * mbh;
+    bool nf = atop->field != 0;
+    int member, ym;
+    if (nf) { member = gy2 & 1; ym = gy2 >> 1; }
+    else { member = gy2 >= mbh ? 1 : 0; ym = gy2 - member * mbh; }
+    return {atop + size_t(member) * pw, xN, ym};
   }
   static int nc_class(int nc) {
     if (nc < 2) return 0;
@@ -603,6 +763,9 @@ class CavlcWalker {
   bool is444_ = false;
   int numc8x8_ = 1;      // 1 = 4:2:0, 2 = 4:2:2
   int pcm_bytes_ = 384;  // I_PCM payload size (chroma format + depth)
+  bool mbaff_ = false;
+  bool cur_bottom_ = false;  // MBAFF: bottom MB of the current pair
+  bool cur_field_ = false;   // MBAFF: current pair is field-coded
 };
 
 }  // namespace artc

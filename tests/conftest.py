@@ -87,6 +87,13 @@ def corpus_dir(tmp_path_factory):
                       "profile=high10 pixfmt=420p10"),
         "cav444.264": ("w=160 h=128 frames=6 qp=20 cabac=0 bframes=1 "
                        "profile=high444 pixfmt=444"),
+        # CAVLC MBAFF: pair addressing, mb_field flag read/inference (7.4.4),
+        # 6.4.12 neighbour mapping on the total_coeff state, te(v) ref bound
+        # doubling for field MBs.
+        "cavmbaff.264": ("w=160 h=128 frames=8 qp=24 cabac=0 bframes=2 "
+                         "profile=high seed=6 xparams=interlaced=1:ref=3"),
+        "cavmbaff422.264": ("w=176 h=144 frames=6 qp=22 cabac=0 bframes=1 "
+                            "profile=high422 pixfmt=422 xparams=interlaced=1"),
         # MBAFF interlaced coding: pair addressing, mb_field flags + inference,
         # field/frame neighbor mapping (6.4.12), field sig ctx banks, doubled
         # field reference lists, mvd unit scaling.
