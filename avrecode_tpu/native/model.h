@@ -509,11 +509,13 @@ class PriorModel {
   }
   uint32_t bin_prob(int ctx, BinKlass klass) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
-    return prob_for(kind, uint32_t(route(ctx, klass)), bin_prior(ctx, klass));
+    cached_dual_key_ = uint32_t(route(ctx, klass));
+    return prob_for(kind, cached_dual_key_, bin_prior(ctx, klass));
   }
   void bin_update(int ctx, BinKlass klass, int bit) {
+    (void)ctx;
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
-    note_coded(kind, uint32_t(route(ctx, klass)), bit);
+    note_coded(kind, cached_dual_key_, bit);
     if (klass == kKlassSkip) set_skip(bit);
   }
   // (kind,key,prior) of the last bin_prob/sig_prob computation, for tracing.
@@ -566,11 +568,19 @@ class PriorModel {
     if (prior > kProbScale - 1) prior = kProbScale - 1;
     return uint16_t(prior);
   }
+  // NOTE on the cached_*_key_ members: every *_prob call is immediately
+  // followed by its *_update twin with identical model state (both pipeline
+  // directions, audited) — the update reuses the key computed by the prob
+  // call instead of re-deriving it. Pure micro-optimization; bit-exact.
   uint32_t sig_prob(int ctx, int pos) {
     assert(!nz_on() || nnz_total_ >= 1);
-    return prob_for(kKindSig, uint32_t(sig_key(pos)), sig_prior(ctx, pos));
+    cached_sig_key_ = uint32_t(sig_key(pos));
+    return prob_for(kKindSig, cached_sig_key_, sig_prior(ctx, pos));
   }
-  void sig_update(int pos, int bit) { note_coded(kKindSig, uint32_t(sig_key(pos)), bit); }
+  void sig_update(int pos, int bit) {
+    (void)pos;
+    note_coded(kKindSig, cached_sig_key_, bit);
+  }
 
   // ---- mirrored CABAC contexts ------------------------------------------
   // A replay of the original stream's CABAC adaptive state (spec 9.3.3.1
@@ -614,15 +624,22 @@ class PriorModel {
     return hash_sig(kEobOffBase + size_t(sc_) * kEobOffStride + key);
   }
   uint32_t eob_prob(int ctx, int pos) {
-    return prob_for(kKindSig, uint32_t(eob_key(pos)), uint16_t(mirror_prob(ctx)));
+    cached_sig_key_ = uint32_t(eob_key(pos));
+    return prob_for(kKindSig, cached_sig_key_, uint16_t(mirror_prob(ctx)));
   }
-  void eob_update(int pos, int bit) { note_coded(kKindSig, uint32_t(eob_key(pos)), bit); }
+  void eob_update(int pos, int bit) {
+    (void)pos;
+    note_coded(kKindSig, cached_sig_key_, bit);
+  }
 
   uint32_t res_prob(int ctx, int pos) {
-    return prob_for(kKindDual, uint32_t(res_key(ctx, pos)), 0);
+    cached_dual_key_ = uint32_t(res_key(ctx, pos));
+    return prob_for(kKindDual, cached_dual_key_, 0);
   }
   void res_update(int ctx, int pos, int bit) {
-    note_coded(kKindDual, uint32_t(res_key(ctx, pos)), bit);
+    (void)ctx;
+    (void)pos;
+    note_coded(kKindDual, cached_dual_key_, bit);
   }
 
   // Spatial/temporal conditioning classes for the nonzero count (the
@@ -887,6 +904,8 @@ class PriorModel {
 
   std::vector<Dual> dual_;
   std::vector<Estimator> sig_est_;
+  // prob->update key reuse (see sig_prob NOTE).
+  uint32_t cached_sig_key_ = 0, cached_dual_key_ = 0;
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
   uint64_t nz_modes_ = kAllNzOn;  // default: NZ-first everywhere
