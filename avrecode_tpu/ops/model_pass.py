@@ -45,6 +45,37 @@ def _halve_while(x_pos, x_neg, window, iters=16):
     return x_pos, x_neg
 
 
+def _halve_iters(window: int, batch: int) -> int:
+    """Provable unrolled-iteration count for _halve_while.
+
+    Start-of-sub-batch totals are <= window (estimator seeds are within their
+    windows and every staging pass re-halves), and one sub-batch adds at most
+    `batch` observations to a key, so the pre-halve total T0 <= window + batch.
+    Each masked halving maps t -> at most (t+2)/2 (both halves round up), so
+    the worst-case trajectory is computable exactly.
+    """
+    t, k = window + batch, 0
+    while t > window:
+        t = (t + 2) >> 1
+        k += 1
+    return k
+
+
+def _div_floor(num, den):
+    """Exact floor(num / den) for 0 <= num < 2^31, 0 < den < 2^16 without an
+    integer divide (int32 division is the v2 pass's largest VPU cost on TPU).
+
+    float32 path + integer fixup: quotients here are <= 2^15, so a +-1 fixup
+    tolerates relative error up to 2^-15 in the float estimate — a ~500 ulp
+    budget against the <= 2 ulp of any convert/multiply/reciprocal chain.
+    The fixup recovers the exact integer floor, so the result is bit-exact
+    and platform-independent (CPU mesh + TPU).
+    """
+    q = (num.astype(jnp.float32) * (1.0 / den.astype(jnp.float32))).astype(jnp.int32)
+    r = num - q * den
+    return q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha"))
 def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, sig0,
@@ -80,6 +111,9 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
     """
     ud = dk_d.shape[1]
     us = dk_s.shape[1]
+    it_f = _halve_iters(fast_w, batch)
+    it_s = _halve_iters(slow_w, batch)
+    it_g = _halve_iters(sig_w, batch)
 
     def step(tables, xs):
         dual, sig = tables
@@ -99,11 +133,11 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
             nfn = dst[:, 1] + (d_tot - d_one)
             nsp = dst[:, 2] + d_one
             nsn = dst[:, 3] + (d_tot - d_one)
-            nfp, nfn = _halve_while(nfp, nfn, fast_w)
-            nsp, nsn = _halve_while(nsp, nsn, slow_w)
+            nfp, nfn = _halve_while(nfp, nfn, fast_w, it_f)
+            nsp, nsn = _halve_while(nsp, nsn, slow_w, it_s)
             gp = sst[:, 0] + s_one
             gn = sst[:, 1] + (s_tot - s_one)
-            gp, gn = _halve_while(gp, gn, sig_w)
+            gp, gn = _halve_while(gp, gn, sig_w, it_g)
             return (jnp.stack([nfp, nfn, nsp, nsn], axis=1),
                     jnp.stack([gp, gn], axis=1)), cst
 
@@ -123,14 +157,14 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
         dsn = st[:, 3] + zeros_f
         spos = st[:, 4] + ones_f
         sneg = st[:, 5] + zeros_f
-        ps = (dsp << PROB_BITS) // (dsp + dsn)
-        pf = (dfp << PROB_BITS) // (dfp + dfn)
+        ps = _div_floor(dsp << PROB_BITS, dsp + dsn)
+        pf = _div_floor(dfp << PROB_BITS, dfp + dfn)
         p_dual = _clamp_prob(jnp.where(prior_f > 0,
                                        (pf + ps + 2 * prior_f) >> 2,
                                        (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
-        p_sig = _clamp_prob(((spos << PROB_BITS) + sig_alpha * prior_f) //
-                            (spos + sneg + sig_alpha))
+        p_sig = _clamp_prob(_div_floor((spos << PROB_BITS) + sig_alpha * prior_f,
+                                       spos + sneg + sig_alpha))
         prob = jnp.where(kind_f == 0, p_dual, jnp.where(kind_f == 1, p_slow, p_sig))
         prob = jnp.where(kind_f == 3, _clamp_prob(prior_f), prob)
 
