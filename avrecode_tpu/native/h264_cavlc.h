@@ -232,17 +232,18 @@ class CavlcWalker {
   CavlcWalker(const SPS& sps, const PPS& pps, const SliceHeader& sh, CavlcPicture& pic,
               int slice_id, IO& io)
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
-    if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
-      throw UnsupportedStream("cavlc: chroma_format not 4:2:0/4:2:2/4:4:4");
+    if (sps.chroma_format_idc < 0 || sps.chroma_format_idc > 3)
+      throw UnsupportedStream("cavlc: chroma_format not 4:0:0/4:2:0/4:2:2/4:4:4");
     if (sps.separate_colour_plane) throw UnsupportedStream("cavlc: separate colour planes");
     mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
+    is400_ = sps.chroma_format_idc == 0;  // monochrome: no chroma syntax
     is444_ = sps.chroma_format_idc == 3;
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     // VLC syntax is bit-depth agnostic apart from the I_PCM payload width.
     if (sps.bit_depth_luma > 14 || sps.bit_depth_chroma > 14)
       throw UnsupportedStream("cavlc: bit depth > 14");
     int pcm_bits = 256 * sps.bit_depth_luma +
-                   (is444_ ? 512 : 128 * numc8x8_) * sps.bit_depth_chroma;
+                   (is400_ ? 0 : (is444_ ? 512 : 128 * numc8x8_) * sps.bit_depth_chroma);
     if (pcm_bits % 8) throw UnsupportedStream("cavlc: unaligned I_PCM payload");
     pcm_bytes_ = pcm_bits / 8;
   }
@@ -425,7 +426,7 @@ class CavlcWalker {
         cur_->intra16 = 1;
         int v = intra_code - 1;
         cbp_luma = (v >= 12) ? 0xf : 0;
-        cbp_chroma = (v % 12) / 4;
+        cbp_chroma = is400_ ? 0 : (v % 12) / 4;  // ChromaArrayType 0: derived 0
       } else {
         if (pps_.transform_8x8_mode) t8 = io_.u(1, kRTransform8x8, 0) != 0;
         int n = t8 ? 4 : 16;
@@ -433,11 +434,12 @@ class CavlcWalker {
           if (io_.u(1, kRIntraPredFlag, 0) == 0) io_.u(3, kRIntraPredRem, 0);
         }
       }
-      if (!is444_) io_.ue(kRChromaPred, 0);  // intra_chroma_pred_mode
+      if (!is444_ && !is400_) io_.ue(kRChromaPred, 0);  // intra_chroma_pred_mode
+      bool gray_cbp = is444_ || is400_;  // ChromaArrayType 0/3 me(v) mapping
       if (!i16) {
         uint32_t code = io_.ue(kRCbp, 0);
-        if (code > (is444_ ? 15u : 47u)) throw BitstreamError("cavlc: bad cbp code");
-        int cbp = is444_ ? kGolombToIntra4x4CbpGray[code] : kGolombToIntra4x4Cbp[code];
+        if (code > (gray_cbp ? 15u : 47u)) throw BitstreamError("cavlc: bad cbp code");
+        int cbp = gray_cbp ? kGolombToIntra4x4CbpGray[code] : kGolombToIntra4x4Cbp[code];
         cbp_luma = cbp & 0xf;
         cbp_chroma = cbp >> 4;
         if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
@@ -458,8 +460,9 @@ class CavlcWalker {
       no_small = decode_inter_pred(inter_type);
     }
     uint32_t code = io_.ue(kRCbp, 1);
-    if (code > (is444_ ? 15u : 47u)) throw BitstreamError("cavlc: bad cbp code");
-    int cbp = is444_ ? kGolombToInterCbpGray[code] : kGolombToInterCbp[code];
+    bool gray_cbp = is444_ || is400_;
+    if (code > (gray_cbp ? 15u : 47u)) throw BitstreamError("cavlc: bad cbp code");
+    int cbp = gray_cbp ? kGolombToInterCbpGray[code] : kGolombToInterCbp[code];
     cbp_luma = cbp & 0xf;
     cbp_chroma = cbp >> 4;
     if (cbp_chroma > 2) throw BitstreamError("cavlc: bad chroma cbp");
@@ -761,6 +764,7 @@ class CavlcWalker {
   CavlcMB* cur_ = nullptr;
   int prev_skip_ctx_ = 0;
   bool is444_ = false;
+  bool is400_ = false;
   int numc8x8_ = 1;      // 1 = 4:2:0, 2 = 4:2:2
   int pcm_bytes_ = 384;  // I_PCM payload size (chroma format + depth)
   bool mbaff_ = false;

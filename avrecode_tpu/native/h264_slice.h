@@ -104,10 +104,11 @@ class SliceWalker {
   SliceWalker(const SPS& sps, const PPS& pps, const SliceHeader& sh, PictureState& pic,
               int slice_id, IO& io)
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
-    if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
-      throw UnsupportedStream("chroma_format not 4:2:0/4:2:2/4:4:4");
+    if (sps.chroma_format_idc < 0 || sps.chroma_format_idc > 3)
+      throw UnsupportedStream("chroma_format not 4:0:0/4:2:0/4:2:2/4:4:4");
     if (sps.separate_colour_plane)
       throw UnsupportedStream("separate colour planes");
+    is400_ = sps.chroma_format_idc == 0;  // monochrome: no chroma syntax
     is444_ = sps.chroma_format_idc == 3;
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     // High 10: entropy syntax is depth-agnostic apart from the I_PCM sample
@@ -115,7 +116,7 @@ class SliceWalker {
     if (sps.bit_depth_luma > 14 || sps.bit_depth_chroma > 14)
       throw UnsupportedStream("bit depth > 14");
     int pcm_bits = 256 * sps.bit_depth_luma +
-                   (is444_ ? 512 : 128 * numc8x8_) * sps.bit_depth_chroma;
+                   (is400_ ? 0 : (is444_ ? 512 : 128 * numc8x8_) * sps.bit_depth_chroma);
     if (pcm_bits % 8) throw UnsupportedStream("unaligned I_PCM payload");
     pcm_bytes_ = pcm_bits / 8;
     mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
@@ -538,7 +539,9 @@ class SliceWalker {
         cur_->i16 = 1;
         int v = intra_code - 1;
         cbp_luma = (v >= 12) ? 0xf : 0;
-        cbp_chroma = (v % 12) / 4;
+        // ChromaArrayType 0: CodedBlockPatternChroma is derived as 0 — no
+        // chroma residual exists regardless of the I16 type's cbpc field.
+        cbp_chroma = is400_ ? 0 : (v % 12) / 4;
       }
     }
 
@@ -558,7 +561,7 @@ class SliceWalker {
         }
       }
     }
-    if (is_intra_mb && !is444_) decode_chroma_pred_mode();
+    if (is_intra_mb && !is444_ && !is400_) decode_chroma_pred_mode();
 
     bool no_small_parts = true;  // NoSubMbPartSizeLessThan8x8Flag
     if (!is_intra_mb) {
@@ -575,7 +578,7 @@ class SliceWalker {
 
     if (!i16) {
       cbp_luma = decode_cbp_luma();
-      cbp_chroma = is444_ ? 0 : decode_cbp_chroma();
+      cbp_chroma = (is444_ || is400_) ? 0 : decode_cbp_chroma();
       if (cbp_luma && pps_.transform_8x8_mode && !is_intra_mb && no_small_parts &&
           (inter_type != 0 || sps_.direct_8x8_inference)) {
         t8x8 = decode_transform8x8();
@@ -1100,6 +1103,7 @@ class SliceWalker {
   IO& io_;
   int mb_x_ = 0, mb_y_ = 0;
   bool is444_ = false;
+  bool is400_ = false;
   bool mbaff_ = false;
   bool cur_bottom_ = false;  // MBAFF: bottom MB of the current pair
   bool cur_field_ = false;   // MBAFF: current pair is field-coded (or inferred)

@@ -87,6 +87,10 @@ def corpus_dir(tmp_path_factory):
                       "profile=high10 pixfmt=420p10"),
         "cav444.264": ("w=160 h=128 frames=6 qp=20 cabac=0 bframes=1 "
                        "profile=high444 pixfmt=444"),
+        # Monochrome (4:0:0): no chroma syntax at all; CAVLC uses the gray
+        # cbp mapping; CABAC skips chroma pred / cbp bins.
+        "mono.264": "w=160 h=128 frames=6 qp=24 bframes=1 profile=high pixfmt=400",
+        "monocav.264": "w=160 h=128 frames=6 qp=24 cabac=0 bframes=0 pixfmt=400",
         # CAVLC MBAFF: pair addressing, mb_field flag read/inference (7.4.4),
         # 6.4.12 neighbour mapping on the total_coeff state, te(v) ref bound
         # doubling for field MBs.

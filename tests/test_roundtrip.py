@@ -13,7 +13,7 @@ CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264",
          "pcm_mixed.mp4", "mbaff.264", "mbaff422.mp4", "hi10.264",
          "cavlc_b8.264", "c444.264", "c444p10i.264",
          "cav422.264", "cav10.264", "cav444.264",
-         "cavmbaff.264", "cavmbaff422.264",
+         "cavmbaff.264", "cavmbaff422.264", "mono.264", "monocav.264",
          # PAFF field pictures (synthesized; x264 is MBAFF-only)
          "paff_i.264", "paff_ip.264", "paff_pcm.264", "synth_prog.264"]
 

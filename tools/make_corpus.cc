@@ -24,6 +24,7 @@ static void fill_frame(AVFrame* f, int idx, unsigned seed, bool noise) {
   const int w = f->width, h = f->height;
   const bool is10 = f->format == AV_PIX_FMT_YUV420P10LE || f->format == AV_PIX_FMT_YUV444P10LE;
   const bool is444 = f->format == AV_PIX_FMT_YUV444P || f->format == AV_PIX_FMT_YUV444P10LE;
+  const bool gray = f->format == AV_PIX_FMT_GRAY8;
   auto put = [&](int plane, int x, int y, int v) {
     if (is10) ((uint16_t*)(f->data[plane] + y * f->linesize[plane]))[x] = (uint16_t)(v << 2 | (v & 3));
     else f->data[plane][y * f->linesize[plane] + x] = (uint8_t)v;
@@ -33,8 +34,8 @@ static void fill_frame(AVFrame* f, int idx, unsigned seed, bool noise) {
     rng = rng * 1664525u + 1013904223u;
     return (rng >> 16) & 0xff;
   };
-  const int cw = is444 ? w : w / 2;
-  const int chh = is444 ? h : (f->format == AV_PIX_FMT_YUV422P ? h : h / 2);
+  const int cw = gray ? 0 : (is444 ? w : w / 2);
+  const int chh = gray ? 0 : (is444 ? h : (f->format == AV_PIX_FMT_YUV422P ? h : h / 2));
   if (noise) {
     // Pure random frames: maximal intra cost, forces I_PCM macroblocks at
     // very low QP (x264 picks PCM when coded bits would exceed raw size).
@@ -95,8 +96,10 @@ int main(int argc, char** argv) {
   bool is422 = kv["pixfmt"] == "422";
   bool is10 = kv["pixfmt"] == "420p10";
   bool is444 = kv["pixfmt"] == "444";
+  bool gray = kv["pixfmt"] == "400";
   bool is44410 = kv["pixfmt"] == "444p10";
-  c->pix_fmt = is44410 ? AV_PIX_FMT_YUV444P10LE
+  c->pix_fmt = gray ? AV_PIX_FMT_GRAY8
+               : is44410 ? AV_PIX_FMT_YUV444P10LE
                : is10 ? AV_PIX_FMT_YUV420P10LE
                       : is444 ? AV_PIX_FMT_YUV444P
                               : is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
