@@ -234,10 +234,11 @@ class CavlcWalker {
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
     if (sps.chroma_format_idc < 0 || sps.chroma_format_idc > 3)
       throw UnsupportedStream("cavlc: chroma_format not 4:0:0/4:2:0/4:2:2/4:4:4");
-    if (sps.separate_colour_plane) throw UnsupportedStream("cavlc: separate colour planes");
     mbaff_ = sps.mb_adaptive_frame_field && !sh.field_pic;
-    is400_ = sps.chroma_format_idc == 0;  // monochrome: no chroma syntax
-    is444_ = sps.chroma_format_idc == 3;
+    // Monochrome and separate-colour-plane slices share ChromaArrayType == 0
+    // semantics (see the CABAC walker note).
+    is400_ = sps.chroma_format_idc == 0 || sps.separate_colour_plane;
+    is444_ = sps.chroma_format_idc == 3 && !sps.separate_colour_plane;
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     // VLC syntax is bit-depth agnostic apart from the I_PCM payload width.
     if (sps.bit_depth_luma > 14 || sps.bit_depth_chroma > 14)

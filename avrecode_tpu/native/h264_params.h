@@ -68,6 +68,7 @@ struct SliceHeader {
   int first_mb_in_slice = 0;
   SliceType slice_type = SliceType::I;
   bool slice_type_fixed = false;  // slice_type value was >= 5 ("all slices same")
+  int colour_plane_id = 0;  // separate_colour_plane streams: 0=Y 1=Cb 2=Cr
   int pps_id = 0;
   int frame_num = 0;
   bool field_pic = false;
@@ -213,7 +214,7 @@ inline SliceHeader parse_slice_header(const uint8_t* rbsp, size_t size, int nal_
   const SPS& sps = sit->second;
   *sps_out = &sps;
   *pps_out = &pps;
-  if (sps.separate_colour_plane) r.read_bits(2);  // colour_plane_id
+  if (sps.separate_colour_plane) h.colour_plane_id = int(r.read_bits(2));
   h.frame_num = r.read_bits(sps.log2_max_frame_num);
   if (!sps.frame_mbs_only) {
     // PAFF field pictures (field_pic_flag=1): the picture is a single parity

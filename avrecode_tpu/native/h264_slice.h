@@ -106,10 +106,13 @@ class SliceWalker {
       : sps_(sps), pps_(pps), sh_(sh), pic_(pic), slice_id_(slice_id), io_(io) {
     if (sps.chroma_format_idc < 0 || sps.chroma_format_idc > 3)
       throw UnsupportedStream("chroma_format not 4:0:0/4:2:0/4:2:2/4:4:4");
-    if (sps.separate_colour_plane)
-      throw UnsupportedStream("separate colour planes");
-    is400_ = sps.chroma_format_idc == 0;  // monochrome: no chroma syntax
-    is444_ = sps.chroma_format_idc == 3;
+    // Monochrome and separate-colour-plane slices share ChromaArrayType == 0
+    // semantics: each slice codes one plane with luma-only syntax (no chroma
+    // pred mode / cbp / residual; luma-sized I_PCM). Plane isolation needs no
+    // extra state: entropy neighbour availability is same-slice (6.4.9) and
+    // plane slices carry distinct slice ids.
+    is400_ = sps.chroma_format_idc == 0 || sps.separate_colour_plane;
+    is444_ = sps.chroma_format_idc == 3 && !sps.separate_colour_plane;
     numc8x8_ = sps.chroma_format_idc == 2 ? 2 : 1;
     // High 10: entropy syntax is depth-agnostic apart from the I_PCM sample
     // width and the (already spec-clamped) negative SliceQPY range.

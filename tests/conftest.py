@@ -133,6 +133,9 @@ def corpus_dir(tmp_path_factory):
             "paff_ip.264": "w=160 h=128 fields=10 ptype=1 seed=3 slices=2",
             "paff_pcm.264": "w=160 h=128 fields=4 ptype=1 pcm=1 seed=4",
             "synth_prog.264": "w=160 h=128 fields=6 paff=0 seed=5",
+            # separate_colour_plane: self-consistency only (libavcodec has no
+            # separate-plane support at all — no oracle exists).
+            "sepplanes.264": "w=160 h=128 fields=4 planes=3 ptype=1 seed=7",
         }
         for name, args in synth_specs.items():
             subprocess.run(

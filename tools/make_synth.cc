@@ -252,6 +252,8 @@ int main(int argc, char** argv) {
     return 2;
   }
   int w = 320, h = 240, fields = 8, seed = 1, qp = 26, ptype = 1, slices = 1, pcm = 0, paff = 1;
+  int planes = 1;  // 3 = separate_colour_plane_flag (each plane its own slices)
+  int oracle = 1;  // 0 = skip the libavcodec validity check (see planes=3)
   for (int i = 2; i < argc; ++i) {
     int v = 0;
     char k[32];
@@ -266,7 +268,18 @@ int main(int argc, char** argv) {
       else if (key == "slices") slices = v;
       else if (key == "pcm") pcm = v;
       else if (key == "paff") paff = v;
+      else if (key == "planes") planes = v;
+      else if (key == "oracle") oracle = v;
     }
+  }
+  if (planes == 3) {
+    paff = 0;  // keep the separate-plane variant progressive
+    // libavcodec rejects separate_colour_plane streams outright ("separate
+    // color planes are not supported") — no independent oracle exists for
+    // them (the reference's ffmpeg-based pipeline could never decode such
+    // files either). Coverage is self-consistency only: the per-plane syntax
+    // is the oracle-proven monochrome path plus the colour_plane_id field.
+    oracle = 0;
   }
   if (w % 16 || h % (paff ? 32 : 16)) {
     fprintf(stderr, "w must be /16, h must be /32 for PAFF (/16 progressive)\n");
@@ -276,13 +289,15 @@ int main(int argc, char** argv) {
   const int pic_mb_h = paff ? frame_mb_h / 2 : frame_mb_h;
   const int num_mbs = mb_w * pic_mb_h;
 
-  // ---- SPS (High profile; frame_mbs_only=0 + MBAFF off => pure PAFF) ----
+  // ---- SPS (High profile; frame_mbs_only=0 + MBAFF off => pure PAFF;
+  // planes=3 => High 4:4:4 Predictive with separate_colour_plane_flag) ----
   BitWriter sps;
-  sps.put_bits(100, 8);  // profile_idc High
+  sps.put_bits(planes == 3 ? 244 : 100, 8);  // profile_idc
   sps.put_bits(0, 8);    // constraint flags
   sps.put_bits(30, 8);   // level 3.0
   sps.put_ue(0);         // sps_id
-  sps.put_ue(1);         // chroma_format_idc 4:2:0
+  sps.put_ue(planes == 3 ? 3 : 1);  // chroma_format_idc
+  if (planes == 3) sps.put_bit(1);  // separate_colour_plane_flag
   sps.put_ue(0);         // bit_depth_luma_minus8
   sps.put_ue(0);         // bit_depth_chroma_minus8
   sps.put_bit(0);        // qpprime_y_zero_transform_bypass
@@ -342,6 +357,7 @@ int main(int argc, char** argv) {
     bool bottom = paff && (f & 1) != 0;
     bool is_p = ptype == 1 && f >= (paff ? 2 : 1);
     int mbs_per_slice = (num_mbs + slices - 1) / slices;
+    for (int plane = 0; plane < planes; ++plane)
     for (int s = 0; s < slices; ++s) {
       int first_mb = s * mbs_per_slice;
       int n_mbs = std::min(mbs_per_slice, num_mbs - first_mb);
@@ -350,6 +366,7 @@ int main(int argc, char** argv) {
       sh.put_ue(uint32_t(first_mb));
       sh.put_ue(is_p ? 0 : 2);  // slice_type P / I
       sh.put_ue(0);             // pps_id
+      if (planes == 3) sh.put_bits(uint32_t(plane), 2);  // colour_plane_id
       sh.put_bits(uint32_t(frame_num), 8);
       if (paff) {
         sh.put_bit(1);  // field_pic_flag
@@ -402,7 +419,7 @@ int main(int argc, char** argv) {
   }
 
   int expect = paff ? n_pics / 2 : n_pics;
-  int decoded = oracle_decode(out, expect);
+  int decoded = oracle ? oracle_decode(out, expect) : 0;
   if (decoded < 0) return 1;
 
   FILE* fo = fopen(argv[1], "wb");
