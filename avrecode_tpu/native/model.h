@@ -363,12 +363,19 @@ class PriorModel {
     uint16_t prior;  // sig mix prior (kKindSig only)
   };
 
+  // Sig priors carry the mix weight in bit 15 (see sig_prior): set = off-mode
+  // (mirrored-CABAC prior, weight kSigMixAlphaOff), clear = on-mode
+  // (hypergeometric prior, weight kSigMixAlpha). The tag travels verbatim in
+  // the device trace so the TPU pass selects the same weight per bin.
+  static constexpr uint16_t kPriorOffTag = 0x8000;
   uint32_t prob_for(uint8_t kind, uint32_t key, uint16_t prior) const {
     if (profile_ == 1) return prob_for_ema(kind, key, prior);
     if (kind == kKindSig) {
+      uint32_t alpha = (prior & kPriorOffTag) ? kSigMixAlphaOff : kSigMixAlpha;
+      prior &= 0x7fff;
       const Estimator& e = sig_est_[key];
-      uint32_t p = ((uint32_t(e.pos) << kProbBits) + kSigMixAlpha * prior) /
-                   (uint32_t(e.pos) + e.neg + kSigMixAlpha);
+      uint32_t p = ((uint32_t(e.pos) << kProbBits) + alpha * prior) /
+                   (uint32_t(e.pos) + e.neg + alpha);
       if (p < 1) p = 1;
       if (p > kProbScale - 1) p = kProbScale - 1;
       return p;
@@ -388,6 +395,7 @@ class PriorModel {
   }
   uint32_t prob_for_ema(uint8_t kind, uint32_t key, uint16_t prior) const {
     if (kind == kKindSig) {
+      prior &= 0x7fff;  // strip the off-mode mix-weight tag
       const Estimator& e = sig_est_[key];
       // Blend learned EMA with the computed prior by confidence (w/8).
       uint32_t w = e.neg < 8 ? e.neg : 8;  // visits
@@ -540,7 +548,8 @@ class PriorModel {
   // first) mixed with a dense learned correction keyed on
   // (cat, pos_class, nnz_class). The prior gives instant accuracy on cold
   // contexts; the estimator learns the zigzag energy-concentration skew.
-  static constexpr int kSigMixAlpha = 1;
+  static constexpr int kSigMixAlpha = 1;      // on-mode (hypergeometric prior)
+  static constexpr int kSigMixAlphaOff = 48;  // off-mode (mirrored-CABAC prior)
   int sig_pos_class(int pos) const {
     return (cat_ == kCatLuma8x8) ? kSigCoeffFlagOffset8x8[0][pos]
                                  : (pos < kSigPosClasses ? pos : kSigPosClasses - 1);
@@ -558,9 +567,12 @@ class PriorModel {
     return hash_sig(size_t(sc_) * kSigStride + key);
   }
   uint16_t sig_prior(int ctx, int pos) const {
-    // Off-mode: back off to the mirrored CABAC prediction (cold contexts
-    // start at CABAC quality; the estimator learns corrections on top).
-    if (!nz_on()) return uint16_t(mirror_prob(ctx));
+    // Off-mode: back off to the mirrored CABAC prediction, weighted heavily
+    // (kSigMixAlphaOff pseudo-counts: on dense content the mirror prediction
+    // beats the learned correction until the cell has real evidence —
+    // measured -0.37pp on dense-grain 720p, -0.05pp on sparse content).
+    // Bit 15 tags the weight choice for prob_for and the device pass.
+    if (!nz_on()) return uint16_t(mirror_prob(ctx)) | kPriorOffTag;
     int remaining = nnz_total_ - observed_;
     int left = max_coeff_ - pos;
     uint32_t prior = (uint32_t(remaining) << kProbBits) / uint32_t(left);

@@ -111,6 +111,8 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
     """
     ud = dk_d.shape[1]
     us = dk_s.shape[1]
+    alpha_on = sig_alpha & 0xFFFF
+    alpha_off = (sig_alpha >> 16) or alpha_on
     it_f = _halve_iters(fast_w, batch)
     it_s = _halve_iters(slow_w, batch)
     it_g = _halve_iters(sig_w, batch)
@@ -148,7 +150,11 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
         st = cstates.reshape(sup * (ud + us), 6)[sub_idx]  # (sup*B, 6)
 
         kind_f = kind.reshape(-1)
-        prior_f = prior.reshape(-1)
+        # Sig priors carry the mix weight in bit 15 (PriorModel::kPriorOffTag):
+        # set = off-mode (weight alpha_off), clear = on-mode (weight alpha_on).
+        prior_raw = prior.reshape(-1)
+        prior_f = prior_raw & 0x7FFF
+        alpha_v = jnp.where(prior_raw >> 15 != 0, alpha_off, alpha_on)
         ones_f = p1.reshape(-1)
         zeros_f = pt.reshape(-1) - ones_f
         dfp = st[:, 0] + ones_f
@@ -163,8 +169,8 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
                                        (pf + ps + 2 * prior_f) >> 2,
                                        (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
-        p_sig = _clamp_prob(_div_floor((spos << PROB_BITS) + sig_alpha * prior_f,
-                                       spos + sneg + sig_alpha))
+        p_sig = _clamp_prob(_div_floor((spos << PROB_BITS) + alpha_v * prior_f,
+                                       spos + sneg + alpha_v))
         prob = jnp.where(kind_f == 0, p_dual, jnp.where(kind_f == 1, p_slow, p_sig))
         prob = jnp.where(kind_f == 3, _clamp_prob(prior_f), prob)
 
@@ -202,10 +208,14 @@ def model_pass_dict(bits, kinds, priors, bin_u, dict_keys, dual0, sig0, batch: i
     n_dual = dual0.shape[0]
     n_sig = sig0.shape[0]  # includes a trailing scratch row
     u_width = dict_keys.shape[1]
+    alpha_on = sig_alpha & 0xFFFF
+    alpha_off = (sig_alpha >> 16) or alpha_on
 
     def step(tables, xs):
         dual, sig = tables
         bit, kind, prior, bu, dk = xs
+        prior_tag = prior >> 15  # off-mode sig mix-weight tag (bit 15)
+        prior = prior & 0x7FFF
         is_sig_row = dk >= n_dual
         # Rows of the *other* table alias that table's scratch row (never a
         # live key — a live row must have exactly one dict entry writing it).
@@ -245,8 +255,9 @@ def model_pass_dict(bits, kinds, priors, bin_u, dict_keys, dual0, sig0, batch: i
                                        (pf + ps + 2 * prior) >> 2,
                                        (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
-        p_sig = _clamp_prob(((spos << PROB_BITS) + sig_alpha * prior) //
-                            (spos + sneg + sig_alpha))
+        alpha_v = jnp.where(prior_tag != 0, alpha_off, alpha_on)
+        p_sig = _clamp_prob(((spos << PROB_BITS) + alpha_v * prior) //
+                            (spos + sneg + alpha_v))
         prob = jnp.where(kind == 0, p_dual, jnp.where(kind == 1, p_slow, p_sig))
         prob = jnp.where(is_ext, _clamp_prob(prior), prob)
 
@@ -304,6 +315,8 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
     assert n % batch == 0
     n_batches = n // batch
     n_dual = dual0.shape[0]  # includes scratch row
+    alpha_on = sig_alpha & 0xFFFF
+    alpha_off = (sig_alpha >> 16) or alpha_on
 
     shape_b = (n_batches, batch)
     bits_b = bits.reshape(shape_b)
@@ -314,6 +327,8 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
     def step(tables, xs):
         dual, sig = tables
         bit, kind, key, prior = xs
+        prior_tag = prior >> 15  # off-mode sig mix-weight tag (bit 15)
+        prior = prior & 0x7FFF
         is_sig = kind == 2
         # kind 3 = prior passthrough (CABAC-parity EOB bins): no table read or
         # update — retarget them at the scratch row so the prefix machinery
@@ -377,8 +392,9 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
                                        (pf + ps + 2 * prior) >> 2,
                                        (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
-        p_sig = _clamp_prob(((spos << PROB_BITS) + sig_alpha * prior) //
-                            (spos + sneg + sig_alpha))
+        alpha_v = jnp.where(prior_tag != 0, alpha_off, alpha_on)
+        p_sig = _clamp_prob(((spos << PROB_BITS) + alpha_v * prior) //
+                            (spos + sneg + alpha_v))
         prob = jnp.where(kind == 0, p_dual, jnp.where(kind == 1, p_slow, p_sig))
         prob = jnp.where(is_ext, _clamp_prob(prior), prob)
 

@@ -178,7 +178,9 @@ def run_chunk_ema(bit, kind, key, prior, dual0_ema, n_sig, batch=None, interpret
                        key.astype(np.int64)).astype(np.int32)
     bk = np.concatenate([bitkind, np.full(pad, 255, np.int32)])
     ky = np.concatenate([key_adj, np.zeros(pad, np.int32)])
-    pr = np.concatenate([prior.astype(np.int32), np.zeros(pad, np.int32)])
+    # Strip the off-mode mix-weight tag (bit 15): the EMA profile blends by
+    # visit confidence, not by the counting model's alpha weights.
+    pr = np.concatenate([(prior.astype(np.int32) & 0x7FFF), np.zeros(pad, np.int32)])
     dual3 = np.zeros((n_dual_pad, 3), np.int32)
     dual3[:n_dual, 0] = dual0_ema[:, 0]
     dual3[:n_dual, 1] = dual0_ema[:, 2]
