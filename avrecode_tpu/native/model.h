@@ -270,10 +270,12 @@ class PriorModel {
     if (slow_only) {
       p = ps;
     } else if (prior) {
-      // Three-voice mix: fast + slow learned estimators + the mirrored CABAC
-      // prediction (prior is nonzero only for context-coded mb-layer bins).
+      // Three-voice mix: fast + slow learned estimators (3/8 each) + the
+      // mirrored CABAC prediction (2/8). Applies to every context-coded
+      // mb-layer bin, residual levels, and cbf (swept weights 1..6/8 across
+      // dense + sparse content; 2/8 with res+cbf included won on both).
       uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
-      p = (pf + ps + 2u * prior) >> 2;
+      p = (3u * (pf + ps) + 2u * prior) >> 3;
     } else {
       uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
       p = (pf + ps) >> 1;
@@ -512,8 +514,7 @@ class PriorModel {
   }
 
   uint16_t bin_prior(int ctx, BinKlass klass) const {
-    return (ctx < kCtxBypass && !slow_only(klass) && klass != kKlassCbf)
-               ? uint16_t(mirror_prob(ctx)) : 0;
+    return (ctx < kCtxBypass && !slow_only(klass)) ? uint16_t(mirror_prob(ctx)) : 0;
   }
   uint32_t bin_prob(int ctx, BinKlass klass) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
@@ -646,7 +647,7 @@ class PriorModel {
 
   uint32_t res_prob(int ctx, int pos) {
     cached_dual_key_ = uint32_t(res_key(ctx, pos));
-    return prob_for(kKindDual, cached_dual_key_, 0);
+    return prob_for(kKindDual, cached_dual_key_, uint16_t(mirror_prob(ctx)));
   }
   void res_update(int ctx, int pos, int bit) {
     (void)ctx;

@@ -135,7 +135,8 @@ class ModelEncoder {
             m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindDual,
-                                 uint32_t(m_.res_key(b.ctx, b.pos)), 0});
+                                 uint32_t(m_.res_key(b.ctx, b.pos)),
+                                 uint16_t(m_.mirror_prob(b.ctx))});
             push(b.bin, m_.res_prob(b.ctx, b.pos), b.klass);
             m_.res_update(b.ctx, b.pos, b.bin);
             break;

@@ -166,7 +166,7 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
         ps = _div_floor(dsp << PROB_BITS, dsp + dsn)
         pf = _div_floor(dfp << PROB_BITS, dfp + dfn)
         p_dual = _clamp_prob(jnp.where(prior_f > 0,
-                                       (pf + ps + 2 * prior_f) >> 2,
+                                       (3 * (pf + ps) + 2 * prior_f) >> 3,
                                        (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
         p_sig = _clamp_prob(_div_floor((spos << PROB_BITS) + alpha_v * prior_f,
@@ -252,7 +252,7 @@ def model_pass_dict(bits, kinds, priors, bin_u, dict_keys, dual0, sig0, batch: i
         ps = (dsp << PROB_BITS) // (dsp + dsn)
         pf = (dfp << PROB_BITS) // (dfp + dfn)
         p_dual = _clamp_prob(jnp.where(prior > 0,
-                                       (pf + ps + 2 * prior) >> 2,
+                                       (3 * (pf + ps) + 2 * prior) >> 3,
                                        (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
         alpha_v = jnp.where(prior_tag != 0, alpha_off, alpha_on)
@@ -389,7 +389,7 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
         # Three-voice mix when a mirrored-CABAC prior rides along (mb-layer
         # ctx bins); plain fast+slow otherwise (prior == 0 sentinel).
         p_dual = _clamp_prob(jnp.where(prior > 0,
-                                       (pf + ps + 2 * prior) >> 2,
+                                       (3 * (pf + ps) + 2 * prior) >> 3,
                                        (pf + ps) >> 1))
         p_slow = _clamp_prob(ps)
         alpha_v = jnp.where(prior_tag != 0, alpha_off, alpha_on)
