@@ -86,7 +86,8 @@ class PriorModel {
   // prev-skip-conditioned P/B mb_type + mvd bins (ctx 14..53 compacted)
   static constexpr size_t kMbExtraBase = kCavlcBase + kCavlcStride;
   static constexpr size_t kMbExtraStride = size_t(40) * 2;
-  static constexpr size_t kNumDualKeys = kMbExtraBase + 3 * kMbExtraStride;
+  static constexpr size_t kSignBase = kMbExtraBase + 3 * kMbExtraStride;
+  static constexpr size_t kNumDualKeys = kSignBase + 3 * 16;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -321,7 +322,11 @@ class PriorModel {
     size_t base = size_t(sc_) * kCtxStride;
     switch (klass) {
       case kKlassSign:
-        return base + kNumModelContexts + 1;
+        // Coefficient signs keyed on (slice_class, cat): unbiased content
+        // converges to 1/2 at negligible cost (<0.003pp measured on camera
+        // and dense-grain clips) while biased content (screen/synthetic
+        // gradients, chroma DC) gains up to 0.28pp.
+        return kSignBase + size_t(sc_) * 16 + (cat_ & 15);
       case kKlassBypassRes:
         return base + kNumModelContexts + 0;
       case kKlassRes:
