@@ -10,6 +10,20 @@
 
 namespace artc {
 
+// aux for kRLevelPrefix: (suffix_length, coefficient index, total_coeff
+// bucket) — level magnitudes fall sharply with decode position and with the
+// block's coefficient count (measured -0.3..-0.5pp per clip).
+inline uint8_t lp_aux(int suffix_length, int idx, int total_coeff) {
+  return uint8_t(suffix_length | (idx < 7 ? idx : 7) << 3 |
+                 (((total_coeff > 8 ? 3 : (total_coeff - 1) >> 1) & 3) << 6));
+}
+
+// aux for kRT1s: the trailing-ones count depends strongly on total_coeff
+// (t1s <= min(3, tc); measured -0.9..-4.1pp per clip).
+inline uint8_t t1_aux(int nc_class, int total_coeff) {
+  return uint8_t(nc_class | (total_coeff < 16 ? total_coeff : 15) << 3);
+}
+
 struct CavlcValue {
   uint8_t role;
   uint8_t aux;    // role-specific context/aux (nc_class, suffix_length, nbits...)
@@ -46,7 +60,7 @@ class CavlcRecorder {
   void coeff_token(int nc_class, int model_ctx, int* total_coeff, int* t1s) {
     r_.coeff_token(nc_class, total_coeff, t1s);
     rec(kRTotalCoeff, uint8_t(nc_class | (model_ctx << 3)), *total_coeff);
-    rec(kRT1s, uint8_t(nc_class), *t1s);
+    rec(kRT1s, t1_aux(nc_class, *total_coeff), *t1s);
   }
   uint32_t total_zeros(int tz_idx, int dc_kind, int ctx) {
     uint32_t v = r_.total_zeros(tz_idx, dc_kind);
@@ -57,14 +71,12 @@ class CavlcRecorder {
   }
   uint32_t run_before(int zeros_left, int ctx) {
     uint32_t v = r_.run_before(zeros_left);
-    rec(kRRunBefore, uint8_t(zeros_left < 15 ? zeros_left : 15), int32_t(v));
+    rec(kRRunBefore, uint8_t((zeros_left < 15 ? zeros_left : 15) | (ctx << 4)), int32_t(v));
     return v;
   }
-  uint32_t level_prefix(int suffix_length, int idx) {
+  uint32_t level_prefix(int suffix_length, int idx, int total_coeff) {
     uint32_t v = r_.level_prefix();
-    // aux packs (suffix_length, coefficient index): level magnitudes fall
-    // sharply with decode position (high-frequency-first order).
-    rec(kRLevelPrefix, uint8_t(suffix_length | (idx < 7 ? idx : 7) << 3), int32_t(v));
+    rec(kRLevelPrefix, lp_aux(suffix_length, idx, total_coeff), int32_t(v));
     return v;
   }
   uint32_t level_suffix_bits(int nbits, int suffix_length) {
@@ -120,7 +132,7 @@ class CavlcReplayer {
   }
   void coeff_token(int nc_class, int model_ctx, int* total_coeff, int* t1s) {
     *total_coeff = src_.next(kRTotalCoeff, uint8_t(nc_class | (model_ctx << 3)));
-    *t1s = src_.next(kRT1s, uint8_t(nc_class));
+    *t1s = src_.next(kRT1s, t1_aux(nc_class, *total_coeff));
     w_.coeff_token(nc_class, *total_coeff, *t1s);
   }
   uint32_t total_zeros(int tz_idx, int dc_kind, int ctx) {
@@ -130,13 +142,13 @@ class CavlcReplayer {
     return v;
   }
   uint32_t run_before(int zeros_left, int ctx) {
-    uint32_t v = uint32_t(src_.next(kRRunBefore, uint8_t(zeros_left < 15 ? zeros_left : 15)));
+    uint32_t v = uint32_t(
+        src_.next(kRRunBefore, uint8_t((zeros_left < 15 ? zeros_left : 15) | (ctx << 4))));
     w_.run_before(zeros_left, v);
     return v;
   }
-  uint32_t level_prefix(int suffix_length, int idx) {
-    uint32_t v = uint32_t(
-        src_.next(kRLevelPrefix, uint8_t(suffix_length | (idx < 7 ? idx : 7) << 3)));
+  uint32_t level_prefix(int suffix_length, int idx, int total_coeff) {
+    uint32_t v = uint32_t(src_.next(kRLevelPrefix, lp_aux(suffix_length, idx, total_coeff)));
     w_.level_prefix(v);
     return v;
   }

@@ -79,7 +79,7 @@ class PriorModel {
   static constexpr size_t kSkipBase = kCbfBase2 + 3 * 40;
   // CAVLC value-model keys: (role, aux-hash, binarization node).
   static constexpr int kNumCavlcRolesM = 24;
-  static constexpr int kCavlcAux = 64;
+  static constexpr int kCavlcAux = 256;
   static constexpr int kCavlcNodes = 20;
   static constexpr size_t kCavlcBase = kSkipBase + 12;
   static constexpr size_t kCavlcStride = size_t(kNumCavlcRolesM) * kCavlcAux * kCavlcNodes;
