@@ -435,8 +435,13 @@ def default_impl() -> str:
 
 
 def default_sup() -> int:
+    # Super-step size: swept 8..512 on the attached v5e (Mbins/s: 8=60,
+    # 16=70, 32=80, 64=130, 128=153, 256=157, 512=58) — larger steps amortize
+    # the ~35us fixed cost of the 5 random-memory ops per step until the
+    # staging state stops fitting; 128 balances throughput against padding
+    # waste (streams pad to sup*batch) and dictionary export size.
     import os
-    return int(os.environ.get("ARTC_MODEL_SUP", "8"))
+    return int(os.environ.get("ARTC_MODEL_SUP", "128"))
 
 
 def build_dicts(kind_p, key_p, n_dual_ext, batch):
