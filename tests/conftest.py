@@ -136,6 +136,9 @@ def corpus_dir(tmp_path_factory):
             # separate_colour_plane: self-consistency only (libavcodec has no
             # separate-plane support at all — no oracle exists).
             "sepplanes.264": "w=160 h=128 fields=4 planes=3 ptype=1 seed=7",
+            # CAVLC field pictures + CAVLC value-generation cross-check.
+            "paff_cavlc.264": "w=160 h=128 fields=8 cavlc=1 ptype=1 seed=9",
+            "synth_cavlc.264": "w=160 h=128 fields=6 cavlc=1 paff=0 ptype=1 pcm=1 seed=10",
         }
         for name, args in synth_specs.items():
             subprocess.run(

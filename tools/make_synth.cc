@@ -20,7 +20,8 @@
 //
 // Usage: make_synth <out.264> [w=320] [h=240] [fields=8] [seed=1] [qp=26]
 //                   [ptype=1 (0: I fields only)] [slices=1] [pcm=0]
-//                   [paff=1 (0: progressive frames)]
+//                   [paff=1 (0: progressive frames)] [cavlc=0]
+//                   [planes=1 (3: separate colour planes)] [oracle=1]
 //
 // Reference context: the reference cannot recompress field-coded streams (its
 // hooks were only exercised on progressive footage). x264 implements MBAFF
@@ -34,6 +35,8 @@
 
 #include "avrecode_tpu/native/bitstream.h"
 #include "avrecode_tpu/native/cabac.h"
+#include "avrecode_tpu/native/cavlc_stream.h"
+#include "avrecode_tpu/native/h264_cavlc.h"
 #include "avrecode_tpu/native/h264_params.h"
 #include "avrecode_tpu/native/h264_slice.h"
 #include "avrecode_tpu/native/nal.h"
@@ -176,6 +179,110 @@ class SynthSource {
   bool safe_ = true, first_dec_ = true;
 };
 
+// CAVLC generating value source: plugs into CavlcReplayer as its ValueSource;
+// invents spec-valid syntax values (ranges derived from each role's aux and
+// remembered block state), the replayer renders the canonical VLC bits.
+// Intra-legality policy mirrors SynthSource: MBs missing a left/top neighbor
+// are all-DC I_NxN (or inter in P slices).
+class CavlcGenSource {
+ public:
+  CavlcGenSource(Rng& rng, bool intra_slice, int first_mb, int num_mbs, int mb_w,
+                 bool allow_pcm, int max_ref)
+      : rng_(rng),
+        intra_(intra_slice),
+        first_mb_(first_mb),
+        num_mbs_(num_mbs),
+        mb_w_(mb_w),
+        allow_pcm_(allow_pcm),
+        max_ref_(max_ref) {}
+
+  bool more_data() const { return mbs_done_ < num_mbs_; }
+  void begin_mb(int x, int y) {
+    ++mbs_done_;
+    int addr = y * mb_w_ + x;
+    bool left = x > 0 && addr - 1 >= first_mb_;
+    bool top = y > 0 && addr - mb_w_ >= first_mb_;
+    safe_ = !(left && top);
+  }
+
+  int32_t next(uint8_t role, uint8_t aux) {
+    switch (role) {
+      case kRMbSkipRun: {
+        int rem = num_mbs_ - mbs_done_;
+        int r = int(rng_.next() % 3);  // 0..2, occasionally a trailing run
+        if (rng_.chance(4)) r = rem;
+        return r < rem ? r : rem;
+      }
+      case kRMbType:
+        if (intra_) {
+          if (safe_) return 0;  // I_NxN, all-DC via pred flags
+          if (allow_pcm_ && rng_.chance(3)) return 25;  // I_PCM
+          return rng_.chance(40) ? 0 : int32_t(1 + rng_.next() % 24);
+        }
+        if (!safe_ && rng_.chance(8)) return int32_t(5 + rng_.next() % 25);  // intra in P
+        return int32_t(rng_.next() % 5);  // P_L0 16x16/16x8/8x16/8x8/8x8ref0
+      case kRIntraPredFlag: return safe_ ? 1 : int32_t(rng_.next() & 1);
+      case kRIntraPredRem: return int32_t(rng_.next() & 7);
+      case kRChromaPred: return safe_ ? 0 : int32_t(rng_.next() & 3);
+      case kRRefIdx: return max_ref_ > 1 ? int32_t(rng_.next() & 1) : 0;
+      case kRMvd: return int32_t(rng_.next() % 7) - 3;
+      case kRCbp: return int32_t(rng_.next() & 15);
+      case kRQpDelta: return int32_t(rng_.next() % 5) - 2;
+      case kRSubMbType: return int32_t(rng_.next() & 3);
+      case kRTransform8x8: return int32_t(rng_.next() & 1);
+      case kRTotalCoeff: {
+        // Small counts keep every downstream bound valid regardless of the
+        // block's max_coeff (>= 4 for the smallest, 2x2 chroma DC).
+        int tc = 0;
+        while (tc < 4 && rng_.chance(28)) ++tc;
+        last_tc_ = tc;
+        return tc;
+      }
+      case kRT1s: {
+        int cap = last_tc_ < 3 ? last_tc_ : 3;
+        return int32_t(rng_.next() % uint64_t(cap + 1));
+      }
+      case kRT1Sign: return int32_t(rng_.next() & 1);
+      case kRLevelPrefix: return int32_t(rng_.next() % 3);
+      case kRLevelSuffix: {
+        int nbits = aux >> 3;
+        return int32_t(rng_.next() & ((1u << nbits) - 1));
+      }
+      case kRTotalZeros: {
+        int tc = aux & 0x3f;
+        int maxc = (aux & 0xC0) == 0x80 ? 4 : ((aux & 0xC0) == 0xC0 ? 8 : 15);
+        int cap = maxc - tc;
+        if (cap > 2) cap = 2;
+        if (cap < 0) cap = 0;
+        return int32_t(rng_.next() % uint64_t(cap + 1));
+      }
+      case kRRunBefore: {
+        int zl = aux & 15;
+        int cap = zl < 2 ? zl : 2;
+        return int32_t(rng_.next() % uint64_t(cap + 1));
+      }
+      case kRPcmPad: {
+        int nb = aux & 7;
+        return nb ? int32_t(rng_.next() & ((1u << nb) - 1)) : 0;
+      }
+      case kRPcmByte: return int32_t(rng_.next() & 255);
+      default:
+        fprintf(stderr, "CavlcGenSource: unexpected role %d\n", role);
+        abort();
+    }
+  }
+
+ private:
+  Rng& rng_;
+  bool intra_;
+  int first_mb_, num_mbs_, mb_w_;
+  bool allow_pcm_;
+  int max_ref_;
+  int mbs_done_ = 0;
+  int last_tc_ = 0;
+  bool safe_ = true;
+};
+
 void append_nal(std::vector<uint8_t>& out, int ref_idc, int type,
                 const std::vector<uint8_t>& rbsp) {
   out.insert(out.end(), {0, 0, 0, 1});
@@ -254,6 +361,7 @@ int main(int argc, char** argv) {
   int w = 320, h = 240, fields = 8, seed = 1, qp = 26, ptype = 1, slices = 1, pcm = 0, paff = 1;
   int planes = 1;  // 3 = separate_colour_plane_flag (each plane its own slices)
   int oracle = 1;  // 0 = skip the libavcodec validity check (see planes=3)
+  int cavlc = 0;   // 1 = CAVLC slice data (entropy_coding_mode = 0)
   for (int i = 2; i < argc; ++i) {
     int v = 0;
     char k[32];
@@ -270,6 +378,7 @@ int main(int argc, char** argv) {
       else if (key == "paff") paff = v;
       else if (key == "planes") planes = v;
       else if (key == "oracle") oracle = v;
+      else if (key == "cavlc") cavlc = v;
     }
   }
   if (planes == 3) {
@@ -319,7 +428,7 @@ int main(int argc, char** argv) {
   BitWriter pps;
   pps.put_ue(0);         // pps_id
   pps.put_ue(0);         // sps_id
-  pps.put_bit(1);        // entropy_coding_mode = CABAC
+  pps.put_bit(cavlc ? 0 : 1);  // entropy_coding_mode
   pps.put_bit(0);        // bottom_field_pic_order_in_frame_present
   pps.put_ue(0);         // num_slice_groups_minus1
   pps.put_ue(1);         // num_ref_idx_l0_default_active_minus1 (=> 2 refs)
@@ -348,6 +457,7 @@ int main(int argc, char** argv) {
 
   Rng rng(uint64_t(seed) * 0x9E3779B97F4A7C15ull + 7);
   PictureState pic;
+  CavlcPicture cpic;
   int slice_id = 0;
   const int n_pics = paff ? fields : std::max(1, fields / 2);
   for (int f = 0; f < n_pics; ++f) {
@@ -392,9 +502,10 @@ int main(int argc, char** argv) {
       } else {
         sh.put_bit(0);  // adaptive_ref_pic_marking_mode
       }
-      if (is_p) sh.put_ue(0);  // cabac_init_idc
+      if (is_p && !cavlc) sh.put_ue(0);  // cabac_init_idc
       sh.put_se(0);            // slice_qp_delta
-      while (!sh.byte_aligned()) sh.put_bit(1);  // cabac_alignment_one_bit
+      if (!cavlc)
+        while (!sh.byte_aligned()) sh.put_bit(1);  // cabac_alignment_one_bit
       std::vector<uint8_t> hdr = sh.bytes();
 
       // Parse the header back through our own parser (walker input).
@@ -405,15 +516,30 @@ int main(int argc, char** argv) {
       SliceHeader shp = parse_slice_header(probe.data(), probe.size(), idr ? 5 : 1, 1,
                                            sps_map, pps_map, &sp, &pp);
 
-      if (first_mb == 0) pic.reset(mb_w, pic_mb_h);
-      SynthSource src(shp.is_intra(), shp.cabac_init_idc, shp.slice_qp, first_mb, n_mbs,
-                      mb_w, rng, pcm != 0, is_p ? std::min(2, f) : 0);
-      SliceWalker<SynthSource> walker(psps, ppps, shp, pic, ++slice_id, src);
-      walker.run();
-      std::vector<uint8_t> data = src.take_bytes();
-
-      std::vector<uint8_t> rbsp = hdr;
-      rbsp.insert(rbsp.end(), data.begin(), data.end());
+      std::vector<uint8_t> rbsp;
+      if (cavlc) {
+        // CAVLC slice_data() continues unaligned after the header: the
+        // generating source feeds values into the replayer, which renders
+        // canonical VLC bits into the same writer.
+        if (first_mb == 0) cpic.reset(mb_w, pic_mb_h);
+        CavlcGenSource gsrc(rng, shp.is_intra(), first_mb, n_mbs, mb_w, pcm != 0,
+                            is_p ? std::min(2, f) : 0);
+        CavlcReplayer<CavlcGenSource> rep(gsrc, sh);
+        CavlcWalker<CavlcReplayer<CavlcGenSource>> w(psps, ppps, shp, cpic, ++slice_id, rep);
+        w.run();
+        sh.put_bit(1);  // rbsp_stop_one_bit
+        while (!sh.byte_aligned()) sh.put_bit(0);
+        rbsp = sh.bytes();
+      } else {
+        if (first_mb == 0) pic.reset(mb_w, pic_mb_h);
+        SynthSource src(shp.is_intra(), shp.cabac_init_idc, shp.slice_qp, first_mb, n_mbs,
+                        mb_w, rng, pcm != 0, is_p ? std::min(2, f) : 0);
+        SliceWalker<SynthSource> walker(psps, ppps, shp, pic, ++slice_id, src);
+        walker.run();
+        std::vector<uint8_t> data = src.take_bytes();
+        rbsp = hdr;
+        rbsp.insert(rbsp.end(), data.begin(), data.end());
+      }
       append_nal(out, 1, idr ? 5 : 1, rbsp);
     }
   }
