@@ -28,6 +28,9 @@ def main(argv=None) -> int:
                    help="corpus: use the TPU device path per file")
     p.add_argument("--host-workers", type=int, default=2,
                    help="corpus: concurrent files per process")
+    p.add_argument("--resume", action="store_true",
+                   help="corpus: skip inputs whose output container already "
+                        "exists (outputs are written atomically)")
     args = p.parse_args(argv)
 
     if args.command == "corpus":
@@ -48,7 +51,8 @@ def main(argv=None) -> int:
         pidx, pcount = dist.init_distributed()
         rep = dist.corpus_compress(paths, args.output, use_device=args.device,
                                    chunk_mode=args.chunk_mode,
-                                   host_workers=args.host_workers)
+                                   host_workers=args.host_workers,
+                                   resume=args.resume)
         print(json.dumps({
             "process": f"{pidx}/{pcount}",
             "files": rep.files,

@@ -79,14 +79,32 @@ def _compress_one(path: str, out_dir: str, use_device: bool, chunk_mode: int,
         if back != data:
             raise RuntimeError(f"roundtrip mismatch for {path}")
     out_path = os.path.join(out_dir, os.path.basename(path) + ".atrc")
-    with open(out_path, "wb") as f:
+    # Atomic write: an output file existing at all means it is complete, so
+    # resumed runs can trust existence (interrupted writes leave only .tmp).
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "wb") as f:
         f.write(comp)
+    os.replace(tmp_path, out_path)
     return out_path, len(data), len(comp), time.time() - t0
+
+
+def _resume_done(path: str, out_dir: str) -> tuple[str, int, int, float] | None:
+    """Returns the completed-file record if `path` was already recompressed
+    (checkpoint/resume: outputs are written atomically, so an existing
+    container with the right magic is complete)."""
+    out_path = os.path.join(out_dir, os.path.basename(path) + ".atrc")
+    try:
+        with open(out_path, "rb") as f:
+            if f.read(4) != b"ATRC":
+                return None
+        return out_path, os.path.getsize(path), os.path.getsize(out_path), 0.0
+    except OSError:
+        return None
 
 
 def corpus_compress(paths: list[str], out_dir: str, *, use_device: bool = False,
                     chunk_mode: int = 1, batch_size: int = 4096, verify: bool = True,
-                    host_workers: int = 2) -> CorpusReport:
+                    host_workers: int = 2, resume: bool = False) -> CorpusReport:
     """Recompresses a corpus, sharded across jax processes.
 
     Host-path files run concurrently on a thread pool (the C++ pipeline
@@ -105,6 +123,18 @@ def corpus_compress(paths: list[str], out_dir: str, *, use_device: bool = False,
     mine = [p for i, p in enumerate(sorted(paths)) if i % pcount == pidx]
     rep = CorpusReport()
     t0 = time.time()
+    if resume:
+        remaining = []
+        for p in mine:
+            done = _resume_done(p, out_dir)
+            if done is not None:
+                rep.files += 1
+                rep.input_bytes += done[1]
+                rep.output_bytes += done[2]
+                rep.per_file.append(done)
+            else:
+                remaining.append(p)
+        mine = remaining
     with _fut.ThreadPoolExecutor(max_workers=max(1, host_workers)) as ex:
         futs = {ex.submit(_compress_one, p, out_dir, use_device, chunk_mode,
                           batch_size, verify): p for p in mine}

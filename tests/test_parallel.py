@@ -65,6 +65,27 @@ def test_corpus_compress_single_process(corpus_dir, tmp_path):
     assert len(os.listdir(tmp_path)) == 3
 
 
+def test_corpus_resume(corpus_dir, tmp_path):
+    """Checkpoint/resume: a second run skips completed outputs (existence is
+    trustworthy — outputs are written atomically) but redoes missing ones."""
+    import time
+    from avrecode_tpu.parallel import distributed as dist
+    paths = [os.path.join(corpus_dir, n) for n in ["i_main.264", "cavlc.mp4"]]
+    rep1 = dist.corpus_compress(paths, str(tmp_path), verify=True)
+    assert rep1.failures == 0 and rep1.files == 2
+    # Delete one output; the resumed run must redo only that file.
+    victim = os.path.join(str(tmp_path), "cavlc.mp4.atrc")
+    kept = os.path.join(str(tmp_path), "i_main.264.atrc")
+    os.remove(victim)
+    kept_mtime = os.path.getmtime(kept)
+    time.sleep(0.01)
+    rep2 = dist.corpus_compress(paths, str(tmp_path), verify=True, resume=True)
+    assert rep2.failures == 0 and rep2.files == 2
+    assert os.path.exists(victim)
+    assert os.path.getmtime(kept) == kept_mtime  # untouched
+    assert rep2.ratio == pytest.approx(rep1.ratio)
+
+
 def test_corpus_cli(corpus_dir, tmp_path):
     from avrecode_tpu import cli
     rc = cli.main(["corpus", os.path.join(corpus_dir, "*.264"), str(tmp_path)])
