@@ -91,3 +91,49 @@ def test_corpus_cli(corpus_dir, tmp_path):
     rc = cli.main(["corpus", os.path.join(corpus_dir, "*.264"), str(tmp_path)])
     assert rc == 0
     assert len(os.listdir(tmp_path)) > 0
+
+
+def test_corpus_two_processes(corpus_dir, tmp_path):
+    """Real multi-process orchestration (BASELINE config 5 shape): two jax
+    processes share one coordinator, shard the corpus, and psum-merge stats
+    over the cross-process collective."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    script = textwrap.dedent(f"""
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["JAX_COORDINATOR"] = "localhost:{port}"
+        os.environ["JAX_NUM_PROCESSES"] = "2"
+        os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+        from avrecode_tpu import cli
+        sys.exit(cli.main(["corpus", {repr(os.path.join(corpus_dir, '*.264'))},
+                           {repr(str(out_dir))}]))
+    """)
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env, cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__))))
+             for i in range(2)]
+    reports = []
+    for pr in procs:
+        out, err = pr.communicate(timeout=240)
+        assert pr.returncode == 0, err[-2000:]
+        reports.append(json.loads(out.strip().splitlines()[-1]))
+    # Both processes see the merged (global) stats and no failures.
+    assert reports[0]["files"] == reports[1]["files"] > 0
+    assert reports[0]["failures"] == 0 and reports[1]["failures"] == 0
+    n_264 = len([n for n in os.listdir(corpus_dir) if n.endswith(".264")])
+    assert reports[0]["files"] == n_264
+    assert len(os.listdir(out_dir)) == n_264
