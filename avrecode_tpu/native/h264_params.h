@@ -289,8 +289,14 @@ inline SliceHeader parse_slice_header(const uint8_t* rbsp, size_t size, int nal_
   if (pps.entropy_coding_mode && !h.is_intra()) h.cabac_init_idc = r.read_ue();
   if (h.cabac_init_idc > 2) throw UnsupportedStream("bad cabac_init_idc");
   h.slice_qp = pps.pic_init_qp + r.read_se();
-  if (h.slice_type == SliceType::SP || h.slice_type == SliceType::SI)
-    throw UnsupportedStream("SP/SI slices");
+  // SP slices (Extended profile): the entropy layer is identical to P —
+  // sp_for_switch_flag and slice_qs_delta only affect dequantization.
+  // SI slices change mb_type semantics and stay a literal fallback.
+  if (h.slice_type == SliceType::SP) {
+    r.read_bit();  // sp_for_switch_flag
+    r.read_se();   // slice_qs_delta
+  }
+  if (h.slice_type == SliceType::SI) throw UnsupportedStream("SI slices");
   if (pps.deblocking_filter_control_present) {
     uint32_t idc = r.read_ue();
     if (idc != 1) { r.read_se(); r.read_se(); }

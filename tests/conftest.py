@@ -139,6 +139,9 @@ def corpus_dir(tmp_path_factory):
             # CAVLC field pictures + CAVLC value-generation cross-check.
             "paff_cavlc.264": "w=160 h=128 fields=8 cavlc=1 ptype=1 seed=9",
             "synth_cavlc.264": "w=160 h=128 fields=6 cavlc=1 paff=0 ptype=1 pcm=1 seed=10",
+            # SP switching slices (entropy layer == P; header adds
+            # sp_for_switch_flag + slice_qs_delta).
+            "sp_cavlc.264": "w=160 h=128 fields=6 cavlc=1 paff=0 ptype=2 seed=12",
         }
         for name, args in synth_specs.items():
             subprocess.run(

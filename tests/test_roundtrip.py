@@ -16,7 +16,7 @@ CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264",
          "cavmbaff.264", "cavmbaff422.264", "mono.264", "monocav.264",
          # PAFF field pictures (synthesized; x264 is MBAFF-only)
          "paff_i.264", "paff_ip.264", "paff_pcm.264", "synth_prog.264",
-         "sepplanes.264", "paff_cavlc.264", "synth_cavlc.264"]
+         "sepplanes.264", "paff_cavlc.264", "synth_cavlc.264", "sp_cavlc.264"]
 
 
 @pytest.mark.parametrize("clip", CLIPS)

@@ -465,7 +465,10 @@ int main(int argc, char** argv) {
     // Fields pair into frames: both fields of a frame share frame_num.
     int frame_num = paff ? ((f / 2) & 0xff) : (f & 0xff);
     bool bottom = paff && (f & 1) != 0;
-    bool is_p = ptype == 1 && f >= (paff ? 2 : 1);
+    // ptype 2: SP slices (Extended profile switching pictures) — entropy
+    // layer identical to P; header adds sp_for_switch_flag + slice_qs_delta.
+    bool is_p = ptype >= 1 && f >= (paff ? 2 : 1);
+    bool is_sp = ptype == 2 && is_p;
     int mbs_per_slice = (num_mbs + slices - 1) / slices;
     for (int plane = 0; plane < planes; ++plane)
     for (int s = 0; s < slices; ++s) {
@@ -474,7 +477,7 @@ int main(int argc, char** argv) {
       if (n_mbs <= 0) break;
       BitWriter sh;
       sh.put_ue(uint32_t(first_mb));
-      sh.put_ue(is_p ? 0 : 2);  // slice_type P / I
+      sh.put_ue(is_p ? (is_sp ? 3u : 0u) : 2u);  // slice_type SP / P / I
       sh.put_ue(0);             // pps_id
       if (planes == 3) sh.put_bits(uint32_t(plane), 2);  // colour_plane_id
       sh.put_bits(uint32_t(frame_num), 8);
@@ -504,6 +507,10 @@ int main(int argc, char** argv) {
       }
       if (is_p && !cavlc) sh.put_ue(0);  // cabac_init_idc
       sh.put_se(0);            // slice_qp_delta
+      if (is_sp) {
+        sh.put_bit(0);  // sp_for_switch_flag
+        sh.put_se(0);   // slice_qs_delta
+      }
       if (!cavlc)
         while (!sh.byte_aligned()) sh.put_bit(1);  // cabac_alignment_one_bit
       std::vector<uint8_t> hdr = sh.bytes();
