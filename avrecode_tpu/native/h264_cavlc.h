@@ -10,10 +10,12 @@
 // so value-level transport suffices; compress-time verification guards any
 // encoder quirk).
 //
-// Scope (baseline/main/high/high10/high422/high444 CAVLC): progressive frames
-// and PAFF field pictures, 4:2:0 / 4:2:2 / 4:4:4 chroma, bit depths to 14,
-// I/P/B slices (all partition types incl. B_8x8/direct), 4x4 and 8x8
-// transforms, I_PCM. MBAFF-interlaced CAVLC falls back to passthrough.
+// Scope (baseline/main/extended/high/high10/high422/high444 CAVLC):
+// progressive frames, PAFF field pictures, and MBAFF frames; 4:0:0 / 4:2:0 /
+// 4:2:2 / 4:4:4 chroma (+ separate colour planes); bit depths to 14;
+// I/P/SP/B slices (all partition types incl. B_8x8/direct); 4x4 and 8x8
+// transforms; I_PCM. Only FMO and SI slices fall back to passthrough (see
+// docs/ARCHITECTURE.md — libavcodec cannot decode those at all).
 //
 // VIO concept (value transport, mirrored on compress/decompress):
 //   uint32_t ue(Role, int ctx [, max]);  int32_t se(Role, int ctx);
@@ -21,8 +23,10 @@
 //   void coeff_token(int nc_class, int* total_coeff, int* t1s);
 //   int t1_sign(int idx);                         // 1 = negative
 //   int level_value(...) — handled via primitives below
-//   uint32_t total_zeros(int tzVlcIndex, bool chroma_dc);
-//   uint32_t run_before(int zeros_left);
+//   uint32_t total_zeros(int tzVlcIndex, int dc_kind, int ctx);
+//   uint32_t run_before(int zeros_left, int ctx);
+//   uint32_t level_prefix(int suffix_length, int idx, int total_coeff);
+//   uint32_t level_suffix_bits(int nbits, int suffix_length);
 #pragma once
 
 #include <cstdint>

@@ -779,13 +779,8 @@ class SliceWalker {
     int x0 = 8 * (b8 & 1), y0 = 8 * (b8 >> 1);
     int xN = left ? x0 - 1 : x0;
     int yN = left ? y0 : y0 - 1;
-    const MBInfo* m;
-    int xM, yM;
     if (xN >= 0 && yN >= 0) {
-      m = cur_;
-      xM = xN;
-      yM = yN;
-      int bit = (xM >> 3) + 2 * (yM >> 3);
+      int bit = (xN >> 3) + 2 * (yN >> 3);
       return !((partial >> bit) & 1);
     }
     NbLoc n = locate_luma(xN, yN);
