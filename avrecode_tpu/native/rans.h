@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <stdexcept>
+#include <thread>
 #include <vector>
 
 namespace artc {
@@ -109,8 +110,19 @@ struct RansInterleaved {
     put32(uint32_t(K));
     put32(uint32_t(bits.size()));
     std::vector<std::vector<uint16_t>> lanes(K);
-    for (int l = 0; l < K; ++l)
-      lanes[l] = RansLaneEncoder::encode(bits.data(), probs.data(), bits.size(), l, K);
+    // Lanes encode independently; split them across a second thread for
+    // large streams (output is byte-identical — assembly order is fixed).
+    auto run = [&](int lo, int hi) {
+      for (int l = lo; l < hi; ++l)
+        lanes[l] = RansLaneEncoder::encode(bits.data(), probs.data(), bits.size(), l, K);
+    };
+    if (K >= 2 && bits.size() >= (1u << 20) && std::thread::hardware_concurrency() > 1) {
+      std::thread t(run, 0, K / 2);
+      run(K / 2, K);
+      t.join();
+    } else {
+      run(0, K);
+    }
     for (int l = 0; l < K; ++l) put32(uint32_t(lanes[l].size()));
     for (int l = 0; l < K; ++l)
       for (uint16_t w : lanes[l]) {
