@@ -150,9 +150,11 @@ def main():
     if device_ok and dev_ok and dev_s < host_s:
         value = mb / dev_s
         ok = host_ok
+        comp_used = comp_dev
     else:
         value = mb / host_s
         ok = host_ok
+        comp_used = comp_host
     print(json.dumps({
         "metric": "recompress_throughput",
         "value": round(value, 3) if ok else 0.0,
@@ -160,7 +162,7 @@ def main():
         "vs_baseline": round(max(host_s / dev_s, 1.0), 3) if (ok and device_ok) else 1.0,
         "roundtrip_bit_exact": ok,
         "device_path_used": bool(device_ok and dev_ok),
-        "compression_ratio": round(len(comp_dev if device_ok else comp_host) / len(data), 5),
+        "compression_ratio": round(len(comp_used) / len(data), 5),
         "input_mb": round(mb, 3),
         "host_path_mb_s": round(mb / host_s, 3),
         "device_model_mbins_s": round(mbins_s, 1),
