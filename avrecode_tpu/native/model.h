@@ -104,7 +104,7 @@ class PriorModel {
   }
   static constexpr uint16_t kNeutralPrior = kProbScale / 2;
 
-  PriorModel() {
+  PriorModel() : state_prob_(state_prob_q15()) {
     dual_.assign(kNumDualKeys, Dual());
     sig_est_.assign(kNumSigKeys, Estimator{0, 0});
   }
@@ -631,7 +631,9 @@ class PriorModel {
     }
   }
   uint32_t mirror_prob(int ctx) const {
-    uint32_t plps = state_prob_q15()[mirror_.p_state[ctx]];
+    // state_prob_ caches state_prob_q15() (the function-local static's
+    // thread-safe init guard costs an atomic load per call — ~30M/pass).
+    uint32_t plps = state_prob_[mirror_.p_state[ctx]];
     return mirror_.val_mps[ctx] ? kProbScale - plps : plps;
   }
   uint32_t eob_parity_prob(int ctx) const { return mirror_prob(ctx); }
@@ -924,6 +926,7 @@ class PriorModel {
   std::vector<Estimator> sig_est_;
   // prob->update key reuse (see sig_prob NOTE).
   uint32_t cached_sig_key_ = 0, cached_dual_key_ = 0;
+  const uint16_t* state_prob_;  // cached state_prob_q15() (see mirror_prob)
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
   uint64_t nz_modes_ = kAllNzOn;  // default: NZ-first everywhere
