@@ -563,9 +563,14 @@ class PriorModel {
   int sig_is_dc() const { return (cat_ == kCatLumaDC || cat_ == kCatChromaDC) ? 1 : 0; }
   size_t sig_key(int pos) const {
     if (!nz_on()) {
+      // Off-mode keys add a 3-bit Markov history of recent significance bins
+      // (energy clusters along the scan; swept 1..4 bits on dense + sparse +
+      // camera content — 3 won everywhere; ON-mode history was a loss on
+      // camera content and is not taken).
       int obs = observed_ < 16 ? observed_ : 15;
       size_t key = ((size_t(cat_) * kSigPosClasses + sig_pos_class(pos)) * 2 + sig_is_dc()) * 16 +
                    obs;
+      key = (key << 3) + (sig_hist_ & 7);
       return hash_sig(kSigOffBase + size_t(sc_) * kSigOffStride + key);
     }
     size_t key = (size_t(nnz_total_) * 64 + observed_) * kSigThird +
@@ -727,6 +732,7 @@ class PriorModel {
 
   // State transitions shared by encode/decode.
   void on_sig_bin(int bit) {
+    sig_hist_ = ((sig_hist_ << 1) | bit) & 7;
     if (bit) ++observed_;
   }
   void set_nnz_total(int n) {
@@ -927,6 +933,7 @@ class PriorModel {
   // prob->update key reuse (see sig_prob NOTE).
   uint32_t cached_sig_key_ = 0, cached_dual_key_ = 0;
   const uint16_t* state_prob_;  // cached state_prob_q15() (see mirror_prob)
+  int sig_hist_ = 0;  // last 3 significance bins (off-mode sig key Markov)
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
   uint64_t nz_modes_ = kAllNzOn;  // default: NZ-first everywhere
