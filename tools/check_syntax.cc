@@ -38,8 +38,10 @@ int main(int argc, char** argv) {
 
   for (const auto& nal : nals) {
     const uint8_t* p = data.data() + nal.offset;
-    std::vector<uint8_t> rbsp = ebsp_to_rbsp(p + 1, nal.size - 1);
+    if (nal.size < 1) continue;  // zero-length unit (adjacent start codes)
+    std::vector<uint8_t> rbsp;
     try {
+      rbsp = ebsp_to_rbsp(p + 1, nal.size - 1);
       if (nal.type == 7) {
         SPS s = parse_sps(rbsp.data(), rbsp.size());
         sps_map[s.sps_id] = s;
