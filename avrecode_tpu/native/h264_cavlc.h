@@ -294,7 +294,8 @@ class CavlcWalker {
     const int pw = pic_.mb_width;
     const int num_mbs = pw * pic_.mb_height;
     int count = 0;
-    bool top_skipped = false;  // top of the current pair consumed by skip run
+    bool top_skipped = false;     // top of the current pair consumed by skip run
+    bool pair_flag_known = false;  // this pair's flag was read (coded top)
     while (io_.more_data()) {
       int skip_run = 0;
       if (!sh_.is_intra()) {
@@ -302,15 +303,19 @@ class CavlcWalker {
         prev_skip_ctx_ = skip_run > 0;
         for (int i = 0; i < skip_run; ++i) {
           if (mb_addr >= num_mbs) throw BitstreamError("cavlc: skip past end");
-          setup_mb_mbaff(mb_addr, /*field_known=*/false);
+          bool bottom = (mb_addr & 1) != 0;
+          // A skipped bottom whose pair flag was read (coded top) keeps it;
+          // setup restamps cur_->field from the top member.
+          setup_mb_mbaff(mb_addr, /*field_known=*/bottom && pair_flag_known);
           cur_->skip = 1;
-          if ((mb_addr & 1) == 0) {
+          if (!bottom) {
             top_skipped = true;
+            pair_flag_known = false;  // a new pair begins
           } else {
-            // Fully-skipped pair: infer the field flag (7.4.4) and stamp it
-            // on both members.
-            bool fld = infer_pair_field(mb_addr >> 1);
-            set_pair_field(mb_addr >> 1, fld);
+            // Inference (7.4.4) applies only when NEITHER member read the
+            // flag (fully-skipped pair): left pair, else above, else 0.
+            if (!pair_flag_known)
+              set_pair_field(mb_addr >> 1, infer_pair_field(mb_addr >> 1));
             top_skipped = false;
           }
           ++mb_addr;
@@ -326,10 +331,12 @@ class CavlcWalker {
       if (mb_addr >= num_mbs) throw BitstreamError("cavlc: mb past end");
       bool bottom = (mb_addr & 1) != 0;
       bool flag_here = !bottom || top_skipped;
+      if (!bottom) pair_flag_known = false;  // a new pair begins
       setup_mb_mbaff(mb_addr, /*field_known=*/!flag_here);
       if (flag_here) {
         cur_field_ = io_.u(1, kRMbField, 0) != 0;
         set_pair_field(mb_addr >> 1, cur_field_);
+        pair_flag_known = true;
       }
       decode_mb();
       if (bottom) top_skipped = false;
