@@ -133,7 +133,13 @@ def lib() -> ctypes.CDLL:
         ]
         _lib.artc_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         _lib.artc_last_error.restype = ctypes.c_char_p
+        _lib.artc_container_version.restype = ctypes.c_int
     return _lib
+
+
+def container_version() -> int:
+    """The native library's ATRC container version (recode.h)."""
+    return int(lib().artc_container_version())
 
 
 class NativeError(RuntimeError):

@@ -466,7 +466,7 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   const auto& paramsets = p1.paramsets;
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
-  w.u8(12);  // version 12: Markov-history off-mode significance keys
+  w.u8(kContainerVersion);  // v12: Markov-history off-mode significance keys
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
@@ -613,7 +613,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   const uint8_t* magic = r.bytes(4);
   if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
   uint8_t version = r.u8();
-  if (version != 12) throw std::runtime_error("unsupported container version");
+  if (version != kContainerVersion)
+    throw std::runtime_error("unsupported container version");
   r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();
@@ -922,6 +923,8 @@ int artc_decompress(const uint8_t* data, size_t size, uint8_t** out, size_t* out
 }
 
 void artc_free(uint8_t* p) { free(p); }
+
+int artc_container_version() { return artc::kContainerVersion; }
 
 }  // extern "C"
 

@@ -35,6 +35,11 @@
 
 namespace artc {
 
+// ATRC container format version: bumped on any change to the container layout
+// or to model semantics that alter the coded streams. decompress() rejects
+// other versions; corpus --resume checks it before skipping a file.
+constexpr uint8_t kContainerVersion = 12;
+
 struct Options {
   int lanes = 16;
   // 0 = one chunk for the whole file (max compression, serial decode);

@@ -11,6 +11,7 @@
 #include <array>
 #include <cmath>
 #include <cstdint>
+#include <stdexcept>
 #include <vector>
 
 #include "cabac.h"
@@ -158,7 +159,10 @@ class RecordingSource {
     // Annotate the block's BeginBlock event with its nonzero count so the
     // model passes (which serialize the count *before* the significance map,
     // SURVEY.md §3.4) need no per-block scan-ahead.
+    if (cur_begin_ev_ == SIZE_MAX)
+      throw std::logic_error("end_block without begin_block");
     out_->events[cur_begin_ev_].d = cur_nnz_;
+    cur_begin_ev_ = SIZE_MAX;
     out_->event(kEvEndBlock);
   }
 
@@ -170,7 +174,7 @@ class RecordingSource {
   size_t size_;
   CabacContexts ctxs_;
   SymbolStream* out_;
-  size_t cur_begin_ev_ = 0;
+  size_t cur_begin_ev_ = SIZE_MAX;  // SIZE_MAX = no open block
   int cur_nnz_ = 0;
 };
 

@@ -91,12 +91,15 @@ def _compress_one(path: str, out_dir: str, use_device: bool, chunk_mode: int,
 def _resume_done(path: str, out_dir: str) -> tuple[str, int, int, float] | None:
     """Returns the completed-file record if `path` was already recompressed
     (checkpoint/resume: outputs are written atomically, so an existing
-    container with the right magic is complete)."""
+    container with the right magic AND the current format version is
+    complete — a stale container from an older round would no longer
+    decompress, so it must be redone, not skipped)."""
     out_path = os.path.join(out_dir, os.path.basename(path) + ".atrc")
     try:
         with open(out_path, "rb") as f:
-            if f.read(4) != b"ATRC":
-                return None
+            hdr = f.read(5)
+        if hdr[:4] != b"ATRC" or len(hdr) < 5 or hdr[4] != host.container_version():
+            return None
         return out_path, os.path.getsize(path), os.path.getsize(out_path), 0.0
     except OSError:
         return None
