@@ -59,8 +59,33 @@ class ChunkAnalysis:
 
 
 @dataclass
+class SlimChunk:
+    """One chunk of the slim (ANL2) analysis export — the ~3-bytes/bin wire
+    format for the frozen-batch (profile 2) device path. See recode.cc
+    write_slim_chunk for the layout."""
+    n: int
+    ns: int
+    ud: int
+    us: int
+    m: int
+    pdict: np.ndarray      # uint16[<=255] prior dictionary
+    esc_idx: np.ndarray    # uint32[n_esc]
+    esc_val: np.ndarray    # uint16[n_esc]
+    packed: np.ndarray     # uint16[n]  bit<<15 | kind<<13 | slot
+    prior_idx: np.ndarray  # uint8[n]
+    dk_d: np.ndarray       # uint32[ns, ud]
+    dk_s: np.ndarray       # uint32[ns, us]
+    dual0: np.ndarray      # uint16[n_dual, 4]
+    coo_cnt: np.ndarray    # uint16[ns*sup]
+    coo_slot: np.ndarray   # uint16[n_coo]
+    coo_ones: np.ndarray   # uint16[n_coo]
+    coo_tot: np.ndarray    # uint16[n_coo]
+    host_probs: np.ndarray | None  # uint16[n] (differential testing only)
+
+
+@dataclass
 class Analysis:
-    chunks: list[ChunkAnalysis]
+    chunks: list[ChunkAnalysis] | list[SlimChunk]
     lanes: int
     batch: int
     n_dual: int
@@ -71,32 +96,40 @@ class Analysis:
     sig_alpha: int
     profile: int = 0
     sup: int = 16
+    slim: bool = False
 
 
 def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int = 1,
-            model_profile: int = 0, sup: int = 0) -> Analysis:
+            model_profile: int = 0, sup: int = 0, slim: bool | None = None,
+            want_probs: bool = True) -> Analysis:
+    """Runs the host syntax walk and exports the device model-pass inputs.
+
+    slim (default: model_profile == 2) selects the ~3-bytes/bin ANL2 wire
+    format (frozen-batch semantics); want_probs additionally exports the
+    host-computed probabilities for differential testing."""
     from .ops import model_pass as mp
     if sup <= 0:
         sup = mp.default_sup()
-    lib = host.lib()
-    if not hasattr(lib, "_analyze_ready"):
-        lib.artc_analyze.restype = ctypes.c_int
-        lib.artc_analyze.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
-            ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
-        ]
-        lib._analyze_ready = True
-    out = ctypes.POINTER(ctypes.c_uint8)()
-    out_len = ctypes.c_size_t()
-    rc = lib.artc_analyze(data, len(data), lanes, chunk_mode, batch_size, model_profile, sup,
-                          ctypes.byref(out), ctypes.byref(out_len))
-    if rc != 0:
+    if slim is None:
+        slim = model_profile == 2
+    lib = _session_lib()
+    h = lib.artc_session_open(data, len(data), lanes, chunk_mode, batch_size, model_profile)
+    if not h:
         raise host.NativeError(lib.artc_last_error().decode())
     try:
-        raw = ctypes.string_at(out, out_len.value)
+        flags = (1 if slim else 0) | (2 if (slim and want_probs) else 0)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_len = ctypes.c_size_t()
+        rc = lib.artc_session_analyze2(h, sup, flags, ctypes.byref(out),
+                                       ctypes.byref(out_len))
+        if rc != 0:
+            raise host.NativeError(lib.artc_last_error().decode())
+        try:
+            raw = ctypes.string_at(out, out_len.value)
+        finally:
+            lib.artc_free(out)
     finally:
-        lib.artc_free(out)
+        lib.artc_session_close(h)
     return _parse_analysis(raw)
 
 
@@ -124,7 +157,8 @@ def _parse_analysis(raw: bytes) -> Analysis:
         return v
 
     magic = u32()
-    assert magic == 0x5A4C4E41, hex(magic)
+    assert magic in (0x5A4C4E41, 0x324C4E41), hex(magic)  # 'ANLZ' | 'ANL2'
+    slim = magic == 0x324C4E41
     n_chunks = u32()
     lanes_out = u32()
     batch = u32()
@@ -137,6 +171,47 @@ def _parse_analysis(raw: bytes) -> Analysis:
     sig_alpha = u32()
     sup_out = u32()
     chunks = []
+    if slim:
+        def u8():
+            nonlocal pos
+            v = int(buf[pos])
+            pos += 1
+            return v
+
+        def u16():
+            nonlocal pos
+            v = int(buf[pos:pos + 2].view(np.uint16)[0])
+            pos += 2
+            return v
+
+        for _ in range(n_chunks):
+            n = u64()
+            ns = u32()
+            ud = u32()
+            us = u32()
+            m = u64()
+            has_probs = u8()
+            ndict = u16()
+            pdict = arr(np.uint16, ndict)
+            n_esc = u32()
+            esc_idx = arr(np.uint32, n_esc)
+            esc_val = arr(np.uint16, n_esc)
+            packed = arr(np.uint16, n)
+            prior_idx = arr(np.uint8, n)
+            dk_d = arr(np.uint32, ns * ud).reshape(ns, ud)
+            dk_s = arr(np.uint32, ns * us).reshape(ns, us)
+            dual0 = arr(np.uint16, 4 * n_dual).reshape(n_dual, 4)
+            n_coo = u64()
+            coo_cnt = arr(np.uint16, ns * sup_out)
+            coo_slot = arr(np.uint16, n_coo)
+            coo_ones = arr(np.uint16, n_coo)
+            coo_tot = arr(np.uint16, n_coo)
+            probs = arr(np.uint16, n) if has_probs else None
+            chunks.append(SlimChunk(int(n), ns, ud, us, int(m), pdict, esc_idx,
+                                    esc_val, packed, prior_idx, dk_d, dk_s, dual0,
+                                    coo_cnt, coo_slot, coo_ones, coo_tot, probs))
+        return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
+                        sig_w, sig_alpha, profile, sup_out, slim=True)
     for _ in range(n_chunks):
         n = u64()
         bit = arr(np.uint8, n)
@@ -162,10 +237,55 @@ def _parse_analysis(raw: bytes) -> Analysis:
                     profile, sup_out)
 
 
-def device_probs(an: Analysis, chunk: ChunkAnalysis, impl: str | None = None) -> np.ndarray:
+def _bucket_pow2(x: int, lo: int = 16) -> int:
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+def _run_v3(an: Analysis, c: SlimChunk):
+    """Pads/buckets one slim chunk's wire arrays and runs the frozen-batch
+    device pass. Returns device-resident (probs uint16[m], bits int32[m])."""
+    _ensure_jax_cache()
+    import jax.numpy as jnp
+    from .ops import model_pass as mp
+    ns, ud, us, m, n = c.ns, c.ud, c.us, c.m, c.n
+    pad = m - n
+    pad_val = (3 << 13) | (ud - 1)
+    packed = np.concatenate([c.packed, np.full(pad, pad_val, np.uint16)])
+    pidx = np.concatenate([c.prior_idx, np.full(pad, 255, np.uint8)])
+    pdict = np.ones(256, np.uint16)  # index 255 stays neutral (pad bins)
+    pdict[:len(c.pdict)] = c.pdict
+    ne = _bucket_pow2(len(c.esc_idx))
+    esc_idx = np.full(ne, m, np.uint32)
+    esc_idx[:len(c.esc_idx)] = c.esc_idx
+    esc_val = np.ones(ne, np.uint16)
+    esc_val[:len(c.esc_val)] = c.esc_val
+    nc = _bucket_pow2(len(c.coo_slot))
+    coo_slot = np.zeros(nc, np.uint16)
+    coo_slot[:len(c.coo_slot)] = c.coo_slot
+    coo_vals = np.zeros((nc, 2), np.uint16)
+    coo_vals[:len(c.coo_ones), 0] = c.coo_ones
+    coo_vals[:len(c.coo_tot), 1] = c.coo_tot
+    probs, bits = mp.model_pass_v3(
+        jnp.asarray(packed), jnp.asarray(pidx), jnp.asarray(pdict),
+        jnp.asarray(esc_idx), jnp.asarray(esc_val), jnp.asarray(c.dk_d),
+        jnp.asarray(c.dk_s), jnp.asarray(c.coo_cnt), jnp.asarray(coo_slot),
+        jnp.asarray(coo_vals), np.int32(len(c.coo_slot)), jnp.asarray(c.dual0),
+        batch=int(an.batch), sup=int(an.sup), fast_w=int(an.fast_w),
+        slow_w=int(an.slow_w), sig_w=int(an.sig_w), sig_alpha=int(an.sig_alpha),
+        ud=int(ud), us=int(us), n_sig=int(an.n_sig))
+    return probs, bits
+
+
+def device_probs(an: Analysis, chunk, impl: str | None = None) -> np.ndarray:
     """Runs the JAX model pass for one chunk; returns uint16 probs."""
     _ensure_jax_cache()
     from .ops import model_pass as mp
+    if an.slim:
+        probs, _ = _run_v3(an, chunk)
+        return np.asarray(probs)[:chunk.n]
     impl = impl or mp.default_impl()
     if impl == "v2":
         if chunk.v2_bin_u is not None:
@@ -193,10 +313,18 @@ def pick_lanes(n_pairs: int) -> int:
     return k
 
 
-def device_blob(an: Analysis, chunk: ChunkAnalysis, probs: np.ndarray | None = None) -> bytes:
+def device_blob(an: Analysis, chunk, probs: np.ndarray | None = None) -> bytes:
     """Encodes one chunk's rANS blob on device; byte-identical to the C++
-    RansInterleaved format (the blob self-describes its lane count)."""
+    RansInterleaved format (the blob self-describes its lane count).
+
+    Slim chunks stay fully device-resident: the model pass's (probs, bits)
+    feed the lane scan without any per-bin re-upload, and the lane output is
+    compacted on device before download."""
     from .ops import lanes as lx
+    if an.slim:
+        probs_dev, bits_dev = _run_v3(an, chunk)
+        return lx.encode_interleaved_dev(bits_dev, probs_dev, chunk.n,
+                                         pick_lanes(chunk.n))
     if probs is None:
         probs = device_probs(an, chunk)
     return lx.encode_interleaved(chunk.bit, probs, pick_lanes(len(chunk.bit)))
@@ -222,9 +350,9 @@ def _session_lib():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
             ctypes.c_int,
         ]
-        lib.artc_session_analyze.restype = ctypes.c_int
-        lib.artc_session_analyze.argtypes = [
-            ctypes.c_void_p, ctypes.c_int,
+        lib.artc_session_analyze2.restype = ctypes.c_int
+        lib.artc_session_analyze2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.artc_session_pack.restype = ctypes.c_int
@@ -240,19 +368,25 @@ def _session_lib():
 
 
 def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
-             batch_size: int = 4096) -> tuple[bytes, host.Stats]:
+             batch_size: int = 4096, model_profile: int = 2) -> tuple[bytes, host.Stats]:
     """Full device-path compression (model + entropy on TPU/JAX). One native
-    session shares pass1/nz-mode state between analysis and packing."""
+    session shares pass1/nz-mode state between analysis and packing.
+
+    Default model_profile=2 (frozen batches): measured +0.10pp ratio on
+    bench.mp4 vs profile 0, in exchange for a ~6x smaller device wire (the
+    slim ANL2 export) — the right trade on a bandwidth-limited attach and
+    neutral on a co-located one."""
     from .ops import model_pass as mp
     lib = _session_lib()
-    h = lib.artc_session_open(data, len(data), lanes, chunk_mode, batch_size, 0)
+    h = lib.artc_session_open(data, len(data), lanes, chunk_mode, batch_size, model_profile)
     if not h:
         raise host.NativeError(lib.artc_last_error().decode())
     try:
         out = ctypes.POINTER(ctypes.c_uint8)()
         out_len = ctypes.c_size_t()
-        rc = lib.artc_session_analyze(h, mp.default_sup(), ctypes.byref(out),
-                                      ctypes.byref(out_len))
+        rc = lib.artc_session_analyze2(h, mp.default_sup(),
+                                       1 if model_profile == 2 else 0,
+                                       ctypes.byref(out), ctypes.byref(out_len))
         if rc != 0:
             raise host.NativeError(lib.artc_last_error().decode())
         try:

@@ -983,7 +983,169 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
 
 void artc_session_close(void* h) { delete static_cast<ArtcSession*>(h); }
 
-int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
+// Slim per-chunk analysis export (device wire format 2, magic 'ANL2'):
+// designed for the tunnel-attached TPU where transfer bytes are the wall.
+// Requires the frozen-batch model profile (2): probabilities within a batch
+// read tables as of the last flush, so the per-bin prefix counts vanish and
+// each bin needs only (bit, kind, dict slot) = one u16 + a u8 prior index.
+//
+// Layout per chunk (after the shared ANLZ header fields):
+//   u64 n; u32 ns, ud, us; u64 m; u8 flags(bit0 = probs present)
+//   u16 ndict; u16 dict[ndict]            (priors by descending frequency)
+//   u32 n_esc; u32 esc_idx[]; u16 esc_val[]  (bins whose prior is not in dict)
+//   u16 packed[n]   bit<<15 | kind<<13 | slot   (requires ud+us <= 8192)
+//   u8  prior_idx[n]   (255 = escape)
+//   u32 dk_d[ns*ud]; u32 dk_s[ns*us]
+//   u16 dual0[4*n_dual]
+//   u16 coo_cnt[ns*sup]; u16 coo_slot[]; u16 coo_ones[]; u16 coo_tot[]
+//     (per-sub-batch per-touched-slot (ones, total) update deltas, the sparse
+//      form of the v2 dd/ds tables — reconstructed on device by one scatter)
+//   u16 probs[n] if flags bit0
+static void write_slim_chunk(artc::Writer& w,
+                             const std::vector<artc::PriorModel::Coded>& trace,
+                             const std::vector<uint16_t>& probs, bool has_probs,
+                             const std::vector<artc::Dual>& dual0, uint32_t batch,
+                             uint32_t sup_u) {
+  using namespace artc;
+  using Coded = PriorModel::Coded;
+  const uint64_t n = trace.size();
+  const uint64_t span = uint64_t(sup_u) * batch;
+  uint64_t ns = bucket_pow2(uint32_t((n + span - 1) / span));
+  if (ns == 0) ns = 1;
+  const uint64_t m = ns * span;
+  const uint32_t n_dual_ext = uint32_t(PriorModel::kNumDualKeys) + 1;
+
+  // Prior dictionary: count u16 frequencies, keep the top 255.
+  std::vector<uint32_t> freq(65536, 0);
+  for (const Coded& c : trace) freq[c.prior]++;
+  std::vector<uint32_t> by_freq(65536);
+  for (uint32_t i = 0; i < 65536; ++i) by_freq[i] = i;
+  std::partial_sort(by_freq.begin(), by_freq.begin() + 255, by_freq.end(),
+                    [&](uint32_t a, uint32_t b) { return freq[a] > freq[b]; });
+  std::vector<uint16_t> dict;
+  std::vector<uint8_t> pidx_map(65536, 255);
+  for (int i = 0; i < 255 && freq[by_freq[i]] > 0; ++i) {
+    pidx_map[by_freq[i]] = uint8_t(dict.size());
+    dict.push_back(uint16_t(by_freq[i]));
+  }
+
+  // Phase 1: per-super-step sorted unique key lists (epoch-marked).
+  std::vector<uint32_t> ep_d(PriorModel::kNumDualKeys, ~0u);
+  std::vector<uint32_t> ep_s(PriorModel::kNumSigKeys, ~0u);
+  std::vector<std::vector<uint32_t>> keys_d(ns), keys_s(ns);
+  for (uint64_t i = 0; i < n; ++i) {
+    const Coded& c = trace[i];
+    if (c.kind == PriorModel::kKindPrior) continue;
+    uint32_t stp = uint32_t(i / span);
+    if (c.kind == PriorModel::kKindSig) {
+      if (ep_s[c.key] != stp) { ep_s[c.key] = stp; keys_s[stp].push_back(c.key); }
+    } else {
+      if (ep_d[c.key] != stp) { ep_d[c.key] = stp; keys_d[stp].push_back(c.key); }
+    }
+  }
+  uint32_t max_d = 1, max_s = 1;
+  for (uint64_t s = 0; s < ns; ++s) {
+    std::sort(keys_d[s].begin(), keys_d[s].end());
+    std::sort(keys_s[s].begin(), keys_s[s].end());
+    max_d = std::max<uint32_t>(max_d, uint32_t(keys_d[s].size()));
+    max_s = std::max<uint32_t>(max_s, uint32_t(keys_s[s].size()));
+  }
+  const uint32_t ud = bucket_pow2(max_d + 1), us = bucket_pow2(max_s + 1);
+  const uint32_t U = ud + us;
+  if (U > 8192)
+    throw std::runtime_error("slim analysis: dict width > 8192 (use fat export)");
+
+  // Phase 2: packed stream, prior indices, sparse per-sub-batch deltas.
+  std::vector<uint16_t> packed(n);
+  std::vector<uint8_t> prior_idx(n);
+  std::vector<uint32_t> esc_idx;
+  std::vector<uint16_t> esc_val;
+  std::vector<uint32_t> dk_d(ns * ud), dk_s(ns * us);
+  std::vector<uint16_t> coo_cnt(ns * sup_u, 0);
+  std::vector<uint16_t> coo_slot, coo_ones, coo_tot;
+  coo_slot.reserve(n / 4);
+  std::vector<uint32_t> slot_d(PriorModel::kNumDualKeys), slot_s(PriorModel::kNumSigKeys);
+  std::vector<uint32_t> cell_ep(U, ~0u);      // last sub-batch touching slot
+  std::vector<uint32_t> cell_at(U);           // slot -> index into this sub's COO run
+  for (uint64_t s = 0; s < ns; ++s) {
+    for (uint32_t j = 0; j < ud; ++j)
+      dk_d[s * ud + j] = j < keys_d[s].size() ? keys_d[s][j]
+                                              : n_dual_ext + (j - uint32_t(keys_d[s].size()));
+    for (uint32_t j = 0; j < us; ++j)
+      dk_s[s * us + j] = j < keys_s[s].size() ? keys_s[s][j]
+                                              : uint32_t(PriorModel::kNumSigKeys) +
+                                                    (j - uint32_t(keys_s[s].size()));
+    for (uint32_t j = 0; j < keys_d[s].size(); ++j) slot_d[keys_d[s][j]] = j;
+    for (uint32_t j = 0; j < keys_s[s].size(); ++j) slot_s[keys_s[s][j]] = j;
+    const uint64_t lo = s * span, hi = std::min<uint64_t>((s + 1) * span, n);
+    for (uint64_t b0 = lo; b0 < hi; b0 += batch) {
+      const uint32_t subg = uint32_t(b0 / batch);  // global sub-batch index
+      const size_t run_base = coo_slot.size();
+      const uint64_t b1 = std::min<uint64_t>(b0 + batch, hi);
+      for (uint64_t i = b0; i < b1; ++i) {
+        const Coded& c = trace[i];
+        uint32_t slot;
+        if (c.kind == PriorModel::kKindPrior) {
+          slot = ud - 1;  // pad/ext target; owns no updates
+        } else if (c.kind == PriorModel::kKindSig) {
+          slot = ud + slot_s[c.key];
+        } else {
+          slot = slot_d[c.key];
+        }
+        packed[i] = uint16_t((uint32_t(c.bit) << 15) | (uint32_t(c.kind) << 13) | slot);
+        uint8_t pi = pidx_map[c.prior];
+        prior_idx[i] = pi;
+        if (pi == 255) {
+          esc_idx.push_back(uint32_t(i));
+          esc_val.push_back(c.prior);
+        }
+        if (c.kind == PriorModel::kKindPrior) continue;
+        if (cell_ep[slot] != subg) {
+          cell_ep[slot] = subg;
+          cell_at[slot] = uint32_t(coo_slot.size());
+          coo_slot.push_back(uint16_t(slot));
+          coo_ones.push_back(0);
+          coo_tot.push_back(0);
+        }
+        const uint32_t at = cell_at[slot];
+        coo_ones[at] = uint16_t(coo_ones[at] + (c.bit ? 1 : 0));
+        coo_tot[at] = uint16_t(coo_tot[at] + 1);
+      }
+      coo_cnt[subg] = uint16_t(coo_slot.size() - run_base);
+    }
+  }
+
+  w.u64(n);
+  w.u32(uint32_t(ns));
+  w.u32(ud);
+  w.u32(us);
+  w.u64(m);
+  w.u8(has_probs ? 1 : 0);
+  w.u16(uint16_t(dict.size()));
+  w.bytes(reinterpret_cast<const uint8_t*>(dict.data()), dict.size() * 2);
+  w.u32(uint32_t(esc_idx.size()));
+  w.bytes(reinterpret_cast<const uint8_t*>(esc_idx.data()), esc_idx.size() * 4);
+  w.bytes(reinterpret_cast<const uint8_t*>(esc_val.data()), esc_val.size() * 2);
+  w.bytes(reinterpret_cast<const uint8_t*>(packed.data()), packed.size() * 2);
+  w.bytes(prior_idx.data(), prior_idx.size());
+  w.bytes(reinterpret_cast<const uint8_t*>(dk_d.data()), dk_d.size() * 4);
+  w.bytes(reinterpret_cast<const uint8_t*>(dk_s.data()), dk_s.size() * 4);
+  for (const Dual& d : dual0) {
+    w.u16(d.fp);
+    w.u16(d.fn);
+    w.u16(d.sp);
+    w.u16(d.sn);
+  }
+  w.u64(coo_slot.size());
+  w.bytes(reinterpret_cast<const uint8_t*>(coo_cnt.data()), coo_cnt.size() * 2);
+  w.bytes(reinterpret_cast<const uint8_t*>(coo_slot.data()), coo_slot.size() * 2);
+  w.bytes(reinterpret_cast<const uint8_t*>(coo_ones.data()), coo_ones.size() * 2);
+  w.bytes(reinterpret_cast<const uint8_t*>(coo_tot.data()), coo_tot.size() * 2);
+  if (has_probs)
+    w.bytes(reinterpret_cast<const uint8_t*>(probs.data()), probs.size() * 2);
+}
+
+int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* out_len) {
   using namespace artc;
   auto* se = static_cast<ArtcSession*>(h);
   try {
@@ -991,9 +1153,13 @@ int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
     const Stats& st = se->st;
     const Pass1& p1 = se->p1;
     const auto& ranges = se->ranges;
+    const bool slim = (flags & 1) != 0;
+    const bool want_probs = (flags & 2) != 0 || !slim;
+    if (slim && opt.model_profile != 2)
+      throw std::runtime_error("slim analysis requires model_profile=2 (frozen batches)");
     uint32_t sup_u = sup > 0 ? uint32_t(sup) : 16;
     Writer w;
-    w.u32(0x5a4c4e41);  // 'ANLZ'
+    w.u32(slim ? 0x324c4e41 : 0x5a4c4e41);  // 'ANL2' : 'ANLZ'
     w.u32(uint32_t(st.n_chunks));
     w.u32(uint32_t(opt.lanes));
     w.u32(opt.batch_size ? opt.batch_size : 1);
@@ -1015,8 +1181,20 @@ int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
       std::vector<Dual> dual0;
       Stats tmp;
       uint64_t modes = se->nz_modes[ci];
+      double t0 = timing_enabled() ? now_s() : 0;
       run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0, modes,
                       /*encode_blob=*/false);
+      if (timing_enabled())
+        fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
+                ci, now_s() - t0, trace.size());
+      t0 = timing_enabled() ? now_s() : 0;
+      if (slim) {
+        write_slim_chunk(w, trace, probs, want_probs, dual0,
+                         opt.batch_size ? opt.batch_size : 1, sup_u);
+        if (timing_enabled())
+          fprintf(stderr, "[artc] analyze chunk %zu: slim export %.3fs\n", ci, now_s() - t0);
+        continue;
+      }
       w.u64(trace.size());
       for (const auto& c : trace) w.u8(c.bit);
       for (const auto& c : trace) w.u8(c.kind);
@@ -1051,6 +1229,10 @@ int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
         }
         for (uint16_t v : pre1) w.u16(v);
         for (uint16_t v : pret) w.u16(v);
+      }
+      if (timing_enabled()) {
+        fprintf(stderr, "[artc] analyze chunk %zu: streams+prefix %.3fs\n", ci, now_s() - t0);
+        t0 = now_s();
       }
       for (uint16_t p : probs) w.u16(p);
       for (const auto& d : dual0) {
@@ -1136,6 +1318,8 @@ int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
         for (uint16_t v : dd) w.u16(v);
         for (uint16_t v : ds) w.u16(v);
       }
+      if (timing_enabled())
+        fprintf(stderr, "[artc] analyze chunk %zu: v2 dicts+serialize %.3fs\n", ci, now_s() - t0);
     }
     *out = static_cast<uint8_t*>(malloc(w.buf.size()));
     memcpy(*out, w.buf.data(), w.buf.size());
@@ -1145,6 +1329,10 @@ int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
     g_error = e.what();
     return -1;
   }
+}
+
+int artc_session_analyze(void* h, int sup, uint8_t** out, size_t* out_len) {
+  return artc_session_analyze2(h, sup, 0, out, out_len);
 }
 
 // Packs the container from caller-provided chunk blobs using the session's
@@ -1185,7 +1373,7 @@ int artc_analyze(const uint8_t* data, size_t size, int lanes, int chunk_mode,
                  size_t* out_len) {
   void* h = artc_session_open(data, size, lanes, chunk_mode, batch_size, model_profile);
   if (!h) return -1;
-  int rc = artc_session_analyze(h, sup, out, out_len);
+  int rc = artc_session_analyze2(h, sup, 0, out, out_len);
   artc_session_close(h);
   return rc;
 }

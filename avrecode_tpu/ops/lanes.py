@@ -58,6 +58,79 @@ def _bucket(t: int) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("T", "K"))
+def _lane_scan_dev(bits_m, probs_m, n, T: int, K: int):
+    """Device-resident variant of _lane_scan: consumes the model pass's
+    on-device (bits, probs) directly (no re-upload of per-bin arrays) and
+    keeps words/emits on device for _lane_compact. `n` is a dynamic scalar
+    so one program serves every chunk length within a (T, K) bucket."""
+    size = T * K
+    b = bits_m[:size].astype(jnp.uint32).reshape(T, K)
+    p = probs_m[:size].astype(jnp.uint32).reshape(T, K)
+    valid = (jax.lax.iota(jnp.int32, size) < n).reshape(T, K)
+    p = jnp.where(valid, jnp.maximum(p, 1), 1)  # guard padding against div-0
+    x0 = jnp.full((K,), RANS_L, jnp.uint32)
+
+    def step(x, xs):
+        bit, pp, v = xs
+        f = jnp.where(bit == 1, pp, PROB_SCALE - pp)
+        c = jnp.where(bit == 1, PROB_SCALE - pp, jnp.zeros_like(pp))
+        x_max = f << 17
+        emit = (x >= x_max) & v
+        word = (x & 0xFFFF).astype(jnp.uint16)
+        x1 = jnp.where(emit, x >> 16, x)
+        x2 = ((x1 // f) << PROB_BITS) + (x1 % f) + c
+        x = jnp.where(v, x2, x)
+        return x, (word, emit)
+
+    x_final, (words, emits) = jax.lax.scan(step, x0, (b, p, valid), reverse=True)
+    counts = jnp.sum(emits.astype(jnp.int32), axis=0)
+    return x_final, words, emits, counts
+
+
+@functools.partial(jax.jit, static_argnames=("maxW",))
+def _lane_compact(words, emits, maxW: int):
+    """Compacts the sparse emissions on device so the download is ~the
+    compressed payload (maxW*K u16) instead of the full [T, K] words+emits
+    (which for a 15M-bin chunk is ~47 MB through the device tunnel)."""
+    T, K = words.shape
+    e = emits.astype(jnp.int32)
+    pos = jnp.cumsum(e, axis=0) - e
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    flat = jnp.where(emits, pos * K + lane, maxW * K)
+    out = jnp.zeros((maxW * K,), jnp.uint16).at[flat.reshape(-1)].set(
+        words.reshape(-1), mode="drop", unique_indices=True)
+    return out.reshape(maxW, K)
+
+
+def encode_interleaved_dev(bits_dev, probs_dev, n: int, K: int) -> bytes:
+    """Full chunk encode from device-resident bits/probs; byte-identical to
+    encode_interleaved / the host codec (native/rans.h)."""
+    if n == 0:
+        return encode_interleaved(np.zeros(0, np.uint8), np.zeros(0, np.uint16), K)
+    T = _bucket(-(-n // K))
+    size = T * K
+    m = bits_dev.shape[0]
+    if m < size:
+        bits_dev = jnp.pad(bits_dev, (0, size - m))
+        probs_dev = jnp.pad(probs_dev, (0, size - m), constant_values=1)
+    x_final, words, emits, counts = _lane_scan_dev(bits_dev, probs_dev, n, T=T, K=K)
+    counts_h = np.asarray(counts)
+    maxW = _bucket(max(int(counts_h.max()), 1))
+    tail = np.asarray(_lane_compact(words, emits, maxW))
+    x_final = np.asarray(x_final)
+    out = bytearray()
+    out += np.uint32(K).tobytes()
+    out += np.uint32(n).tobytes()
+    for l in range(K):
+        out += np.uint32(int(counts_h[l]) + 2).tobytes()
+    for l in range(K):
+        head = np.array([x_final[l] >> 16, x_final[l] & 0xFFFF], np.uint16)
+        out += head.astype("<u2").tobytes()
+        out += tail[:counts_h[l], l].astype("<u2").tobytes()
+    return bytes(out)
+
+
 def encode_interleaved(bits: np.ndarray, probs: np.ndarray, K: int) -> bytes:
     """Full chunk encode; returns the wire-format blob (see rans.h)."""
     n = len(bits)

@@ -183,6 +183,141 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
     return probs.reshape(-1)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha",
+                                    "ud", "us", "n_sig"))
+def model_pass_v3(packed, prior_idx, pdict, esc_idx, esc_val, dk_d, dk_s,
+                  coo_cnt, coo_slot, coo_vals, n_coo, dual0_u16, batch: int, sup: int,
+                  fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
+                  n_sig: int = 1 << 17):
+    """Frozen-batch (model profile 2) pass over the slim wire format.
+
+    Designed for the tunnel-attached TPU: the wire carries ~3 bytes/bin
+    (u16 packed bit<<15|kind<<13|slot, u8 prior dict index) plus the sparse
+    per-sub-batch update deltas; everything wide is reconstructed on device.
+    Under profile 2 probabilities read tables as of the last batch flush, so
+    the within-batch prefix machinery of model_pass_v2 vanishes entirely —
+    per bin state IS the staged start-of-sub-batch dict state.
+
+    packed:   uint16[ns*sup*B] (padded; pad = kind 3, slot ud-1, bit 0)
+    prior_idx: uint8[ns*sup*B]; pdict: uint16[256] (index 255 must map to a
+      neutral 1 — real escapes are scattered over it via esc_idx/esc_val)
+    esc_idx:  int32[ne] positions (pad = out-of-range -> dropped)
+    dk_d/dk_s: int32[ns, ud/us] per-super-step sorted-unique key rows
+    coo_cnt:  uint16[ns*sup] entries per sub-batch (the global sub-batch index
+      of each COO entry is reconstructed on device: a scatter of segment
+      starts + a cumsum — it never travels over the wire)
+    coo_slot: uint16[nc] slab slot; coo_vals: uint16[nc, 2] (ones, total);
+      nc is a pow2 bucket, n_coo (dynamic scalar) the live prefix
+    dual0_u16: uint16[n_dual, 4] seeded dual table (widened on device)
+
+    Returns (probs uint16[m], bits int32[m]). Bit-identical to the host
+    profile-2 ModelEncoder (native/model.h note_coded profile 2 path).
+    """
+    U = ud + us
+    m = packed.shape[0]
+    ns = m // (sup * batch)
+    alpha_on = sig_alpha & 0xFFFF
+    alpha_off = (sig_alpha >> 16) or alpha_on
+    it_f = _halve_iters(fast_w, batch)
+    it_s = _halve_iters(slow_w, batch)
+    it_g = _halve_iters(sig_w, batch)
+
+    # Everything arrives in the narrowest wire dtype (u8/u16) and is widened
+    # here — transfer bytes, not FLOPs, are the scarce resource on a
+    # tunnel-attached chip.
+    pk = packed.astype(jnp.int32)
+    bit_all = pk >> 15
+    kind_all = (pk >> 13) & 3
+    slot_all = pk & 0x1FFF
+    dk_d = dk_d.astype(jnp.int32)
+    dk_s = dk_s.astype(jnp.int32)
+    # Priors: dict gather + escape scatter.
+    prior_all = pdict.astype(jnp.int32)[prior_idx.astype(jnp.int32)]
+    prior_all = prior_all.at[esc_idx.astype(jnp.int32)].set(
+        esc_val.astype(jnp.int32), mode="drop")
+    # Sparse COO -> dense per-sub-batch (ones, total) deltas, one scatter.
+    # The per-entry sub-batch index is rebuilt from coo_cnt: mark each
+    # sub-batch's start position, cumsum -> segment ids.
+    nc = coo_slot.shape[0]
+    cnts = coo_cnt.astype(jnp.int32)
+    starts = jnp.cumsum(cnts) - cnts
+    mark = jnp.zeros((nc + 1,), jnp.int32).at[starts].add(1, mode="drop")
+    coo_sub = jnp.cumsum(mark[:nc]) - 1
+    live = jax.lax.iota(jnp.int32, nc) < n_coo
+    flat = jnp.where(live, coo_sub * U + coo_slot.astype(jnp.int32), ns * sup * U)
+    tbl = jnp.zeros((ns * sup * U, 2), jnp.int32)
+    tbl = tbl.at[flat].set(coo_vals.astype(jnp.int32), mode="drop", unique_indices=True)
+    tbl = tbl.reshape(ns, sup, U, 2)
+    dd = tbl[:, :, :ud, :]
+    ds = tbl[:, :, ud:, :]
+
+    dual0 = jnp.concatenate([dual0_u16.astype(jnp.int32),
+                             jnp.ones((1 + ud, 4), jnp.int32)], axis=0)
+    sig0 = jnp.concatenate([jnp.zeros((n_sig, 2), jnp.int32),
+                            jnp.ones((us, 2), jnp.int32)], axis=0)
+
+    sh = (ns, sup, batch)
+
+    def step(tables, xs):
+        dual, sig = tables
+        bit, kind, slot, prior_raw, kd, ks, ddel, sdel = xs
+        dstate0 = dual.at[kd].get(unique_indices=True, indices_are_sorted=True)
+        sstate0 = sig.at[ks].get(unique_indices=True, indices_are_sorted=True)
+
+        def stage(carry, deltas):
+            dst, sst = carry
+            d_one, d_tot = deltas[0][:, 0], deltas[0][:, 1]
+            s_one, s_tot = deltas[1][:, 0], deltas[1][:, 1]
+            cst = jnp.concatenate([
+                jnp.concatenate([dst, jnp.ones((ud, 2), jnp.int32)], axis=1),
+                jnp.concatenate([jnp.ones((us, 4), jnp.int32), sst], axis=1),
+            ], axis=0)  # (U, 6) start-of-sub-batch state
+            nfp = dst[:, 0] + d_one
+            nfn = dst[:, 1] + (d_tot - d_one)
+            nsp = dst[:, 2] + d_one
+            nsn = dst[:, 3] + (d_tot - d_one)
+            nfp, nfn = _halve_while(nfp, nfn, fast_w, it_f)
+            nsp, nsn = _halve_while(nsp, nsn, slow_w, it_s)
+            gp = sst[:, 0] + s_one
+            gn = sst[:, 1] + (s_tot - s_one)
+            gp, gn = _halve_while(gp, gn, sig_w, it_g)
+            return (jnp.stack([nfp, nfn, nsp, nsn], axis=1),
+                    jnp.stack([gp, gn], axis=1)), cst
+
+        (dfin, sfin), cstates = jax.lax.scan(stage, (dstate0, sstate0), (ddel, sdel))
+        sub_idx = (jax.lax.broadcasted_iota(jnp.int32, (sup, batch), 0) * U
+                   + slot.reshape(sup, batch)).reshape(-1)
+        st = cstates.reshape(sup * U, 6)[sub_idx]  # (sup*B, 6)
+
+        kind_f = kind.reshape(-1)
+        prior_raw = prior_raw.reshape(-1)
+        prior_f = prior_raw & 0x7FFF
+        alpha_v = jnp.where(prior_raw >> 15 != 0, alpha_off, alpha_on)
+        # Frozen semantics: the staged state IS the per-bin state (no within-
+        # batch prefix adders).
+        ps = _div_floor(st[:, 2] << PROB_BITS, st[:, 2] + st[:, 3])
+        pf = _div_floor(st[:, 0] << PROB_BITS, st[:, 0] + st[:, 1])
+        p_dual = _clamp_prob(jnp.where(prior_f > 0,
+                                       (3 * (pf + ps) + 2 * prior_f) >> 3,
+                                       (pf + ps) >> 1))
+        p_slow = _clamp_prob(ps)
+        p_sig = _clamp_prob(_div_floor((st[:, 4] << PROB_BITS) + alpha_v * prior_f,
+                                       st[:, 4] + st[:, 5] + alpha_v))
+        prob = jnp.where(kind_f == 0, p_dual, jnp.where(kind_f == 1, p_slow, p_sig))
+        prob = jnp.where(kind_f == 3, _clamp_prob(prior_f), prob)
+
+        dual = dual.at[kd].set(dfin, unique_indices=True, indices_are_sorted=True)
+        sig = sig.at[ks].set(sfin, unique_indices=True, indices_are_sorted=True)
+        return (dual, sig), prob.astype(jnp.uint16)
+
+    (_, _), probs = jax.lax.scan(
+        step, (dual0, sig0),
+        (bit_all.reshape(sh), kind_all.reshape(sh), slot_all.reshape(sh),
+         prior_all.reshape(sh), dk_d, dk_s, dd, ds))
+    return probs.reshape(-1), bit_all
+
+
 @functools.partial(jax.jit, static_argnames=("batch", "fast_w", "slow_w", "sig_w", "sig_alpha"))
 def model_pass_dict(bits, kinds, priors, bin_u, dict_keys, dual0, sig0, batch: int,
                     fast_w: int, slow_w: int, sig_w: int, sig_alpha: int):

@@ -81,6 +81,36 @@ def test_frozen_profile_roundtrip(small_clip):
     assert rep.ok
 
 
+def test_slim_wire_bit_exact(small_clip):
+    """The slim (ANL2) wire format + frozen-batch device pass must reproduce
+    the host profile-2 probabilities bit-for-bit, including prior-dictionary
+    escapes and the on-device COO delta reconstruction."""
+    from avrecode_tpu import device
+    an = device.analyze(small_clip, batch_size=1024, model_profile=2)
+    assert an.slim
+    for c in an.chunks:
+        probs = device.device_probs(an, c)
+        assert np.array_equal(probs, c.host_probs)
+        # the slim wire must be a few bytes/bin, not tens
+        wire = (c.packed.nbytes + c.prior_idx.nbytes + c.dk_d.nbytes +
+                c.dk_s.nbytes + c.coo_slot.nbytes * 3 + c.dual0.nbytes)
+        assert wire < 8 * c.n + c.dual0.nbytes
+
+
+def test_slim_multichunk_roundtrip(corpus_dir):
+    """Slim path over per-GOP chunks (chunk_mode=1) through the host decoder."""
+    from avrecode_tpu import device, pipeline
+    with open(os.path.join(corpus_dir, "ipb_high.mp4"), "rb") as f:
+        data = f.read()
+    an = device.analyze(data, batch_size=512, chunk_mode=1, model_profile=2)
+    assert an.slim and len(an.chunks) > 1
+    for c in an.chunks:
+        assert np.array_equal(device.device_probs(an, c), c.host_probs)
+    comp, _ = device.compress(data, batch_size=512, chunk_mode=1)
+    dec, _ = pipeline.decompress(comp)
+    assert dec == data
+
+
 def test_model_pass_mm_impl_bit_exact(small_clip):
     """The sort-free (masked-matmul) prefix formulation must match the
     sort-based one bit-for-bit on real traces."""
