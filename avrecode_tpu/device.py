@@ -244,6 +244,15 @@ def _bucket_pow2(x: int, lo: int = 16) -> int:
     return b
 
 
+def _bucket_lin(x: int, step: int = 1 << 18) -> int:
+    """Linear bucketing for big variable-size wire arrays: pow2 overshoots by
+    up to 2x (real transfer bytes); 256Ki steps keep the program-variant count
+    small while capping padding waste."""
+    if x <= 1 << 18:
+        return _bucket_pow2(x)
+    return -(-x // step) * step
+
+
 def _run_v3(an: Analysis, c: SlimChunk):
     """Pads/buckets one slim chunk's wire arrays and runs the frozen-batch
     device pass. Returns device-resident (probs uint16[m], bits int32[m])."""
@@ -262,17 +271,20 @@ def _run_v3(an: Analysis, c: SlimChunk):
     esc_idx[:len(c.esc_idx)] = c.esc_idx
     esc_val = np.ones(ne, np.uint16)
     esc_val[:len(c.esc_val)] = c.esc_val
-    nc = _bucket_pow2(len(c.coo_slot))
+    nc = _bucket_lin(len(c.coo_slot))
     coo_slot = np.zeros(nc, np.uint16)
     coo_slot[:len(c.coo_slot)] = c.coo_slot
     coo_vals = np.zeros((nc, 2), np.uint16)
     coo_vals[:len(c.coo_ones), 0] = c.coo_ones
     coo_vals[:len(c.coo_tot), 1] = c.coo_tot
+    deltas, prior_full = mp.wire_expand(
+        jnp.asarray(c.coo_cnt), jnp.asarray(coo_slot), jnp.asarray(coo_vals),
+        np.int32(len(c.coo_slot)), jnp.asarray(pidx), jnp.asarray(pdict),
+        jnp.asarray(esc_idx), jnp.asarray(esc_val),
+        nsub=int(ns * an.sup), U=int(ud + us))
     probs, bits = mp.model_pass_v3(
-        jnp.asarray(packed), jnp.asarray(pidx), jnp.asarray(pdict),
-        jnp.asarray(esc_idx), jnp.asarray(esc_val), jnp.asarray(c.dk_d),
-        jnp.asarray(c.dk_s), jnp.asarray(c.coo_cnt), jnp.asarray(coo_slot),
-        jnp.asarray(coo_vals), np.int32(len(c.coo_slot)), jnp.asarray(c.dual0),
+        jnp.asarray(packed), prior_full, jnp.asarray(c.dk_d),
+        jnp.asarray(c.dk_s), deltas, jnp.asarray(c.dual0),
         batch=int(an.batch), sup=int(an.sup), fast_w=int(an.fast_w),
         slow_w=int(an.slow_w), sig_w=int(an.sig_w), sig_alpha=int(an.sig_alpha),
         ud=int(ud), us=int(us), n_sig=int(an.n_sig))

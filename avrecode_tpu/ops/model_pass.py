@@ -183,11 +183,37 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
     return probs.reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnames=("nsub", "U"))
+def wire_expand(coo_cnt, coo_slot, coo_vals, n_coo, prior_idx, pdict, esc_idx, esc_val,
+                nsub: int, U: int):
+    """Wire decompression, run once per chunk (separate program from the model
+    scan so its cost amortizes like the transfer it replaces, not like the
+    model pass):
+
+    - sparse per-sub-batch COO deltas -> dense (nsub, U, 2) update table; the
+      per-entry sub-batch index never travels over the wire — it is rebuilt
+      from coo_cnt by marking segment starts and cumsumming;
+    - u8 prior dictionary indices -> full u16 priors (dict gather + escape
+      scatter)."""
+    nc = coo_slot.shape[0]
+    cnts = coo_cnt.astype(jnp.int32)
+    starts = jnp.cumsum(cnts) - cnts
+    mark = jnp.zeros((nc + 1,), jnp.int32).at[starts].add(1, mode="drop")
+    coo_sub = jnp.cumsum(mark[:nc]) - 1
+    live = jax.lax.iota(jnp.int32, nc) < n_coo
+    flat = jnp.where(live, coo_sub * U + coo_slot.astype(jnp.int32), nsub * U)
+    tbl = jnp.zeros((nsub * U, 2), jnp.uint16)
+    tbl = tbl.at[flat].set(coo_vals, mode="drop", unique_indices=True)
+    prior = pdict[prior_idx.astype(jnp.int32)]
+    prior = prior.at[esc_idx.astype(jnp.int32)].set(esc_val, mode="drop")
+    return tbl.reshape(nsub, U, 2), prior
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha",
                                     "ud", "us", "n_sig"))
-def model_pass_v3(packed, prior_idx, pdict, esc_idx, esc_val, dk_d, dk_s,
-                  coo_cnt, coo_slot, coo_vals, n_coo, dual0_u16, batch: int, sup: int,
+def model_pass_v3(packed, prior_u16, dk_d, dk_s,
+                  deltas, dual0_u16, batch: int, sup: int,
                   fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
                   n_sig: int = 1 << 17):
     """Frozen-batch (model profile 2) pass over the slim wire format.
@@ -200,15 +226,10 @@ def model_pass_v3(packed, prior_idx, pdict, esc_idx, esc_val, dk_d, dk_s,
     per bin state IS the staged start-of-sub-batch dict state.
 
     packed:   uint16[ns*sup*B] (padded; pad = kind 3, slot ud-1, bit 0)
-    prior_idx: uint8[ns*sup*B]; pdict: uint16[256] (index 255 must map to a
-      neutral 1 — real escapes are scattered over it via esc_idx/esc_val)
-    esc_idx:  int32[ne] positions (pad = out-of-range -> dropped)
+    prior_u16: uint16[ns*sup*B] full priors (wire_expand's output)
     dk_d/dk_s: int32[ns, ud/us] per-super-step sorted-unique key rows
-    coo_cnt:  uint16[ns*sup] entries per sub-batch (the global sub-batch index
-      of each COO entry is reconstructed on device: a scatter of segment
-      starts + a cumsum — it never travels over the wire)
-    coo_slot: uint16[nc] slab slot; coo_vals: uint16[nc, 2] (ones, total);
-      nc is a pow2 bucket, n_coo (dynamic scalar) the live prefix
+    deltas:   uint16[ns*sup, U, 2] per-sub-batch per-slot (ones, total)
+      update table, reconstructed on device by wire_expand
     dual0_u16: uint16[n_dual, 4] seeded dual table (widened on device)
 
     Returns (probs uint16[m], bits int32[m]). Bit-identical to the host
@@ -232,23 +253,8 @@ def model_pass_v3(packed, prior_idx, pdict, esc_idx, esc_val, dk_d, dk_s,
     slot_all = pk & 0x1FFF
     dk_d = dk_d.astype(jnp.int32)
     dk_s = dk_s.astype(jnp.int32)
-    # Priors: dict gather + escape scatter.
-    prior_all = pdict.astype(jnp.int32)[prior_idx.astype(jnp.int32)]
-    prior_all = prior_all.at[esc_idx.astype(jnp.int32)].set(
-        esc_val.astype(jnp.int32), mode="drop")
-    # Sparse COO -> dense per-sub-batch (ones, total) deltas, one scatter.
-    # The per-entry sub-batch index is rebuilt from coo_cnt: mark each
-    # sub-batch's start position, cumsum -> segment ids.
-    nc = coo_slot.shape[0]
-    cnts = coo_cnt.astype(jnp.int32)
-    starts = jnp.cumsum(cnts) - cnts
-    mark = jnp.zeros((nc + 1,), jnp.int32).at[starts].add(1, mode="drop")
-    coo_sub = jnp.cumsum(mark[:nc]) - 1
-    live = jax.lax.iota(jnp.int32, nc) < n_coo
-    flat = jnp.where(live, coo_sub * U + coo_slot.astype(jnp.int32), ns * sup * U)
-    tbl = jnp.zeros((ns * sup * U, 2), jnp.int32)
-    tbl = tbl.at[flat].set(coo_vals.astype(jnp.int32), mode="drop", unique_indices=True)
-    tbl = tbl.reshape(ns, sup, U, 2)
+    prior_all = prior_u16.astype(jnp.int32)
+    tbl = deltas.astype(jnp.int32).reshape(ns, sup, U, 2)
     dd = tbl[:, :, :ud, :]
     ds = tbl[:, :, ud:, :]
 

@@ -50,46 +50,64 @@ def _device_worker(q, data, batch):
             times.append(time.time() - t0)
         dev_s = sorted(times)[1]
 
-        an = device.analyze(data, batch_size=batch)
+        # Chip-capability number: stage the slim-wire inputs once, then time
+        # the jitted frozen-batch pass alone (host analysis and tunnel
+        # transfers are reported separately — see device_wire_mb).
+        an = device.analyze(data, batch_size=batch, model_profile=2)
         c = an.chunks[0]
         from avrecode_tpu.ops import model_pass as mp
-        # Stage the v2 inputs on-device once, then time the jitted pass alone
-        # (the chip-capability number; host analysis and tunnel transfers are
-        # reported separately).
-        n = len(c.bit)
-        sup = an.sup
-        m = c.v2_m
+        n, m = c.n, c.m
         pad = m - n
-        ns = m // (sup * batch)
-        ud = c.v2_dk_d.shape[1]
-        us = c.v2_dk_s.shape[1]
-        sh = (ns, sup, batch)
-        kind_p = np.concatenate([c.kind.astype(np.int32), np.full(pad, 3, np.int32)])
-        prior_p = np.concatenate([c.prior.astype(np.int32), np.ones(pad, np.int32)])
-        pre1_p = np.concatenate([c.pre_ones.astype(np.int32), np.zeros(pad, np.int32)])
-        pret_p = np.concatenate([c.pre_tot.astype(np.int32), np.zeros(pad, np.int32)])
-        dual_ext = np.concatenate([c.dual0.astype(np.int32), np.ones((1 + ud, 4), np.int32)])
-        sig_ext = np.concatenate([np.zeros((an.n_sig, 2), np.int32),
-                                  np.ones((us, 2), np.int32)])
-        args = [jax.device_put(jnp.asarray(x)) for x in (
-            kind_p.reshape(sh), prior_p.reshape(sh), pre1_p.reshape(sh), pret_p.reshape(sh),
-            c.v2_bin_u.astype(np.int32).reshape(sh), c.v2_dk_d, c.v2_dk_s, c.v2_dd, c.v2_ds,
-            dual_ext, sig_ext)]
-        kw = dict(batch=batch, sup=sup, fast_w=an.fast_w, slow_w=an.slow_w, sig_w=an.sig_w,
-                  sig_alpha=an.sig_alpha)
-        r = mp.model_pass_v2(*args, **kw)
-        int(jnp.sum(r.astype(jnp.int32)))  # warm + sync
-        exact = bool(np.array_equal(np.asarray(r)[:n], c.host_probs))
+        pad_val = (3 << 13) | (c.ud - 1)
+        packed = np.concatenate([c.packed, np.full(pad, pad_val, np.uint16)])
+        pidx = np.concatenate([c.prior_idx, np.full(pad, 255, np.uint8)])
+        pdict = np.ones(256, np.uint16)
+        pdict[:len(c.pdict)] = c.pdict
+        ne = device._bucket_pow2(len(c.esc_idx))
+        esc_idx = np.full(ne, m, np.uint32)
+        esc_idx[:len(c.esc_idx)] = c.esc_idx
+        esc_val = np.ones(ne, np.uint16)
+        esc_val[:len(c.esc_val)] = c.esc_val
+        nc = device._bucket_lin(len(c.coo_slot))
+        coo_slot = np.zeros(nc, np.uint16)
+        coo_slot[:len(c.coo_slot)] = c.coo_slot
+        coo_vals = np.zeros((nc, 2), np.uint16)
+        coo_vals[:len(c.coo_ones), 0] = c.coo_ones
+        coo_vals[:len(c.coo_tot), 1] = c.coo_tot
+        host_arrays = (packed, pidx, pdict, esc_idx, esc_val, c.dk_d, c.dk_s,
+                       c.coo_cnt, coo_slot, coo_vals)
+        wire_mb = sum(a.nbytes for a in host_arrays + (c.dual0,)) / 1e6
+        # Measured wire time: repeat upload of the exact production arrays.
+        t0 = time.time()
+        args = [jax.device_put(jnp.asarray(x)) for x in host_arrays]
+        for a in args:
+            a.block_until_ready()
+        int(jnp.sum(args[0].astype(jnp.int32)))  # axon: force real sync
+        wire_s = time.time() - t0
+        dual0_dev = jax.device_put(jnp.asarray(c.dual0))
+        deltas, prior_full = mp.wire_expand(
+            args[7], args[8], args[9], np.int32(len(c.coo_slot)),
+            args[1], args[2], args[3], args[4],
+            nsub=int(c.ns * an.sup), U=int(c.ud + c.us))
+        kw = dict(batch=batch, sup=an.sup, fast_w=an.fast_w, slow_w=an.slow_w,
+                  sig_w=an.sig_w, sig_alpha=an.sig_alpha, ud=c.ud, us=c.us,
+                  n_sig=an.n_sig)
+        probs, bits = mp.model_pass_v3(args[0], prior_full, args[5], args[6],
+                                       deltas, dual0_dev, **kw)
+        int(jnp.sum(probs.astype(jnp.int32)))  # warm + sync
+        exact = bool(np.array_equal(np.asarray(probs)[:n], c.host_probs))
         reps = 3
         t0 = time.time()
         for _ in range(reps):
-            int(jnp.sum(mp.model_pass_v2(*args, **kw).astype(jnp.int32)))
+            p2, _ = mp.model_pass_v3(args[0], prior_full, args[5], args[6],
+                                     deltas, dual0_dev, **kw)
+            int(jnp.sum(p2.astype(jnp.int32)))
         mbins_s = m * reps / (time.time() - t0) / 1e6
         if not exact:
             mbins_s = 0.0
-        q.put(("ok", dev_s, mbins_s, bytes(comp_dev)))
+        q.put(("ok", dev_s, mbins_s, bytes(comp_dev), wire_mb, wire_s))
     except Exception as e:  # pragma: no cover
-        q.put(("err", str(e), 0.0, b""))
+        q.put(("err", str(e), 0.0, b"", 0.0, 0.0))
 
 
 def main():
@@ -121,11 +139,12 @@ def main():
     dev_s = float("inf")
     mbins_s = 0.0
     comp_dev = b""
+    wire_mb = wire_s = 0.0
     try:
-        status, a, b, c = q.get(timeout=timeout_s)
+        status, a, b, c, wmb, ws = q.get(timeout=timeout_s)
         if status == "ok":
             device_ok = True
-            dev_s, mbins_s, comp_dev = a, b, c
+            dev_s, mbins_s, comp_dev, wire_mb, wire_s = a, b, c, wmb, ws
         else:
             log(f"bench: device worker error: {a}")
     except Exception:
@@ -155,6 +174,12 @@ def main():
         value = mb / host_s
         ok = host_ok
         comp_used = comp_host
+    # Physics note for the tunnel attach: the slim device wire is ~3 bytes/bin
+    # while the input stream holds ~11 bins/byte, so the device path must move
+    # ~35x the input size through the ~38 MB/s tunnel — feeding the chip costs
+    # more wall-clock than the 2-core host path's entire job. The colocated
+    # projection (dev_e2e minus measured wire time) is what a PCIe-attached
+    # deployment of the identical code would see.
     print(json.dumps({
         "metric": "recompress_throughput",
         "value": round(value, 3) if ok else 0.0,
@@ -165,6 +190,9 @@ def main():
         "compression_ratio": round(len(comp_used) / len(data), 5),
         "input_mb": round(mb, 3),
         "host_path_mb_s": round(mb / host_s, 3),
+        "device_e2e_s": round(dev_s, 3) if device_ok else None,
+        "device_wire_mb": round(wire_mb, 1),
+        "device_wire_s": round(wire_s, 3),
         "device_model_mbins_s": round(mbins_s, 1),
         "bins": st.total_bins,
     }))
