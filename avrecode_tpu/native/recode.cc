@@ -335,6 +335,33 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
   }
   flush_literal(size);
   st.n_chunks = chunk_started ? int(chunk_idx) + 1 : 0;
+
+  // chunk_mode 0: section large files into a few independently-modeled
+  // chunks split at picture boundaries (~section_bins bins each, balanced).
+  // Machine-independent policy — the same input yields the same container
+  // everywhere — that parallelizes the model pass, the rANS encode, the
+  // decode, and the device-path walk, at a per-section model cold-start cost
+  // measured < 0.05pp. (The reference is strictly serial end-to-end,
+  // recode.cpp:122.)
+  if (opt.chunk_mode == 0 && !slices.empty()) {
+    uint64_t sec_bins = opt.section_bins ? opt.section_bins : 8'000'000;
+    const char* env = getenv("ARTC_SECTION_BINS");
+    if (env && *env) sec_bins = strtoull(env, nullptr, 10);
+    uint64_t total = 0;
+    for (const auto& s : slices)
+      total += s.coding == 1 ? s.cstream.values.size() : s.ss.bins.size();
+    uint64_t n_sec = std::min<uint64_t>(total / sec_bins + 1, 64);
+    if (n_sec > 1) {
+      uint64_t acc = 0, sec = 0;
+      for (auto& s : slices) {
+        if (s.new_picture && sec + 1 < n_sec && acc * n_sec >= total * (sec + 1))
+          ++sec;
+        s.chunk_idx = uint32_t(sec);
+        acc += s.coding == 1 ? s.cstream.values.size() : s.ss.bins.size();
+      }
+      st.n_chunks = int(sec) + 1;
+    }
+  }
   Pass1 out;
   out.slices = std::move(slices);
   out.segments = std::move(segments);
@@ -412,7 +439,7 @@ static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
                               const Options& opt) {
   // Probe on a prefix sample of the chunk (cap ~4M bins): mode choice is a
   // coarse statistic; the sample keeps the two probe passes cheap.
-  constexpr uint64_t kProbeBinCap = 6'000'000;
+  constexpr uint64_t kProbeBinCap = 3'000'000;
   uint64_t on_cost[3][6], off_cost[3][6];
   uint64_t eob_adapt[3][6], eob_parity[3][6];
   auto probe = [&](int mode, uint64_t (*cost)[6], bool grab_eob) {
@@ -555,12 +582,24 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   // parallelize across a thread pool (the reference is strictly single-
   // threaded, recode.cpp:122).
   unsigned n_workers = std::min<size_t>(std::thread::hardware_concurrency(), ranges.size());
+  // chunk_mode 0 sections are statistically homogeneous (balanced splits of
+  // one stream): one probe on the first section serves all of them. GOP
+  // chunks (mode 1) keep per-chunk probes.
+  bool share_modes = opt.chunk_mode == 0 && ranges.size() > 1;
+  uint64_t modes0 = 0;
+  if (share_modes) {
+    double tp = timing_enabled() ? now_s() : 0;
+    modes0 = pick_nz_modes(p1.slices, ranges[0].first, ranges[0].second, opt);
+    if (timing_enabled())
+      fprintf(stderr, "[artc]   nz-mode probe %.3fs (shared, %zu sections)\n",
+              now_s() - tp, ranges.size());
+  }
   if (n_workers <= 1) {
     for (size_t c = 0; c < ranges.size(); ++c) {
       auto [b, e] = ranges[c];
       double tp = timing_enabled() ? now_s() : 0;
-      nz_modes[c] = pick_nz_modes(p1.slices, b, e, opt);
-      if (timing_enabled())
+      nz_modes[c] = share_modes ? modes0 : pick_nz_modes(p1.slices, b, e, opt);
+      if (timing_enabled() && !share_modes)
         fprintf(stderr, "[artc]   nz-mode probe %.3fs\n", now_s() - tp);
       blobs[c] = run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr,
                                  nz_modes[c]);
@@ -575,7 +614,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
         for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
           auto [b, e] = ranges[c];
           Stats local;
-          uint64_t modes = pick_nz_modes(p1.slices, b, e, opt);
+          uint64_t modes = share_modes ? modes0 : pick_nz_modes(p1.slices, b, e, opt);
           auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr, nullptr,
                                       modes);
           std::lock_guard<std::mutex> lock(mu);
@@ -972,8 +1011,11 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
     s->opt.model_profile = model_profile;
     s->p1 = run_pass1(s->data.data(), size, s->opt, s->st);
     chunk_ranges(s->p1.slices, s->st.n_chunks, &s->ranges);
+    bool share = s->opt.chunk_mode == 0 && s->ranges.size() > 1;
     for (auto [b, e] : s->ranges)
-      s->nz_modes.push_back(pick_nz_modes(s->p1.slices, b, e, s->opt));
+      s->nz_modes.push_back(share && !s->nz_modes.empty()
+                                ? s->nz_modes[0]
+                                : pick_nz_modes(s->p1.slices, b, e, s->opt));
     return s;
   } catch (const std::exception& e) {
     g_error = e.what();

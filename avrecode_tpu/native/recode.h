@@ -42,9 +42,15 @@ constexpr uint8_t kContainerVersion = 12;
 
 struct Options {
   int lanes = 16;
-  // 0 = one chunk for the whole file (max compression, serial decode);
+  // 0 = sectioned whole-file chunking (max compression; large files split
+  //     into a few independently-modeled sections at picture boundaries so
+  //     the model pass and decode parallelize — ~4M bins each, machine-
+  //     independent policy, measured ratio cost <0.05pp on bench.mp4);
   // 1 = new chunk at each IDR picture (GOP-parallel decode/encode).
   int chunk_mode = 0;
+  // chunk_mode 0 section target (bins); 0 = default 4M. Sections share one
+  // nz-mode probe (they are statistically homogeneous by construction).
+  uint64_t section_bins = 0;
   // Estimator-update batch size: 1 = per-bin adaptation (reference-like,
   // serial); >1 = frozen-within-batch tables (the TPU formulation; measured
   // ratio cost <0.3% at 16k). Stored in the container header.
