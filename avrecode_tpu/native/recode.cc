@@ -1216,7 +1216,43 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
     w.u32(uint32_t(PriorModel::kSigMixAlpha) |
           (uint32_t(PriorModel::kSigMixAlphaOff) << 16));
     w.u32(sup_u);
-    for (size_t ci = 0; ci < ranges.size(); ++ci) {
+    // Slim chunks are independent: walk + export in parallel into per-chunk
+    // buffers (with sectioned chunk_mode-0 files this parallelizes the whole
+    // analyze across cores), then concatenate in order.
+    if (slim) {
+      std::vector<Writer> cw(ranges.size());
+      std::atomic<size_t> next{0};
+      auto work = [&] {
+        for (size_t ci; (ci = next.fetch_add(1)) < ranges.size();) {
+          auto [b, e] = ranges[ci];
+          std::vector<PriorModel::Coded> trace;
+          std::vector<uint16_t> probs;
+          std::vector<Dual> dual0;
+          Stats tmp;
+          double t0 = timing_enabled() ? now_s() : 0;
+          run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0,
+                          se->nz_modes[ci], /*encode_blob=*/false);
+          if (timing_enabled())
+            fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
+                    ci, now_s() - t0, trace.size());
+          t0 = timing_enabled() ? now_s() : 0;
+          write_slim_chunk(cw[ci], trace, probs, want_probs, dual0,
+                           opt.batch_size ? opt.batch_size : 1, sup_u);
+          if (timing_enabled())
+            fprintf(stderr, "[artc] analyze chunk %zu: slim export %.3fs\n",
+                    ci, now_s() - t0);
+        }
+      };
+      unsigned n_workers =
+          std::max(1u, std::min<unsigned>(std::thread::hardware_concurrency(),
+                                          unsigned(ranges.size())));
+      std::vector<std::thread> threads;
+      for (unsigned t = 1; t < n_workers; ++t) threads.emplace_back(work);
+      work();
+      for (auto& t : threads) t.join();
+      for (const auto& cb : cw) w.bytes(cb.buf.data(), cb.buf.size());
+    }
+    for (size_t ci = 0; slim ? false : ci < ranges.size(); ++ci) {
       auto [b, e] = ranges[ci];
       std::vector<PriorModel::Coded> trace;
       std::vector<uint16_t> probs;
@@ -1230,13 +1266,6 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
         fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
                 ci, now_s() - t0, trace.size());
       t0 = timing_enabled() ? now_s() : 0;
-      if (slim) {
-        write_slim_chunk(w, trace, probs, want_probs, dual0,
-                         opt.batch_size ? opt.batch_size : 1, sup_u);
-        if (timing_enabled())
-          fprintf(stderr, "[artc] analyze chunk %zu: slim export %.3fs\n", ci, now_s() - t0);
-        continue;
-      }
       w.u64(trace.size());
       for (const auto& c : trace) w.u8(c.bit);
       for (const auto& c : trace) w.u8(c.kind);

@@ -76,7 +76,13 @@ def _device_worker(q, data, batch):
         coo_vals[:len(c.coo_tot), 1] = c.coo_tot
         host_arrays = (packed, pidx, pdict, esc_idx, esc_val, c.dk_d, c.dk_s,
                        c.coo_cnt, coo_slot, coo_vals)
-        wire_mb = sum(a.nbytes for a in host_arrays + (c.dual0,)) / 1e6
+        # Total wire = every chunk's upload bytes (the staged/timed arrays
+        # below cover chunk 0 only; sections split the stream across chunks).
+        wire_mb = sum(
+            cc.m * 3 + cc.dk_d.nbytes + cc.dk_s.nbytes + cc.dual0.nbytes +
+            cc.coo_cnt.nbytes + device._bucket_lin(len(cc.coo_slot)) * 6 +
+            device._bucket_pow2(len(cc.esc_idx)) * 6 + 512
+            for cc in an.chunks) / 1e6
         # Measured wire time: repeat upload of the exact production arrays.
         t0 = time.time()
         args = [jax.device_put(jnp.asarray(x)) for x in host_arrays]
