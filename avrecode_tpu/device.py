@@ -325,7 +325,8 @@ def pick_lanes(n_pairs: int) -> int:
     return k
 
 
-def device_blob(an: Analysis, chunk, probs: np.ndarray | None = None) -> bytes:
+def device_blob(an: Analysis, chunk, probs: np.ndarray | None = None,
+                force_lanes: int | None = None) -> bytes:
     """Encodes one chunk's rANS blob on device; byte-identical to the C++
     RansInterleaved format (the blob self-describes its lane count).
 
@@ -336,10 +337,11 @@ def device_blob(an: Analysis, chunk, probs: np.ndarray | None = None) -> bytes:
     if an.slim:
         probs_dev, bits_dev = _run_v3(an, chunk)
         return lx.encode_interleaved_dev(bits_dev, probs_dev, chunk.n,
-                                         pick_lanes(chunk.n))
+                                         force_lanes or pick_lanes(chunk.n))
     if probs is None:
         probs = device_probs(an, chunk)
-    return lx.encode_interleaved(chunk.bit, probs, pick_lanes(len(chunk.bit)))
+    return lx.encode_interleaved(chunk.bit, probs,
+                                 force_lanes or pick_lanes(len(chunk.bit)))
 
 
 def device_blob_fused(an: Analysis, chunk: ChunkAnalysis) -> bytes:
@@ -380,7 +382,8 @@ def _session_lib():
 
 
 def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
-             batch_size: int = 4096, model_profile: int = 2) -> tuple[bytes, host.Stats]:
+             batch_size: int = 4096, model_profile: int = 2,
+             force_lanes: int | None = None) -> tuple[bytes, host.Stats]:
     """Full device-path compression (model + entropy on TPU/JAX). One native
     session shares pass1/nz-mode state between analysis and packing.
 
@@ -406,21 +409,133 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
         finally:
             lib.artc_free(out)
         an = _parse_analysis(raw)
-        blobs = [device_blob(an, c) for c in an.chunks]
-        blob_cat = b"".join(blobs)
-        lens = (ctypes.c_uint64 * len(blobs))(*[len(b) for b in blobs])
-        pout = ctypes.POINTER(ctypes.c_uint8)()
-        pout_len = ctypes.c_size_t()
-        st = host.ArtcStatsC()
-        rc = lib.artc_session_pack(h, blob_cat, lens, len(blobs),
-                                   ctypes.byref(pout), ctypes.byref(pout_len),
-                                   ctypes.byref(st))
+        blobs = [device_blob(an, c, force_lanes=force_lanes) for c in an.chunks]
+        return _pack_session(lib, h, blobs)
+    finally:
+        lib.artc_session_close(h)
+
+
+def _pack_session(lib, h, blobs: list[bytes]) -> tuple[bytes, host.Stats]:
+    blob_cat = b"".join(blobs)
+    lens = (ctypes.c_uint64 * len(blobs))(*[len(b) for b in blobs])
+    pout = ctypes.POINTER(ctypes.c_uint8)()
+    pout_len = ctypes.c_size_t()
+    st = host.ArtcStatsC()
+    rc = lib.artc_session_pack(h, blob_cat, lens, len(blobs),
+                               ctypes.byref(pout), ctypes.byref(pout_len),
+                               ctypes.byref(st))
+    if rc != 0:
+        raise host.NativeError(lib.artc_last_error().decode())
+    try:
+        result = ctypes.string_at(pout, pout_len.value)
+    finally:
+        lib.artc_free(pout)
+    return result, host.Stats.from_c(st)
+
+
+def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
+                  batch_size: int = 4096, sup: int = 0,
+                  force_lanes: int | None = None) -> tuple[bytes, host.Stats]:
+    """Mesh-sharded device compression of a REAL clip into a REAL container.
+
+    The host walk exports slim chunks (GOP chunks under chunk_mode=1,
+    picture-boundary sections under 0); every chunk is padded to mesh-uniform
+    shapes and the whole set runs as ONE jitted shard_map step over the
+    (gop, lane) mesh — frozen-batch model scan per chunk on the gop axis,
+    rANS lane scan on the lane axis, stats psum'd over both. The gathered
+    lane outputs reassemble into byte-identical RansInterleaved blobs and the
+    session packs the same ATRC container the single-device path emits; the
+    host serial decoder reads it back bit-exactly.
+    (SURVEY.md §2.9 GOP-parallel sharding; the reference has no multi-device
+    story at all.)"""
+    import jax.numpy as jnp
+    from .ops import lanes as lx
+    from .ops import model_pass as mp
+    from .parallel.pipeline import sharded_v3_compress_step
+    _ensure_jax_cache()
+    if sup <= 0:
+        sup = mp.default_sup()
+    lib = _session_lib()
+    h = lib.artc_session_open(data, len(data), lanes, chunk_mode, batch_size, 2)
+    if not h:
+        raise host.NativeError(lib.artc_last_error().decode())
+    try:
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_len = ctypes.c_size_t()
+        rc = lib.artc_session_analyze2(h, sup, 1, ctypes.byref(out), ctypes.byref(out_len))
         if rc != 0:
             raise host.NativeError(lib.artc_last_error().decode())
         try:
-            result = ctypes.string_at(pout, pout_len.value)
+            raw = ctypes.string_at(out, out_len.value)
         finally:
-            lib.artc_free(pout)
-        return result, host.Stats.from_c(st)
+            lib.artc_free(out)
+        an = _parse_analysis(raw)
+        chunks: list[SlimChunk] = an.chunks
+        G = len(chunks)
+        n_gop = mesh.shape["gop"]
+        G_pad = -(-G // n_gop) * n_gop
+        UD = max(c.ud for c in chunks)
+        US = max(c.us for c in chunks)
+        NS = max(c.ns for c in chunks)
+        U = UD + US
+        M = NS * sup * an.batch
+        NSUB = NS * sup
+        K = force_lanes or pick_lanes(max(c.n for c in chunks))
+        n_dual_ext = an.n_dual + 1
+
+        bit = np.zeros((G_pad, M), np.uint8)
+        kind = np.full((G_pad, M), 3, np.uint8)
+        slot = np.full((G_pad, M), UD - 1, np.uint16)
+        prior = np.ones((G_pad, M), np.uint16)
+        deltas = np.zeros((G_pad, NSUB, U, 2), np.uint16)
+        # Default dict rows = per-column scratch keys (distinct within a row;
+        # live rows overwrite below, and a chunk's own pad keys occupy
+        # [n_dual_ext, n_dual_ext + ud) so the column-based fill can't collide).
+        dk_d = np.broadcast_to(n_dual_ext + np.arange(UD, dtype=np.int32),
+                               (G_pad, NS, UD)).copy()
+        dk_s = np.broadcast_to(an.n_sig + np.arange(US, dtype=np.int32),
+                               (G_pad, NS, US)).copy()
+        dual0 = np.ones((G_pad, an.n_dual, 4), np.uint16)
+        n_arr = np.zeros((G_pad,), np.int32)
+        for g, c in enumerate(chunks):
+            pk = c.packed
+            b = (pk >> 15).astype(np.uint8)
+            k = ((pk >> 13) & 3).astype(np.uint8)
+            s = (pk & 0x1FFF).astype(np.uint16)
+            # sig slots shift when this chunk's dual dict is narrower than UD
+            s = np.where(s >= c.ud, s + (UD - c.ud), s).astype(np.uint16)
+            bit[g, :c.n] = b
+            kind[g, :c.n] = k
+            slot[g, :c.n] = s
+            pd = np.ones(256, np.uint16)
+            pd[:len(c.pdict)] = c.pdict
+            pr = pd[c.prior_idx]
+            pr[c.esc_idx] = c.esc_val
+            prior[g, :c.n] = pr
+            sub = np.repeat(np.arange(len(c.coo_cnt), dtype=np.int64),
+                            c.coo_cnt.astype(np.int64))
+            sl = c.coo_slot.astype(np.int64)
+            sl = np.where(sl >= c.ud, sl + (UD - c.ud), sl)
+            deltas[g, sub, sl, 0] = c.coo_ones
+            deltas[g, sub, sl, 1] = c.coo_tot
+            dk_d[g, :c.ns, :c.ud] = c.dk_d
+            dk_s[g, :c.ns, :c.us] = c.dk_s
+            dual0[g] = c.dual0
+            n_arr[g] = c.n
+
+        step = sharded_v3_compress_step(
+            mesh, batch=int(an.batch), sup=int(sup), fast_w=int(an.fast_w),
+            slow_w=int(an.slow_w), sig_w=int(an.sig_w), sig_alpha=int(an.sig_alpha),
+            ud=int(UD), us=int(US), n_sig=int(an.n_sig), K_total=int(K))
+        x_final, words, emits, _, total_words = step(
+            *(jnp.asarray(a) for a in (bit, kind, slot, prior, dk_d, dk_s,
+                                       deltas, dual0, n_arr)))
+        x_final = np.asarray(x_final)
+        words = np.asarray(words)
+        emits = np.asarray(emits)
+        assert int(total_words) > 0
+        blobs = [lx.assemble_blob(x_final[g], words[g], emits[g], chunks[g].n, K)
+                 for g in range(G)]
+        return _pack_session(lib, h, blobs)
     finally:
         lib.artc_session_close(h)

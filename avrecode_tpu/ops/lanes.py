@@ -103,6 +103,27 @@ def _lane_compact(words, emits, maxW: int):
     return out.reshape(maxW, K)
 
 
+def assemble_blob(x_final: np.ndarray, words: np.ndarray, emits: np.ndarray,
+                  n: int, K: int) -> bytes:
+    """Builds the RansInterleaved wire blob from raw scan outputs
+    (x_final uint32[K], words uint16[T, K], emits bool[T, K])."""
+    out = bytearray()
+    out += np.uint32(K).tobytes()
+    out += np.uint32(n).tobytes()
+    lane_words = []
+    for l in range(K):
+        tail = words[:, l][emits[:, l]]
+        stream = np.concatenate([
+            np.array([x_final[l] >> 16, x_final[l] & 0xFFFF], np.uint16),
+            tail.astype(np.uint16)])
+        lane_words.append(stream)
+    for l in range(K):
+        out += np.uint32(len(lane_words[l])).tobytes()
+    for l in range(K):
+        out += lane_words[l].astype("<u2").tobytes()
+    return bytes(out)
+
+
 def encode_interleaved_dev(bits_dev, probs_dev, n: int, K: int) -> bytes:
     """Full chunk encode from device-resident bits/probs; byte-identical to
     encode_interleaved / the host codec (native/rans.h)."""

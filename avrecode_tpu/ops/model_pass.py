@@ -209,13 +209,10 @@ def wire_expand(coo_cnt, coo_slot, coo_vals, n_coo, prior_idx, pdict, esc_idx, e
     return tbl.reshape(nsub, U, 2), prior
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha",
-                                    "ud", "us", "n_sig"))
-def model_pass_v3(packed, prior_u16, dk_d, dk_s,
-                  deltas, dual0_u16, batch: int, sup: int,
-                  fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
-                  n_sig: int = 1 << 17):
+def v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s,
+            deltas, dual0_u16, *, batch: int, sup: int,
+            fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
+            n_sig: int = 1 << 17):
     """Frozen-batch (model profile 2) pass over the slim wire format.
 
     Designed for the tunnel-attached TPU: the wire carries ~3 bytes/bin
@@ -225,18 +222,18 @@ def model_pass_v3(packed, prior_u16, dk_d, dk_s,
     the within-batch prefix machinery of model_pass_v2 vanishes entirely —
     per bin state IS the staged start-of-sub-batch dict state.
 
-    packed:   uint16[ns*sup*B] (padded; pad = kind 3, slot ud-1, bit 0)
-    prior_u16: uint16[ns*sup*B] full priors (wire_expand's output)
+    bit/kind/slot/prior_all: int[ns*sup*B] (padded; pad = kind 3, slot ud-1,
+      bit 0, prior 1) — model_pass_v3 unpacks them from the u16 wire word
     dk_d/dk_s: int32[ns, ud/us] per-super-step sorted-unique key rows
     deltas:   uint16[ns*sup, U, 2] per-sub-batch per-slot (ones, total)
       update table, reconstructed on device by wire_expand
     dual0_u16: uint16[n_dual, 4] seeded dual table (widened on device)
 
-    Returns (probs uint16[m], bits int32[m]). Bit-identical to the host
-    profile-2 ModelEncoder (native/model.h note_coded profile 2 path).
+    Returns probs uint16[m]. Bit-identical to the host profile-2 ModelEncoder
+    (native/model.h note_coded profile 2 path).
     """
     U = ud + us
-    m = packed.shape[0]
+    m = bit_all.shape[0]
     ns = m // (sup * batch)
     alpha_on = sig_alpha & 0xFFFF
     alpha_off = (sig_alpha >> 16) or alpha_on
@@ -244,16 +241,12 @@ def model_pass_v3(packed, prior_u16, dk_d, dk_s,
     it_s = _halve_iters(slow_w, batch)
     it_g = _halve_iters(sig_w, batch)
 
-    # Everything arrives in the narrowest wire dtype (u8/u16) and is widened
-    # here — transfer bytes, not FLOPs, are the scarce resource on a
-    # tunnel-attached chip.
-    pk = packed.astype(jnp.int32)
-    bit_all = pk >> 15
-    kind_all = (pk >> 13) & 3
-    slot_all = pk & 0x1FFF
+    bit_all = bit_all.astype(jnp.int32)
+    kind_all = kind_all.astype(jnp.int32)
+    slot_all = slot_all.astype(jnp.int32)
+    prior_all = prior_all.astype(jnp.int32)
     dk_d = dk_d.astype(jnp.int32)
     dk_s = dk_s.astype(jnp.int32)
-    prior_all = prior_u16.astype(jnp.int32)
     tbl = deltas.astype(jnp.int32).reshape(ns, sup, U, 2)
     dd = tbl[:, :, :ud, :]
     ds = tbl[:, :, ud:, :]
@@ -321,7 +314,30 @@ def model_pass_v3(packed, prior_u16, dk_d, dk_s,
         step, (dual0, sig0),
         (bit_all.reshape(sh), kind_all.reshape(sh), slot_all.reshape(sh),
          prior_all.reshape(sh), dk_d, dk_s, dd, ds))
-    return probs.reshape(-1), bit_all
+    return probs.reshape(-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha",
+                                    "ud", "us", "n_sig"))
+def model_pass_v3(packed, prior_u16, dk_d, dk_s, deltas, dual0_u16, batch: int, sup: int,
+                  fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
+                  n_sig: int = 1 << 17):
+    """Jitted single-chunk entry over the u16 wire word (bit<<15|kind<<13|slot;
+    everything arrives in the narrowest wire dtype and is widened on device —
+    transfer bytes, not FLOPs, are the scarce resource on a tunnel-attached
+    chip). The traced core stays separate so parallel/pipeline.py can vmap it
+    per mesh shard with mesh-uniform (unpacked) slot widths.
+
+    Returns (probs uint16[m], bits int32[m])."""
+    pk = packed.astype(jnp.int32)
+    bit_all = pk >> 15
+    kind_all = (pk >> 13) & 3
+    slot_all = pk & 0x1FFF
+    probs = v3_core(bit_all, kind_all, slot_all, prior_u16, dk_d, dk_s, deltas,
+                    dual0_u16, batch=batch, sup=sup, fast_w=fast_w, slow_w=slow_w,
+                    sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us, n_sig=n_sig)
+    return probs, bit_all
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "fast_w", "slow_w", "sig_w", "sig_alpha"))

@@ -24,6 +24,70 @@ from ..ops import model_pass as mp
 from ..ops import lanes as lx
 
 
+def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
+                             slow_w: int, sig_w: int, sig_alpha: int, ud: int,
+                             us: int, n_sig: int, K_total: int):
+    """Builds the jitted PRODUCT mesh step: real slim-wire chunks shard over
+    'gop' (each device models whole chunks with the frozen-batch v3 core),
+    the rANS lane scan shards over 'lane', and the payload-word total reduces
+    with psum over both axes (ICI collectives). The outputs reassemble into
+    byte-identical RansInterleaved blobs -> a real ATRC container
+    (device.compress_mesh), decodable by the host serial decoder.
+
+    Inputs (G = chunks, multiple of mesh 'gop'; M = padded bins per chunk,
+    multiple of sup*batch and K_total; NS = M/(sup*batch); U = ud + us):
+      bit/kind/slot/prior: int32|uint16[G, M]  (pad bins: kind 3, slot ud+us-1
+        with a scratch dict row, bit 0, prior 1)
+      dk_d: int32[G, NS, ud]; dk_s: int32[G, NS, us]
+      deltas: uint16[G, NS*sup, U, 2]
+      dual0: uint16[G, n_dual, 4]
+      n_arr: int32[G] live bins per chunk (lane-scan validity)
+    Returns (x_final uint32[G, K], words uint16[G, T, K], emits bool[G, T, K],
+    probs uint16[G, M], total_words int32[])."""
+    n_lane = mesh.shape["lane"]
+    assert K_total % n_lane == 0
+    k_local = K_total // n_lane
+
+    def step(bit, kind, slot, prior, dk_d, dk_s, deltas, dual0, n_arr):
+        probs = jax.vmap(lambda b, k, s, p, kd, ks, dl, d0: mp.v3_core(
+            b, k, s, p, kd, ks, dl, d0, batch=batch, sup=sup, fast_w=fast_w,
+            slow_w=slow_w, sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us,
+            n_sig=n_sig))(bit, kind, slot, prior, dk_d, dk_s, deltas, dual0)
+        G_l, M = bit.shape
+        T = M // K_total
+        lane_idx = jax.lax.axis_index("lane")
+
+        def lane_encode(b, p, n):
+            bt = b.astype(jnp.uint32).reshape(T, K_total)
+            pt = jnp.maximum(p.astype(jnp.uint32), 1).reshape(T, K_total)
+            vt = (jax.lax.iota(jnp.int32, M) < n).reshape(T, K_total)
+            sl = lane_idx * k_local
+            bt_l = jax.lax.dynamic_slice_in_dim(bt, sl, k_local, axis=1)
+            pt_l = jax.lax.dynamic_slice_in_dim(pt, sl, k_local, axis=1)
+            vt_l = jax.lax.dynamic_slice_in_dim(vt, sl, k_local, axis=1)
+            return lx._lane_scan(bt_l, pt_l, vt_l)
+
+        x_final, words, emits = jax.vmap(lane_encode)(
+            bit, probs.astype(jnp.uint32), n_arr)
+        # Total payload words (incl. 2 state words per lane stream) across the
+        # whole mesh: psum over both axes.
+        total_words = jax.lax.psum(
+            jax.lax.psum(jnp.sum(emits.astype(jnp.int32)) + 2 * G_l * k_local,
+                         "lane"), "gop")
+        return x_final, words, emits, probs, total_words
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("gop", None), P("gop", None), P("gop", None), P("gop", None),
+                  P("gop", None, None), P("gop", None, None),
+                  P("gop", None, None, None), P("gop", None, None), P("gop")),
+        out_specs=(P("gop", "lane"), P("gop", None, "lane"), P("gop", None, "lane"),
+                   P("gop", None), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
 def sharded_recompress_step(mesh: Mesh, batch: int, fast_w: int = 48, slow_w: int = 640,
                             sig_w: int = 80, sig_alpha: int = 1):
     """Builds the jitted sharded step.

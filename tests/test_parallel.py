@@ -53,6 +53,30 @@ def test_sharded_recompress_step_matches_single_device():
     assert int(total_words) > 0
 
 
+def test_mesh_real_clip_container(corpus_dir):
+    """PRODUCT mesh path on REAL data: a multi-GOP x264 clip compressed
+    through device.compress_mesh on the 8-device CPU mesh must emit a
+    container byte-identical to the single-device path's, and the host C++
+    serial decoder must roundtrip it bit-exactly (VERDICT r1 item 2)."""
+    import jax
+    from avrecode_tpu import device, pipeline
+    from avrecode_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    with open(os.path.join(corpus_dir, "ipb_high.mp4"), "rb") as f:
+        data = f.read()
+    mesh = make_mesh(n_gop=4, n_lane=2)
+    comp_mesh, st = device.compress_mesh(data, mesh, chunk_mode=1,
+                                         batch_size=512, sup=4, force_lanes=4)
+    comp_single, _ = device.compress(data, chunk_mode=1, batch_size=512,
+                                     force_lanes=4)
+    assert st.n_chunks > 1
+    assert comp_mesh == comp_single
+    dec, _ = pipeline.decompress(comp_mesh)
+    assert dec == data
+
+
 def test_corpus_compress_single_process(corpus_dir, tmp_path):
     """File-level corpus orchestration: shard, compress, verify, report."""
     from avrecode_tpu.parallel import distributed as dist
