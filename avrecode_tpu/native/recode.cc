@@ -8,6 +8,8 @@
 #include <mutex>
 #include <thread>
 
+#include "bytemodel.h"
+
 namespace artc {
 namespace {
 
@@ -491,19 +493,47 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   const auto& slices = p1.slices;
   const auto& segments = p1.segments;
   const auto& paramsets = p1.paramsets;
+  // Side-byte stream: every byte the container stores verbatim, in the exact
+  // order the decoder consumes them (paramset payloads, then per segment the
+  // literal run or slice header + tail patch). Coded with the adaptive
+  // order-1 byte model, store fallback when it doesn't pay (v13; the
+  // reference stored all of this raw, recode.cpp:1608-1618).
+  std::vector<uint8_t> side;
+  for (const auto& ps : paramsets)
+    side.insert(side.end(), ps.payload.begin(), ps.payload.end());
+  for (const auto& seg : segments) {
+    if (seg.kind == 0) {
+      side.insert(side.end(), data + seg.lit_off, data + seg.lit_off + seg.lit_len);
+    } else {
+      const SliceRecord& r = slices[seg.slice_idx];
+      side.insert(side.end(), r.header_rbsp.begin(), r.header_rbsp.end());
+      side.insert(side.end(), r.tail_patch.begin(), r.tail_patch.end());
+    }
+  }
+  std::vector<uint8_t> side_blob = bytemodel_encode(side);
+
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
-  w.u8(kContainerVersion);  // v12: Markov-history off-mode significance keys
+  w.u8(kContainerVersion);
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
   w.u8(uint8_t(opt.model_profile));
   w.u32(crc32_ieee(data, st.input_bytes));  // CRC of the original file
+  if (side_blob.size() + 2 < side.size()) {
+    w.u8(1);
+    w.vu(side.size());
+    w.vu(side_blob.size());
+    w.bytes(side_blob.data(), side_blob.size());
+  } else {
+    w.u8(0);
+    w.vu(side.size());
+    w.bytes(side.data(), side.size());
+  }
   w.vu(paramsets.size());
   for (const auto& ps : paramsets) {
     w.u8(ps.nal_type);
     w.vu(ps.payload.size());
-    w.bytes(ps.payload.data(), ps.payload.size());
   }
   w.vu(uint64_t(st.n_chunks));
   for (int c = 0; c < st.n_chunks; ++c) w.vu(nz_modes[c]);
@@ -512,7 +542,6 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
     if (seg.kind == 0) {
       w.u8(0);
       w.vu(seg.lit_len);
-      w.bytes(data + seg.lit_off, seg.lit_len);
     } else {
       const SliceRecord& r = slices[seg.slice_idx];
       w.u8(1);
@@ -520,11 +549,9 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
       w.u8(r.coding);
       w.vu(r.header_bits);
       w.vu(r.header_rbsp.size());
-      w.bytes(r.header_rbsp.data(), r.header_rbsp.size());
       w.vu(r.cabac_rbsp_len);
       w.vu(r.cstream.values.size());
       w.u8(uint8_t(r.tail_patch.size()));
-      w.bytes(r.tail_patch.data(), r.tail_patch.size());
       w.u8(r.start_code_len);
     }
   }
@@ -660,13 +687,36 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   int model_profile = r.u8();
   uint32_t want_crc = r.u32();
 
+  // Side-byte stream (v13): verbatim bytes, coded or raw per the flag; every
+  // consumer below pulls from it sequentially.
+  std::vector<uint8_t> side;
+  {
+    uint8_t coded = r.u8();
+    uint64_t raw_len = r.vu();
+    if (coded) {
+      uint64_t blob_len = r.vu();
+      const uint8_t* bp = r.bytes(blob_len);
+      side = bytemodel_decode(bp, blob_len, raw_len);
+    } else {
+      const uint8_t* bp = r.bytes(raw_len);
+      side.assign(bp, bp + raw_len);
+    }
+  }
+  size_t side_pos = 0;
+  auto side_bytes = [&](size_t n) -> const uint8_t* {
+    if (side_pos + n > side.size()) throw std::runtime_error("side stream truncated");
+    const uint8_t* p = side.data() + side_pos;
+    side_pos += n;
+    return p;
+  };
+
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
   uint32_t n_ps = uint32_t(r.vu());
   for (uint32_t i = 0; i < n_ps; ++i) {
     uint8_t t = r.u8();
     uint32_t len = uint32_t(r.vu());
-    const uint8_t* p = r.bytes(len);
+    const uint8_t* p = side_bytes(len);
     auto rbsp = ebsp_to_rbsp(p + 1, len - 1);
     if (t == 7) {
       SPS s = parse_sps(rbsp.data(), rbsp.size());
@@ -699,22 +749,22 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     if (tag == 0) {
       s.kind = 0;
       s.lit_len = size_t(r.vu());
-      s.lit_pos = r.pos;
-      r.bytes(s.lit_len);
+      s.lit_pos = side_pos;
+      side_bytes(s.lit_len);
     } else if (tag == 1) {
       s.kind = 1;
       s.chunk_idx = uint32_t(r.vu());
       s.coding = r.u8();
       s.header_bits = uint16_t(r.vu());
       uint16_t hl = uint16_t(r.vu());
-      const uint8_t* hp = r.bytes(hl);
-      s.header_rbsp.assign(hp, hp + hl);
       s.cabac_rbsp_len = uint32_t(r.vu());
       s.n_values = uint32_t(r.vu());
       uint8_t pl = r.u8();
-      const uint8_t* pp = r.bytes(pl);
-      s.tail_patch.assign(pp, pp + pl);
       r.u8();  // start_code_len (informational)
+      const uint8_t* hp = side_bytes(hl);
+      s.header_rbsp.assign(hp, hp + hl);
+      const uint8_t* pp = side_bytes(pl);
+      s.tail_patch.assign(pp, pp + pl);
     } else {
       throw std::runtime_error("bad segment tag");
     }
@@ -867,7 +917,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   std::vector<uint8_t> out;
   for (size_t i = 0; i < segs.size(); ++i) {
     if (segs[i].kind == 0) {
-      out.insert(out.end(), data + segs[i].lit_pos, data + segs[i].lit_pos + segs[i].lit_len);
+      out.insert(out.end(), side.data() + segs[i].lit_pos,
+                 side.data() + segs[i].lit_pos + segs[i].lit_len);
     } else {
       out.insert(out.end(), slice_out[i].begin(), slice_out[i].end());
       ++st.n_slices;

@@ -38,7 +38,10 @@ namespace artc {
 // ATRC container format version: bumped on any change to the container layout
 // or to model semantics that alter the coded streams. decompress() rejects
 // other versions; corpus --resume checks it before skipping a file.
-constexpr uint8_t kContainerVersion = 12;
+// v13: verbatim side bytes (literals, slice headers, paramsets, tail patches)
+// travel through the adaptive order-1 byte coder (bytemodel.h) with a store
+// fallback, instead of raw.
+constexpr uint8_t kContainerVersion = 13;
 
 struct Options {
   int lanes = 16;
