@@ -159,6 +159,9 @@ class Mp4Reader {
     });
   }
 
+ public:
+  // Also consumed by the Matroska reader (mkv.h): CodecPrivate for
+  // V_MPEG4/ISO/AVC tracks is the same ISO 14496-15 config record.
   static void parse_avcc(const uint8_t* d, size_t n, Mp4Track& t) {
     if (n < 7) return;
     t.is_avc = true;

@@ -236,6 +236,40 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
     }
     std::sort(nals.begin(), nals.end(),
               [](const NalUnit& a, const NalUnit& b) { return a.offset < b.offset; });
+  } else if (MkvReader::looks_like_mkv(data, size)) {
+    // Matroska: avcC config from TrackEntry CodecPrivate, AVCC samples from
+    // (un-laced) block payloads — contiguous in-file, same invariants as mp4.
+    std::vector<MkvReader::Track> tracks;
+    std::vector<MkvReader::Block> mblocks;
+    MkvReader::read(data, size, &tracks, &mblocks);
+    for (const auto& t : tracks) {
+      for (const auto& s : t.cfg.sps) {
+        paramsets.push_back({7, s});
+        try {
+          auto rbsp = ebsp_to_rbsp(s.data() + 1, s.size() - 1);
+          SPS sps = parse_sps(rbsp.data(), rbsp.size());
+          sps_map[sps.sps_id] = sps;
+        } catch (...) {}
+      }
+      for (const auto& s : t.cfg.pps) {
+        paramsets.push_back({8, s});
+        try {
+          auto rbsp = ebsp_to_rbsp(s.data() + 1, s.size() - 1);
+          PPS pps = parse_pps(rbsp.data(), rbsp.size());
+          pps_map[pps.pps_id] = pps;
+        } catch (...) {}
+      }
+      for (const auto& b : mblocks) {
+        if (b.track != t.number || b.offset + b.size > size) continue;
+        auto sn = find_nals_avcc(data + b.offset, b.size, t.cfg.nal_length_size);
+        for (auto nu : sn) {
+          nu.offset += b.offset;
+          nals.push_back(nu);
+        }
+      }
+    }
+    std::sort(nals.begin(), nals.end(),
+              [](const NalUnit& a, const NalUnit& b) { return a.offset < b.offset; });
   } else {
     nals = find_nals_annexb(data, size);
   }

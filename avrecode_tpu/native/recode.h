@@ -27,6 +27,7 @@
 #include "h264_params.h"
 #include "h264_slice.h"
 #include "model.h"
+#include "mkv.h"
 #include "mp4.h"
 #include "nal.h"
 #include "rans.h"

@@ -7,7 +7,8 @@ import pytest
 
 from avrecode_tpu import pipeline
 
-CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "multislice.264",
+CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "ipb_high.mkv",
+         "multislice.264",
          "stress_wpred.264", "stress_aud.mp4", "stress_cavlc.264",
          "c422.264", "c422.mp4", "pcm_cabac.264", "pcm_cavlc.264",
          "pcm_mixed.mp4", "mbaff.264", "mbaff422.mp4", "hi10.264",
@@ -56,6 +57,30 @@ def test_unsupported_fallback(corpus_dir):
     rep = pipeline.roundtrip(bytes(data))
     assert rep.ok
     assert rep.stats.n_fallback > 0
+
+
+def test_mkv_recompresses_without_fallback(corpus_dir):
+    """H.264-in-MKV demuxes natively (mkv.h): every slice recompresses — no
+    literal degradation (the reference got MKV via libavformat,
+    recode.cpp:92)."""
+    with open(os.path.join(corpus_dir, "ipb_high.mkv"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0
+    assert rep.ratio < 1.0
+
+
+def test_ts_degrades_safely(corpus_dir):
+    """MPEG-TS fragments slices across 188-byte packets; the walker must
+    reject them cleanly (literal fallback) and still roundtrip bit-exactly,
+    with the v13 side coder keeping the container a net win."""
+    with open(os.path.join(corpus_dir, "ipb_high.ts"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.ratio < 1.0
 
 
 def test_non_video_passthrough():

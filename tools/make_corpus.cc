@@ -113,8 +113,14 @@ int main(int argc, char** argv) {
   if (!kv["xparams"].empty()) x264params += ":" + kv["xparams"];
   av_opt_set(c->priv_data, "x264-params", x264params.c_str(), 0);
 
+  // Container by extension: .264 = raw Annex-B, .mkv = Matroska,
+  // .ts = MPEG-TS, everything else ISO-BMFF.
+  const char* ofmt = annexb ? "h264"
+                     : strstr(outfile, ".mkv") ? "matroska"
+                     : strstr(outfile, ".ts") ? "mpegts"
+                                              : "mp4";
   AVFormatContext* fmt = nullptr;
-  avformat_alloc_output_context2(&fmt, nullptr, annexb ? "h264" : "mp4", outfile);
+  avformat_alloc_output_context2(&fmt, nullptr, ofmt, outfile);
   if (!fmt) { fprintf(stderr, "mux alloc failed\n"); return 1; }
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER) c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (avcodec_open2(c, codec, nullptr) < 0) { fprintf(stderr, "open enc failed\n"); return 1; }
