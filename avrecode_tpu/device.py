@@ -344,18 +344,6 @@ def device_blob(an: Analysis, chunk, probs: np.ndarray | None = None,
                                  force_lanes or pick_lanes(len(chunk.bit)))
 
 
-def device_blob_fused(an: Analysis, chunk: ChunkAnalysis) -> bytes:
-    """Single-program model+lanes encode (probabilities stay on device).
-    EXPERIMENTAL: the combined program triggers a pathological first-run cost
-    on the axon backend; the separate-program path is the default."""
-    _ensure_jax_cache()
-    from .ops import fused
-    blob, _ = fused.compress_chunk(
-        chunk.bit, chunk.kind, chunk.key, chunk.prior, chunk.dual0, an.batch,
-        pick_lanes(len(chunk.bit)), an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig)
-    return blob
-
-
 def _session_lib():
     lib = host.lib()
     if not hasattr(lib, "_session_ready"):

@@ -1,18 +1,20 @@
 """Model families: prior-model configurations of the recompression engine.
 
-The framework currently ships one family, `refprior` — the reference-parity
-adaptive prior model (SURVEY.md §2.5) extended with the improvements measured
-in this repo (per-slice-class banks, dual-speed estimators, temporal priors,
-hypergeometric significance prior, bimodal NZ/EOB selection). The C++
-implementation lives in native/model.h; the device implementation in
-ops/model_pass.py consumes the exported key streams. This module is the
-authoritative description of the family's hyperparameters and key spaces, and
-the place where future families (e.g. context-mixing, learned/NN priors) get
-registered.
+The framework ships one family, `refprior` — the reference-parity adaptive
+prior model (SURVEY.md §2.5) extended with the improvements measured in this
+repo: per-slice-class estimator banks, dual-speed counting estimators, a
+mirrored-CABAC prior bank, temporal/spatial nonzero priors, the hypergeometric
+significance prior, TRI-modal significance coding (NZ-first / adaptive-EOB /
+CABAC-parity-EOB, chosen per (slice_class, cat) cell from pass-1 stats), and
+3-bit Markov history in the off-mode significance keys. The C++ implementation
+lives in native/model.h; the device implementations in ops/model_pass.py
+consume the exported key streams.
 
-NOTE: these values are *format-defining*: both coders derive them from the
-container header/analysis export at runtime; changing them here documents, not
-configures, v3 containers.
+These values are *format-defining*. The single source of truth is the C++
+(native/model.h constants, serialized into every analysis export header);
+this module states them for Python consumers and documentation, and
+tests/test_device_model.py::test_refprior_constants_match_native asserts the
+three layers agree so this file cannot rot.
 """
 from __future__ import annotations
 
@@ -22,14 +24,22 @@ from dataclasses import dataclass
 @dataclass(frozen=True)
 class RefPriorConfig:
     name: str = "refprior"
-    # estimator windows (observations before halving)
+    # estimator windows (observations before halving) — model.h kFastWindow /
+    # kSlowWindow / kWindowSig
     fast_window: int = 48
     slow_window: int = 640
     sig_window: int = 0x50        # reference parity: recode.cpp:1042
-    # significance mixing
-    sig_mix_alpha: int = 1        # weight of the hypergeometric prior
-    sig_hash_bits: int = 17       # sig key space is hashed to 2^17 entries
-    # batched-update semantics (TPU formulation)
+    # significance prior mixing — model.h kSigMixAlpha / kSigMixAlphaOff;
+    # the off-mode tag travels in prior bit 15 (kPriorOffTag)
+    sig_mix_alpha: int = 1        # on-mode: hypergeometric prior weight
+    sig_mix_alpha_off: int = 48   # off-mode: mirrored-CABAC prior weight
+    sig_hash_bits: int = 17       # sig key space hashed to 2^17 entries
+    # model profiles (container field): 0 = immediate within-batch increments
+    # (host path, ratio-optimal), 2 = frozen-batch (device path, slim wire,
+    # measured +0.10pp on bench.mp4). Profile 1 (EMA) was removed — see
+    # RESULTS.md "Pallas decision".
+    profiles: tuple = (0, 2)
+    # batched-update semantics (the TPU formulation)
     default_batch: int = 4096
     max_batch: int = 32768        # uint16 counter headroom
     # entropy lanes

@@ -137,10 +137,14 @@ class PriorModel {
   bool nz_on() const { return sig_mode() == 1; }
   bool eob_parity() const { return sig_mode() == 2; }
 
-  // Model profile 0 = counting estimators (ratio-optimal); 1 = EMA estimators
-  // (division-free probabilities/updates -> shift/add only, designed for the
-  // Pallas in-kernel serial update loop where integer division is
-  // unavailable). Format-defining; stored in the container.
+  // Model profile 0 = counting estimators with immediate within-batch
+  // increments (ratio-optimal, the host path); 2 = frozen-batch counting
+  // estimators (probabilities read tables as of the last flush — the TPU
+  // formulation behind the slim device wire, measured +0.10pp on bench.mp4).
+  // Format-defining; stored in the container. (Profile 1, division-free EMA
+  // estimators for an in-kernel Pallas loop, was removed after the XLA
+  // super-batched pass measured 180x faster than the Pallas scalar loop —
+  // RESULTS.md "Pallas decision".)
   void set_profile(int p) { profile_ = p; }
   int profile() const { return profile_; }
 
@@ -185,18 +189,6 @@ class PriorModel {
       dual_[base + kNumModelContexts + 1] = Dual{128, 128, 256, 256};
       // Terminate bins are almost always 0.
       dual_[base + kCtxTerminate] = Dual{1, 47, 1, 511};
-    }
-    if (profile_ == 1) {
-      // Convert seeded counts to q15 probabilities; fn becomes the visit
-      // counter (start mid-confidence so seeds aren't instantly forgotten).
-      for (auto& d : dual_) {
-        uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
-        uint32_t ps = (uint32_t(d.sp) << kProbBits) / (d.sp + d.sn);
-        d.fp = uint16_t(clamp15(int32_t(pf)));
-        d.sp = uint16_t(clamp15(int32_t(ps)));
-        d.fn = 32;
-        d.sn = 0;
-      }
     }
   }
 
@@ -376,7 +368,6 @@ class PriorModel {
   // the device trace so the TPU pass selects the same weight per bin.
   static constexpr uint16_t kPriorOffTag = 0x8000;
   uint32_t prob_for(uint8_t kind, uint32_t key, uint16_t prior) const {
-    if (profile_ == 1) return prob_for_ema(kind, key, prior);
     if (kind == kKindSig) {
       uint32_t alpha = (prior & kPriorOffTag) ? kSigMixAlphaOff : kSigMixAlpha;
       prior &= 0x7fff;
@@ -390,52 +381,10 @@ class PriorModel {
     return dual_prob(dual_[key], kind == kKindDualSlow, prior);
   }
 
-  // ---- EMA profile ---------------------------------------------------------
-  // Dual reuse: fp = fast EMA prob (q15), sp = slow EMA prob, fn = visit
-  // counter. Sig reuse: pos = EMA prob, neg = visit counter.
-  // Staged rates: fast shift 3->5, slow 4->7 as visits grow (fast early
-  // adaptation, low late noise). All ops are shift/add — Pallas-kernel ready.
   static uint32_t clamp15(int32_t p) {
     if (p < 1) return 1;
     if (p > int32_t(kProbScale) - 1) return kProbScale - 1;
     return uint32_t(p);
-  }
-  uint32_t prob_for_ema(uint8_t kind, uint32_t key, uint16_t prior) const {
-    if (kind == kKindSig) {
-      prior &= 0x7fff;  // strip the off-mode mix-weight tag
-      const Estimator& e = sig_est_[key];
-      // Blend learned EMA with the computed prior by confidence (w/8).
-      uint32_t w = e.neg < 8 ? e.neg : 8;  // visits
-      int32_t ema = int32_t(e.pos);
-      int32_t p = int32_t(prior) + ((ema - int32_t(prior)) * int32_t(w) >> 3);
-      return clamp15(p);
-    }
-    const Dual& d = dual_[key];
-    if (kind == kKindDualSlow) return clamp15(int32_t(d.sp));
-    if (prior) return clamp15((int32_t(d.fp) + int32_t(d.sp) + 2 * int32_t(prior)) >> 2);
-    return clamp15((int32_t(d.fp) + int32_t(d.sp)) >> 1);
-  }
-  // Classic bias-free form: toward 1: p += (S-p)>>g; toward 0: p -= p>>g.
-  static uint16_t ema_step(uint16_t p, int bit, int g) {
-    int32_t v = int32_t(p);
-    v = bit ? v + ((int32_t(kProbScale) - v) >> g) : v - (v >> g);
-    return uint16_t(clamp15(v));
-  }
-  void update_ema(uint8_t kind, uint32_t key, int bit) {
-    if (kind == kKindSig) {
-      Estimator& e = sig_est_[key];
-      if (e.neg == 0) e.pos = uint16_t(kProbScale / 2);
-      int g = e.neg < 4 ? 2 : (e.neg < 16 ? 4 : 6);
-      e.pos = ema_step(e.pos, bit, g);
-      if (e.neg < 255) ++e.neg;
-      return;
-    }
-    Dual& d = dual_[key];
-    int gf = d.fn < 8 ? 2 : (d.fn < 32 ? 3 : 5);
-    int gs = d.fn < 32 ? 4 : (d.fn < 128 ? 6 : 8);
-    d.fp = ema_step(d.fp, bit, gf);
-    d.sp = ema_step(d.sp, bit, gs);
-    if (d.fn < 255) ++d.fn;
   }
 
   // Registers a coded bin: count increments apply IMMEDIATELY (on the device
@@ -444,10 +393,6 @@ class PriorModel {
   // this is exactly classic per-bin adaptation. MUST be called once per coded
   // bin, in pair-stream order, on both encode and decode paths.
   void note_coded(uint8_t kind, uint32_t key, int bit) {
-    if (profile_ == 1) {
-      update_ema(kind, key, bit);
-      return;
-    }
     if (profile_ == 2) {
       // Frozen-batch profile: increments are NOT visible within the batch —
       // probabilities read the table as of the last flush. This removes the
@@ -473,7 +418,6 @@ class PriorModel {
   // stream position: record a no-op pending entry so host batch boundaries
   // stay aligned with the device's stream-position batches.
   void note_passthrough() {
-    if (profile_ == 1) return;
     pending_.push_back({0, kKindPrior, 0, 0});
     if (pending_.size() >= batch_) flush_updates();
   }

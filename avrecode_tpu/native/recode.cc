@@ -629,6 +629,8 @@ static std::vector<uint8_t> finalize_container(const uint8_t* data, size_t size,
 
 std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& opt,
                               Stats* stats) {
+  if (opt.model_profile != 0 && opt.model_profile != 2)
+    throw std::runtime_error("unsupported model profile (0 = immediate, 2 = frozen-batch)");
   Stats st;
   double t0 = timing_enabled() ? now_s() : 0;
   Pass1 p1 = run_pass1(data, size, opt, st);
@@ -719,6 +721,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();
   int model_profile = r.u8();
+  if (model_profile != 0 && model_profile != 2)
+    throw std::runtime_error("unsupported model profile");
   uint32_t want_crc = r.u32();
 
   // Side-byte stream (v13): verbatim bytes, coded or raw per the flag; every
@@ -1088,6 +1092,8 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
                         uint32_t batch_size, int model_profile) {
   using namespace artc;
   try {
+    if (model_profile != 0 && model_profile != 2)
+      throw std::runtime_error("unsupported model profile (0 = immediate, 2 = frozen-batch)");
     auto* s = new ArtcSession;
     s->data.assign(data, data + size);
     s->opt.lanes = lanes > 0 ? lanes : 16;

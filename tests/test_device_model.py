@@ -29,20 +29,32 @@ def test_jax_lanes_byte_identical(small_clip):
     assert dec == small_clip
 
 
-def test_pallas_ema_kernel_bit_exact(small_clip):
+def test_refprior_constants_match_native(small_clip):
+    """models/refprior.py is documentation of format-defining constants; the
+    analysis export header carries the native values — they must agree across
+    all three layers (C++, Python docs, device pass defaults)."""
     from avrecode_tpu import device
-    from avrecode_tpu.ops import pallas_model as pm
-    an = device.analyze(small_clip, batch_size=1024, model_profile=1)
-    c = an.chunks[0]
-    probs = pm.run_chunk_ema(c.bit, c.kind, c.key, c.prior, c.dual0, an.n_sig,
-                             batch=1024, interpret=True)
-    assert np.array_equal(probs, c.host_probs)
+    from avrecode_tpu.models.refprior import MODEL_FAMILIES
+    from avrecode_tpu.ops import model_pass as mp
+    cfg = MODEL_FAMILIES["refprior"]
+    an = device.analyze(small_clip, batch_size=1024)
+    assert an.fast_w == cfg.fast_window
+    assert an.slow_w == cfg.slow_window
+    assert an.sig_w == cfg.sig_window
+    assert (an.sig_alpha & 0xFFFF) == cfg.sig_mix_alpha
+    assert (an.sig_alpha >> 16) == cfg.sig_mix_alpha_off
+    assert an.n_sig == 1 << cfg.sig_hash_bits
+    assert mp.PROB_BITS == cfg.prob_bits
+    assert (0, 2) == cfg.profiles
 
 
-def test_ema_profile_roundtrip(small_clip):
+def test_removed_ema_profile_rejected(small_clip):
+    """Profile 1 (division-free EMA, the Pallas experiment) was removed after
+    the XLA super-batched pass measured 180x faster (RESULTS.md "Pallas
+    decision"); requesting it must fail loudly, not silently miscode."""
     from avrecode_tpu import pipeline
-    rep = pipeline.roundtrip(small_clip, model_profile=1)
-    assert rep.ok
+    with pytest.raises(Exception):
+        pipeline.compress(small_clip, model_profile=1)
 
 
 def test_model_pass_v2_bit_exact_all_impls(small_clip):
