@@ -1054,6 +1054,112 @@ void artc_free(uint8_t* p) { free(p); }
 
 int artc_container_version() { return artc::kContainerVersion; }
 
+// ---------------------------------------------------------------------------
+// Randomized self-test hooks (pytest drives these; the reference property-
+// tests its coder the same way, reference test/arithmetic_code.cpp:49-111).
+
+// rANS: encode n (bit, prob) pairs with the production codec.
+int artc_rans_encode(const uint8_t* bits, const uint16_t* probs, uint64_t n,
+                     int lanes, uint8_t** out, size_t* out_len) {
+  using namespace artc;
+  try {
+    std::vector<uint8_t> b(bits, bits + n);
+    std::vector<uint16_t> p(probs, probs + n);
+    auto blob = RansInterleaved::encode(b, p, lanes);
+    *out = static_cast<uint8_t*>(malloc(blob.size()));
+    memcpy(*out, blob.data(), blob.size());
+    *out_len = blob.size();
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
+// rANS: decode n bins (per-bin probabilities supplied by the caller, exactly
+// like the model supplies them in production). Malformed/truncated blobs must
+// produce a clean error, never a crash.
+int artc_rans_decode(const uint8_t* blob, size_t blob_len, const uint16_t* probs,
+                     uint64_t n, uint8_t* bits_out) {
+  using namespace artc;
+  try {
+    RansInterleavedDecoder dec(blob, blob_len);
+    for (uint64_t i = 0; i < n; ++i) bits_out[i] = uint8_t(dec.decode(probs[i]));
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
+// CABAC encoder<->decoder randomized differential (the reference's debugging
+// pattern, test/arithmetic_code.cpp:66-91): encode a random mix of context
+// decisions / bypass bins / terminate-0 probes against a mutating context
+// bank, decode with an independently initialized bank, compare every bin.
+// Exercises flush + renorm edges no x264 stream emits. Returns 0 on success.
+int artc_cabac_fuzz(uint64_t seed, int n) {
+  using namespace artc;
+  try {
+    auto rng = [s = seed]() mutable {
+      s ^= s << 13;
+      s ^= s >> 7;
+      s ^= s << 17;
+      return s;
+    };
+    bool intra = rng() & 1;
+    int idc = int(rng() % 3);
+    int qp = int(rng() % 52);
+    CabacContexts ectx;
+    ectx.init(intra, idc, qp);
+    CabacEncoder enc;
+    std::vector<uint8_t> ops;   // 0 = decision, 1 = bypass, 2 = terminate(0)
+    std::vector<int> ctxs, bins;
+    for (int i = 0; i < n; ++i) {
+      int op = int(rng() % 16);
+      int bin = int(rng() & 1);
+      if (op < 12) {
+        int cx = int(rng() % kNumCabacContexts);
+        enc.encode_decision(ectx, cx, bin);
+        ops.push_back(0);
+        ctxs.push_back(cx);
+        bins.push_back(bin);
+      } else if (op < 15) {
+        enc.encode_bypass(bin);
+        ops.push_back(1);
+        ctxs.push_back(0);
+        bins.push_back(bin);
+      } else {
+        enc.encode_terminate(0);
+        ops.push_back(2);
+        ctxs.push_back(0);
+        bins.push_back(0);
+      }
+    }
+    enc.encode_terminate(1);
+    auto bytes = enc.take_bytes();
+    CabacContexts dctx;
+    dctx.init(intra, idc, qp);
+    CabacDecoder dec(bytes.data(), bytes.size(), 0);
+    for (size_t i = 0; i < ops.size(); ++i) {
+      int got = ops[i] == 0   ? dec.decode_decision(dctx, ctxs[i])
+                : ops[i] == 1 ? dec.decode_bypass()
+                              : dec.decode_terminate();
+      if (got != bins[i]) {
+        g_error = "cabac fuzz mismatch";
+        return -1;
+      }
+    }
+    if (dec.decode_terminate() != 1) {
+      g_error = "cabac fuzz: missing terminate";
+      return -1;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
