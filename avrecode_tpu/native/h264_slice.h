@@ -466,16 +466,32 @@ class SliceWalker {
     return (mbaff_ && cur_field_) ? 2 * nref : nref;
   }
 
+  // Fine |mvd| neighbor-sum bucket for the learned-estimator keys (the aux
+  // side-channel; model.h kMvdAuxBase). CABAC's own ctxIdxInc 3-buckets only
+  // the first bin and leaves the prefix bins unconditioned; the learned bank
+  // benefits from 8 buckets on every bin while the mirror keeps the real ctx.
+  static int mvd_aux_bucket(int sum) {
+    return sum == 0 ? 0
+           : sum <= 1 ? 1
+           : sum <= 2 ? 2
+           : sum <= 4 ? 3
+           : sum <= 8 ? 4
+           : sum <= 16 ? 5
+           : sum <= 32 ? 6
+                       : 7;
+  }
+
   // mvd (9.3.2.3 UEG3 uCoff=9 + sign, 9.3.3.1.1.7 ctx). comp: 0=x,1=y.
   int decode_mvd(int list, int comp, int bx, int by) {
     int sum = abs_mvd_at(list, comp, bx - 1, by) + abs_mvd_at(list, comp, bx, by - 1);
     int inc = sum < 3 ? 0 : (sum > 32 ? 2 : 1);
+    int aux = mvd_aux_bucket(sum);
     int base = comp ? kCtxMvdY : kCtxMvdX;
-    if (!io_.decision(base + inc, kKlassOther)) return 0;
+    if (!io_.decision(base + inc, kKlassOther, aux)) return 0;
     int val = 1;
     while (val < 9) {
       int off = 3 + (val < 4 ? val - 1 : 3);  // binIdx 1,2,3 -> +3,+4,+5; >=4 -> +6
-      if (!io_.decision(base + off, kKlassOther)) break;
+      if (!io_.decision(base + off, kKlassOther, aux)) break;
       ++val;
     }
     if (val == 9) {  // EG3 suffix, bypass

@@ -87,7 +87,13 @@ class PriorModel {
   static constexpr size_t kMbExtraBase = kCavlcBase + kCavlcStride;
   static constexpr size_t kMbExtraStride = size_t(40) * 2;
   static constexpr size_t kSignBase = kMbExtraBase + 3 * kMbExtraStride;
-  static constexpr size_t kNumDualKeys = kSignBase + 3 * 16;
+  // mvd bins additionally conditioned on a fine |mvd| neighbor-sum bucket
+  // (the walker supplies it as the bin's aux; CABAC's own ctxIdxInc only
+  // 3-buckets the first bin and leaves prefix bins unconditioned).
+  static constexpr int kMvdAuxBuckets = 8;
+  static constexpr size_t kMvdAuxBase = kSignBase + 3 * 16;
+  static constexpr size_t kMvdAuxStride = size_t(14) * 2 * kMvdAuxBuckets;
+  static constexpr size_t kNumDualKeys = kMvdAuxBase + 3 * kMvdAuxStride;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -310,7 +316,7 @@ class PriorModel {
     return ctx;
   }
 
-  size_t route(int ctx, BinKlass klass) {
+  size_t route(int ctx, BinKlass klass, int aux = -1) {
     size_t base = size_t(sc_) * kCtxStride;
     switch (klass) {
       case kKlassSign:
@@ -336,6 +342,11 @@ class PriorModel {
       default:
         // Temporal conditioning for P/B mb_type and mvd bins: statistics
         // differ sharply between previously-static (skip) and moving regions.
+        if (aux >= 0 && ctx >= kCtxMvdX && ctx < kCtxMvdX + 14) {
+          return kMvdAuxBase + size_t(sc_) * kMvdAuxStride +
+                 (size_t(ctx - kCtxMvdX) * 2 + prev_skip()) * kMvdAuxBuckets +
+                 size_t(aux);
+        }
         if ((ctx >= kCtxMbTypeP && ctx < kCtxMbTypeP + 4) ||
             (ctx >= kCtxMbTypeB && ctx < kCtxMbTypeB + 9) ||
             (ctx >= kCtxMvdX && ctx < kCtxMvdX + 14)) {
@@ -465,9 +476,9 @@ class PriorModel {
   uint16_t bin_prior(int ctx, BinKlass klass) const {
     return (ctx < kCtxBypass && !slow_only(klass)) ? uint16_t(mirror_prob(ctx)) : 0;
   }
-  uint32_t bin_prob(int ctx, BinKlass klass) {
+  uint32_t bin_prob(int ctx, BinKlass klass, int aux = -1) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
-    cached_dual_key_ = uint32_t(route(ctx, klass));
+    cached_dual_key_ = uint32_t(route(ctx, klass, aux));
     return prob_for(kind, cached_dual_key_, bin_prior(ctx, klass));
   }
   void bin_update(int ctx, BinKlass klass, int bit) {

@@ -42,24 +42,28 @@ namespace artc {
 // v13: verbatim side bytes (literals, slice headers, paramsets, tail patches)
 // travel through the adaptive order-1 byte coder (bytemodel.h) with a store
 // fallback, instead of raw.
-constexpr uint8_t kContainerVersion = 13;
+// v14: mvd bins keyed on a fine 8-bucket |mvd| neighbor-sum (walker aux
+// side-channel) in addition to prev-skip; CABAC's own inc only 3-buckets the
+// first bin.
+constexpr uint8_t kContainerVersion = 14;
 
 struct Options {
   int lanes = 16;
   // 0 = sectioned whole-file chunking (max compression; large files split
   //     into a few independently-modeled sections at picture boundaries so
-  //     the model pass and decode parallelize — ~4M bins each, machine-
-  //     independent policy, measured ratio cost <0.05pp on bench.mp4);
+  //     the model pass and decode parallelize — ~8M bins each, machine-
+  //     independent policy, measured ratio cost +0.089pp on bench.mp4);
   // 1 = new chunk at each IDR picture (GOP-parallel decode/encode).
   int chunk_mode = 0;
-  // chunk_mode 0 section target (bins); 0 = default 4M. Sections share one
+  // chunk_mode 0 section target (bins); 0 = default 8M. Sections share one
   // nz-mode probe (they are statistically homogeneous by construction).
   uint64_t section_bins = 0;
   // Estimator-update batch size: 1 = per-bin adaptation (reference-like,
   // serial); >1 = frozen-within-batch tables (the TPU formulation; measured
   // ratio cost <0.3% at 16k). Stored in the container header.
   uint32_t batch_size = 1;
-  // 0 = counting estimators; 1 = EMA estimators (division-free; Pallas-ready)
+  // 0 = immediate within-batch increments (host path); 2 = frozen-batch (the
+  // slim device wire). Stored in the container header.
   int model_profile = 0;
   bool collect_streams = false;  // keep per-slice SymbolStreams (device path)
 };
@@ -162,9 +166,9 @@ class ModelEncoder {
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
           if (trace_)
             trace_->push_back({b.bin, m_.last_kind(BinKlass(b.klass)),
-                               uint32_t(m_.route(b.ctx, BinKlass(b.klass))),
+                               uint32_t(m_.route(b.ctx, BinKlass(b.klass), b.pos)),
                                m_.bin_prior(b.ctx, BinKlass(b.klass))});
-          push(b.bin, m_.bin_prob(b.ctx, BinKlass(b.klass)), b.klass);
+          push(b.bin, m_.bin_prob(b.ctx, BinKlass(b.klass), b.pos), b.klass);
           m_.bin_update(b.ctx, BinKlass(b.klass), b.bin);
           break;
         }
@@ -350,8 +354,8 @@ class ModelSource {
     cab_ctxs_.init(intra_slice, cabac_init_idc, slice_qp);
   }
 
-  int decision(int ctx, BinKlass klass) {
-    int bit = rans_.decode(m_.bin_prob(ctx, klass));
+  int decision(int ctx, BinKlass klass, int aux = -1) {
+    int bit = rans_.decode(m_.bin_prob(ctx, klass, aux));
     m_.bin_update(ctx, klass, bit);
     m_.mirror_update(ctx, bit);
     enc_.encode_decision(cab_ctxs_, ctx, bit);

@@ -85,10 +85,10 @@ class RecordingSource {
   }
   int64_t potential() const { return int64_t(dec_.bit_pos()) * 1000 - log2_mb(dec_.range()); }
 
-  int decision(int ctx, BinKlass klass) {
+  int decision(int ctx, BinKlass klass, int aux = -1) {
     int64_t p0 = potential();
     int b = dec_.decode_decision(ctxs_, ctx);
-    out_->bins.push_back({uint16_t(ctx), klass, uint8_t(b), -1, cost_mbits(p0)});
+    out_->bins.push_back({uint16_t(ctx), klass, uint8_t(b), int16_t(aux), cost_mbits(p0)});
     return b;
   }
   int bypass(BinKlass klass) {

@@ -76,7 +76,7 @@ class SynthSource {
     ctxs_.init(intra_slice, cabac_init_idc, slice_qp);
   }
 
-  int decision(int ctx, BinKlass) {
+  int decision(int ctx, BinKlass, int = -1) {
     int bit;
     if (safe_ && first_dec_ && intra_slice_) {
       bit = 0;  // I_NxN
