@@ -28,12 +28,18 @@ class RefPriorConfig:
     # kSlowWindow / kWindowSig
     fast_window: int = 48
     slow_window: int = 640
-    sig_window: int = 0x50        # reference parity: recode.cpp:1042
+    sig_window: int = 128         # reference used 0x50 (recode.cpp:1042);
+                                  # 128 measured better with the mirror prior
     # significance prior mixing — model.h kSigMixAlpha / kSigMixAlphaOff;
     # the off-mode tag travels in prior bit 15 (kPriorOffTag)
     sig_mix_alpha: int = 1        # on-mode: hypergeometric prior weight
     sig_mix_alpha_off: int = 48   # off-mode: mirrored-CABAC prior weight
     sig_hash_bits: int = 17       # sig key space hashed to 2^17 entries
+    # v15 residual-level mix — model.h kResDirAlpha / kResDirFastBoost /
+    # ops.model_pass.RES_DIR_ALPHA / RES_DIR_K; selected per bin by the
+    # prior's bit-15 tag on kKindDual bins
+    res_dir_alpha: int = 32
+    res_dir_fast_boost: int = 2
     # model profiles (container field): 0 = immediate within-batch increments
     # (host path, ratio-optimal), 2 = frozen-batch (device path, slim wire,
     # measured +0.10pp on bench.mp4). Profile 1 (EMA) was removed — see

@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cassert>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -83,9 +84,9 @@ class PriorModel {
   static constexpr int kCavlcNodes = 20;
   static constexpr size_t kCavlcBase = kSkipBase + 12;
   static constexpr size_t kCavlcStride = size_t(kNumCavlcRolesM) * kCavlcAux * kCavlcNodes;
-  // prev-skip-conditioned P/B mb_type + mvd bins (ctx 14..53 compacted)
+  // prev-skip-conditioned P/B mb_type + mvd bins (ctx 14..59 compacted)
   static constexpr size_t kMbExtraBase = kCavlcBase + kCavlcStride;
-  static constexpr size_t kMbExtraStride = size_t(40) * 2;
+  static constexpr size_t kMbExtraStride = size_t(46) * 2;
   static constexpr size_t kSignBase = kMbExtraBase + 3 * kMbExtraStride;
   // mvd bins additionally conditioned on a fine |mvd| neighbor-sum bucket
   // (the walker supplies it as the bin's aux; CABAC's own ctxIdxInc only
@@ -340,8 +341,9 @@ class PriorModel {
         return kSkipBase + size_t(compact) * 2 + prev_skip();
       }
       default:
-        // Temporal conditioning for P/B mb_type and mvd bins: statistics
-        // differ sharply between previously-static (skip) and moving regions.
+        // Temporal conditioning for P/B mb_type, mvd and ref_idx bins:
+        // statistics differ sharply between previously-static (skip) and
+        // moving regions (ref_idx added at v15: -0.01pp on every class).
         if (aux >= 0 && ctx >= kCtxMvdX && ctx < kCtxMvdX + 14) {
           return kMvdAuxBase + size_t(sc_) * kMvdAuxStride +
                  (size_t(ctx - kCtxMvdX) * 2 + prev_skip()) * kMvdAuxBuckets +
@@ -349,7 +351,8 @@ class PriorModel {
         }
         if ((ctx >= kCtxMbTypeP && ctx < kCtxMbTypeP + 4) ||
             (ctx >= kCtxMbTypeB && ctx < kCtxMbTypeB + 9) ||
-            (ctx >= kCtxMvdX && ctx < kCtxMvdX + 14)) {
+            (ctx >= kCtxMvdX && ctx < kCtxMvdX + 14) ||
+            (ctx >= kCtxRefIdx && ctx < kCtxRefIdx + 6)) {
           return kMbExtraBase + size_t(sc_) * kMbExtraStride +
                  size_t(ctx - kCtxMbTypeP) * 2 + prev_skip();
         }
@@ -378,6 +381,18 @@ class PriorModel {
   // (hypergeometric prior, weight kSigMixAlpha). The tag travels verbatim in
   // the device trace so the TPU pass selects the same weight per bin.
   static constexpr uint16_t kPriorOffTag = 0x8000;
+  // Residual-level bins use a Dirichlet-style count-weighted mix instead of
+  // the fixed-weight linear mix: p = ((K*fp + sp)<<15 + A*prior) /
+  // (K*(fp+fn) + sp+sn + A). Cold/diluted key cells lean on the mirrored
+  // CABAC prior (never lose much to the original), hot cells on the learned
+  // counts. Selected per bin by kPriorOffTag in the prior (the tag bit is
+  // free on kKindDual bins — it only means off-mode on kKindSig bins), so
+  // the device trace needs no extra fields. Swept A in 8..96, K in 1..6 on
+  // dense + sparse + camera content: A=32, K=2 won (bench -0.073pp, sparse
+  // -0.043pp, camera -0.078pp); extending the same mix to mb-layer ctx bins
+  // LOST everywhere (their seeded fast estimators + linear mix are better).
+  static constexpr uint32_t kResDirAlpha = 32;
+  static constexpr uint32_t kResDirFastBoost = 2;
   uint32_t prob_for(uint8_t kind, uint32_t key, uint16_t prior) const {
     if (kind == kKindSig) {
       uint32_t alpha = (prior & kPriorOffTag) ? kSigMixAlphaOff : kSigMixAlpha;
@@ -385,6 +400,17 @@ class PriorModel {
       const Estimator& e = sig_est_[key];
       uint32_t p = ((uint32_t(e.pos) << kProbBits) + alpha * prior) /
                    (uint32_t(e.pos) + e.neg + alpha);
+      if (p < 1) p = 1;
+      if (p > kProbScale - 1) p = kProbScale - 1;
+      return p;
+    }
+    if (kind == kKindDual && (prior & kPriorOffTag)) {
+      const Dual& d = dual_[key];
+      constexpr uint32_t A = kResDirAlpha, K = kResDirFastBoost;
+      uint32_t num =
+          ((K * d.fp + uint32_t(d.sp)) << kProbBits) + A * (prior & 0x7fff);
+      uint32_t den = K * (uint32_t(d.fp) + d.fn) + d.sp + d.sn + A;
+      uint32_t p = num / den;
       if (p < 1) p = 1;
       if (p > kProbScale - 1) p = kProbScale - 1;
       return p;
@@ -598,7 +624,10 @@ class PriorModel {
   }
   uint32_t eob_parity_prob(int ctx) const { return mirror_prob(ctx); }
 
-  // Off-mode EOB (last_significant_coeff_flag) estimator.
+  // Off-mode EOB (last_significant_coeff_flag) estimator. (Adding the
+  // observed count or a stronger mirror alpha to these keys was swept and
+  // LOST — the tri-modal probe's parity fallback already covers the cells
+  // an adaptive EOB would lose.)
   size_t eob_key(int pos) const {
     size_t key = (size_t(cat_) * kSigPosClasses + sig_pos_class(pos)) * 2 + sig_is_dc();
     return hash_sig(kEobOffBase + size_t(sc_) * kEobOffStride + key);
@@ -612,9 +641,14 @@ class PriorModel {
     note_coded(kKindSig, cached_sig_key_, bit);
   }
 
+  // Res priors carry kPriorOffTag: selects the Dirichlet count-weighted mix
+  // in prob_for (and in the device pass, which sees the tag in the trace).
+  uint16_t res_prior(int ctx) const {
+    return uint16_t(mirror_prob(ctx)) | kPriorOffTag;
+  }
   uint32_t res_prob(int ctx, int pos) {
     cached_dual_key_ = uint32_t(res_key(ctx, pos));
-    return prob_for(kKindDual, cached_dual_key_, uint16_t(mirror_prob(ctx)));
+    return prob_for(kKindDual, cached_dual_key_, res_prior(ctx));
   }
   void res_update(int ctx, int pos, int bit) {
     (void)ctx;
@@ -697,9 +731,11 @@ class PriorModel {
   bool needs_nnz() const { return in_sig_ == false; }
   int nnz_total() const { return nnz_total_; }
 
-  // Estimator windows: sig-map uses 0x50, everything else 0x60 (reference
-  // recode.cpp:1041-1042).
-  static constexpr int kWindowSig = 0x50;
+  // Estimator windows. The reference uses 0x50 for its sig maps
+  // (recode.cpp:1041-1042); with the strong mirrored-CABAC prior in the mix
+  // a longer window measured better (swept 56..288 on dense + sparse +
+  // camera: 128 — bench flat, sparse/camera -0.02pp; 288 degrades dense).
+  static constexpr int kWindowSig = 128;
   static constexpr int kWindowOther = 0x60;
 
   // ---- CAVLC value transport (capability extension: the reference passes

@@ -704,6 +704,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   double t2 = timing_enabled() ? now_s() : 0;
   auto out = finalize_container(data, size, p1, blobs, nz_modes, opt, st);
   if (timing_enabled()) fprintf(stderr, "[artc] pack %.3fs\n", now_s() - t2);
+  if (CtxBillTab::enabled()) CtxBillTab::get().dump(stderr);
   if (stats) *stats = st;
   return out;
 }

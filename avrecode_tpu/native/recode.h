@@ -14,8 +14,10 @@
 #pragma once
 
 #include <array>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <map>
 #include <memory>
@@ -45,7 +47,11 @@ namespace artc {
 // v14: mvd bins keyed on a fine 8-bucket |mvd| neighbor-sum (walker aux
 // side-channel) in addition to prev-skip; CABAC's own inc only 3-buckets the
 // first bin.
-constexpr uint8_t kContainerVersion = 14;
+// v15: residual-level bins switch to a Dirichlet count-weighted mix with the
+// mirrored-CABAC prior (kResDirAlpha/kResDirFastBoost, prior bit-15 tagged
+// in the trace); sig estimator window 80 -> 128; ref_idx bins prev-skip
+// conditioned (kMbExtraStride 40 -> 46).
+constexpr uint8_t kContainerVersion = 15;
 
 struct Options {
   int lanes = 16;
@@ -79,6 +85,41 @@ struct Stats {
   int n_chunks = 0;
   uint64_t total_bins = 0;
   Billing bill;
+};
+
+// Env-gated per-spec-ctx billing (ARTC_BILL_CTX=1): diagnostic stderr dump of
+// ours-vs-CABAC cost per context index, to locate modeling gaps. Thread-safe
+// (sections run the model pass in parallel); zero cost when disabled.
+struct CtxBillTab {
+  static constexpr int N = 1100;
+  std::atomic<uint64_t> ours[N]{}, cabac[N]{}, cnt[N]{};
+  static bool enabled() {
+    static const bool v = [] {
+      const char* e = getenv("ARTC_BILL_CTX");
+      return e && atoi(e);
+    }();
+    return v;
+  }
+  static CtxBillTab& get() {
+    static CtxBillTab t;
+    return t;
+  }
+  void add(int ctx, uint64_t ours_mb, uint64_t cabac_mb) {
+    if (ctx < 0 || ctx >= N) return;
+    ours[ctx].fetch_add(ours_mb, std::memory_order_relaxed);
+    cabac[ctx].fetch_add(cabac_mb, std::memory_order_relaxed);
+    cnt[ctx].fetch_add(1, std::memory_order_relaxed);
+  }
+  void dump(FILE* f) const {
+    fprintf(f, "ctx      count     ours(B)   cabac(B)     win(B)\n");
+    for (int i = 0; i < N; ++i) {
+      if (!cnt[i].load()) continue;
+      int64_t w = int64_t(cabac[i].load()) - int64_t(ours[i].load());
+      fprintf(f, "%4d %9llu %11.1f %10.1f %+10.1f\n", i,
+              (unsigned long long)cnt[i].load(), ours[i].load() / 8000.0,
+              cabac[i].load() / 8000.0, w / 8000.0);
+    }
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -155,7 +196,7 @@ class ModelEncoder {
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindDual,
                                  uint32_t(m_.res_key(b.ctx, b.pos)),
-                                 uint16_t(m_.mirror_prob(b.ctx))});
+                                 m_.res_prior(b.ctx)});
             push(b.bin, m_.res_prob(b.ctx, b.pos), b.klass);
             m_.res_update(b.ctx, b.pos, b.bin);
             break;
@@ -173,6 +214,9 @@ class ModelEncoder {
           break;
         }
       }
+      if (CtxBillTab::enabled() && !discard_ && b.ctx < kCtxBypass && last_p_)
+        CtxBillTab::get().add(b.ctx, cost_mb(b.bin, last_p_), b.cabac_mbits);
+      last_p_ = 0;
       // Advance the mirrored CABAC state for every context-coded bin (after
       // this bin's probabilities were computed from the pre-update state).
       if (b.ctx < kCtxBypass) m_.mirror_update(b.ctx, b.bin);
@@ -256,6 +300,7 @@ class ModelEncoder {
       bits_.push_back(uint8_t(bit));
       probs_.push_back(uint16_t(p));
     }
+    last_p_ = p;
     uint64_t mb = cost_mb(bit, p);
     m_.bill.mbits[klass] += mb;
     ++m_.bill.count[klass];
@@ -279,6 +324,7 @@ class ModelEncoder {
   std::vector<PriorModel::Coded>* trace_ = nullptr;
   int cur_block_nnz_ = 0;
   bool discard_ = false;
+  uint32_t last_p_ = 0;  // last pushed prob (ARTC_BILL_CTX diagnostics)
 
  public:
   // CAVLC slices: transport every recorded syntax value through the adaptive

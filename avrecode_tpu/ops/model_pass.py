@@ -76,6 +76,25 @@ def _div_floor(num, den):
     return q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
 
 
+# Residual-level bins (container v15): Dirichlet count-weighted mix with the
+# mirrored-CABAC prior, selected per bin by the prior's bit-15 tag on
+# kKindDual bins. Must match native/model.h kResDirAlpha / kResDirFastBoost.
+RES_DIR_ALPHA = 32
+RES_DIR_K = 2
+
+
+def _dual_prob(dfp, dfn, dsp, dsn, prior_f, tag):
+    """kKindDual probability: fixed-weight linear mix (mb-layer/cbf bins),
+    or — when the prior is bit-15 tagged — the v15 Dirichlet count-weighted
+    res mix. Replicates PriorModel::prob_for / dual_prob bit-exactly."""
+    ps = _div_floor(dsp << PROB_BITS, dsp + dsn)
+    pf = _div_floor(dfp << PROB_BITS, dfp + dfn)
+    lin = jnp.where(prior_f > 0, (3 * (pf + ps) + 2 * prior_f) >> 3, (pf + ps) >> 1)
+    dirich = _div_floor(((RES_DIR_K * dfp + dsp) << PROB_BITS) + RES_DIR_ALPHA * prior_f,
+                        RES_DIR_K * (dfp + dfn) + dsp + dsn + RES_DIR_ALPHA)
+    return _clamp_prob(jnp.where(tag != 0, dirich, lin)), _clamp_prob(ps)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha"))
 def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, sig0,
@@ -163,12 +182,7 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
         dsn = st[:, 3] + zeros_f
         spos = st[:, 4] + ones_f
         sneg = st[:, 5] + zeros_f
-        ps = _div_floor(dsp << PROB_BITS, dsp + dsn)
-        pf = _div_floor(dfp << PROB_BITS, dfp + dfn)
-        p_dual = _clamp_prob(jnp.where(prior_f > 0,
-                                       (3 * (pf + ps) + 2 * prior_f) >> 3,
-                                       (pf + ps) >> 1))
-        p_slow = _clamp_prob(ps)
+        p_dual, p_slow = _dual_prob(dfp, dfn, dsp, dsn, prior_f, prior_raw >> 15)
         p_sig = _clamp_prob(_div_floor((spos << PROB_BITS) + alpha_v * prior_f,
                                        spos + sneg + alpha_v))
         prob = jnp.where(kind_f == 0, p_dual, jnp.where(kind_f == 1, p_slow, p_sig))
@@ -295,12 +309,8 @@ def v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s,
         alpha_v = jnp.where(prior_raw >> 15 != 0, alpha_off, alpha_on)
         # Frozen semantics: the staged state IS the per-bin state (no within-
         # batch prefix adders).
-        ps = _div_floor(st[:, 2] << PROB_BITS, st[:, 2] + st[:, 3])
-        pf = _div_floor(st[:, 0] << PROB_BITS, st[:, 0] + st[:, 1])
-        p_dual = _clamp_prob(jnp.where(prior_f > 0,
-                                       (3 * (pf + ps) + 2 * prior_f) >> 3,
-                                       (pf + ps) >> 1))
-        p_slow = _clamp_prob(ps)
+        p_dual, p_slow = _dual_prob(st[:, 0], st[:, 1], st[:, 2], st[:, 3],
+                                    prior_f, prior_raw >> 15)
         p_sig = _clamp_prob(_div_floor((st[:, 4] << PROB_BITS) + alpha_v * prior_f,
                                        st[:, 4] + st[:, 5] + alpha_v))
         prob = jnp.where(kind_f == 0, p_dual, jnp.where(kind_f == 1, p_slow, p_sig))
@@ -406,12 +416,7 @@ def model_pass_dict(bits, kinds, priors, bin_u, dict_keys, dual0, sig0, batch: i
         sneg = smat[:, 1] + pre_zeros
 
         is_ext = kind == 3
-        ps = (dsp << PROB_BITS) // (dsp + dsn)
-        pf = (dfp << PROB_BITS) // (dfp + dfn)
-        p_dual = _clamp_prob(jnp.where(prior > 0,
-                                       (3 * (pf + ps) + 2 * prior) >> 3,
-                                       (pf + ps) >> 1))
-        p_slow = _clamp_prob(ps)
+        p_dual, p_slow = _dual_prob(dfp, dfn, dsp, dsn, prior, prior_tag)
         alpha_v = jnp.where(prior_tag != 0, alpha_off, alpha_on)
         p_sig = _clamp_prob(((spos << PROB_BITS) + alpha_v * prior) //
                             (spos + sneg + alpha_v))
@@ -541,14 +546,10 @@ def model_pass(bits, kinds, keys, priors, dual0, sig0, batch: int, fast_w: int, 
         spos = sig[skey, 0] + pre_ones
         sneg = sig[skey, 1] + pre_zeros
 
-        ps = (dsp << PROB_BITS) // (dsp + dsn)
-        pf = (dfp << PROB_BITS) // (dfp + dfn)
         # Three-voice mix when a mirrored-CABAC prior rides along (mb-layer
-        # ctx bins); plain fast+slow otherwise (prior == 0 sentinel).
-        p_dual = _clamp_prob(jnp.where(prior > 0,
-                                       (3 * (pf + ps) + 2 * prior) >> 3,
-                                       (pf + ps) >> 1))
-        p_slow = _clamp_prob(ps)
+        # ctx bins); plain fast+slow otherwise (prior == 0 sentinel); v15
+        # Dirichlet res mix when the prior is bit-15 tagged.
+        p_dual, p_slow = _dual_prob(dfp, dfn, dsp, dsn, prior, prior_tag)
         alpha_v = jnp.where(prior_tag != 0, alpha_off, alpha_on)
         p_sig = _clamp_prob(((spos << PROB_BITS) + alpha_v * prior) //
                             (spos + sneg + alpha_v))

@@ -45,6 +45,8 @@ def test_refprior_constants_match_native(small_clip):
     assert (an.sig_alpha >> 16) == cfg.sig_mix_alpha_off
     assert an.n_sig == 1 << cfg.sig_hash_bits
     assert mp.PROB_BITS == cfg.prob_bits
+    assert mp.RES_DIR_ALPHA == cfg.res_dir_alpha
+    assert mp.RES_DIR_K == cfg.res_dir_fast_boost
     assert (0, 2) == cfg.profiles
 
 
