@@ -56,6 +56,9 @@ class ChunkAnalysis:
     v2_dk_s: np.ndarray | None = None    # int32[ns, us]
     v2_dd: np.ndarray | None = None      # int32[ns, sup, ud, 2]
     v2_ds: np.ndarray | None = None      # int32[ns, sup, us, 2]
+    # sparse sig start state (v16 warm-started chunks; empty = cold zeros)
+    sig0_idx: np.ndarray | None = None  # uint32[k]
+    sig0_val: np.ndarray | None = None  # int32[k, 2]
 
 
 @dataclass
@@ -81,6 +84,9 @@ class SlimChunk:
     coo_ones: np.ndarray   # uint16[n_coo]
     coo_tot: np.ndarray    # uint16[n_coo]
     host_probs: np.ndarray | None  # uint16[n] (differential testing only)
+    # sparse sig start state (v16 warm-started chunks; empty = cold zeros)
+    sig0_idx: np.ndarray | None = None  # uint32[k]
+    sig0_val: np.ndarray | None = None  # uint16[k, 2]
 
 
 @dataclass
@@ -201,6 +207,10 @@ def _parse_analysis(raw: bytes) -> Analysis:
             dk_d = arr(np.uint32, ns * ud).reshape(ns, ud)
             dk_s = arr(np.uint32, ns * us).reshape(ns, us)
             dual0 = arr(np.uint16, 4 * n_dual).reshape(n_dual, 4)
+            n_sig_nz = u32()
+            sig0_idx = arr(np.uint32, n_sig_nz)
+            sig0_pos = arr(np.uint16, n_sig_nz)
+            sig0_neg = arr(np.uint16, n_sig_nz)
             n_coo = u64()
             coo_cnt = arr(np.uint16, ns * sup_out)
             coo_slot = arr(np.uint16, n_coo)
@@ -209,7 +219,9 @@ def _parse_analysis(raw: bytes) -> Analysis:
             probs = arr(np.uint16, n) if has_probs else None
             chunks.append(SlimChunk(int(n), ns, ud, us, int(m), pdict, esc_idx,
                                     esc_val, packed, prior_idx, dk_d, dk_s, dual0,
-                                    coo_cnt, coo_slot, coo_ones, coo_tot, probs))
+                                    coo_cnt, coo_slot, coo_ones, coo_tot, probs,
+                                    sig0_idx=sig0_idx,
+                                    sig0_val=np.stack([sig0_pos, sig0_neg], axis=1)))
         return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
                         sig_w, sig_alpha, profile, sup_out, slim=True)
     for _ in range(n_chunks):
@@ -222,6 +234,10 @@ def _parse_analysis(raw: bytes) -> Analysis:
         pre_tot = arr(np.uint16, n)
         probs = arr(np.uint16, n)
         dual0 = arr(np.uint16, 4 * n_dual).astype(np.int32).reshape(n_dual, 4)
+        n_sig_nz = u32()
+        sig0_idx = arr(np.uint32, n_sig_nz)
+        sig0_pos = arr(np.uint16, n_sig_nz)
+        sig0_neg = arr(np.uint16, n_sig_nz)
         ns = u32()
         ud = u32()
         us = u32()
@@ -232,7 +248,10 @@ def _parse_analysis(raw: bytes) -> Analysis:
         dd = arr(np.uint16, ns * sup_out * ud * 2).astype(np.int32).reshape(ns, sup_out, ud, 2)
         ds = arr(np.uint16, ns * sup_out * us * 2).astype(np.int32).reshape(ns, sup_out, us, 2)
         chunks.append(ChunkAnalysis(bit, kind, key, prior, pre_ones, pre_tot, probs, dual0,
-                                    int(m), bin_u, dk_d, dk_s, dd, ds))
+                                    int(m), bin_u, dk_d, dk_s, dd, ds,
+                                    sig0_idx=sig0_idx,
+                                    sig0_val=np.stack([sig0_pos, sig0_neg],
+                                                      axis=1).astype(np.int32)))
     return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha,
                     profile, sup_out)
 
@@ -251,6 +270,29 @@ def _bucket_lin(x: int, step: int = 1 << 18) -> int:
     if x <= 1 << 18:
         return _bucket_pow2(x)
     return -(-x // step) * step
+
+
+def _sig0_dense(chunk, n_sig: int) -> np.ndarray | None:
+    """Dense sig start state from the chunk's sparse v16 warm rows (None =
+    cold zeros)."""
+    if chunk.sig0_idx is None or len(chunk.sig0_idx) == 0:
+        return None
+    s = np.zeros((n_sig, 2), np.int32)
+    s[chunk.sig0_idx.astype(np.int64)] = chunk.sig0_val.astype(np.int32)
+    return s
+
+
+def _sig0_sparse_padded(chunk, n_sig: int):
+    """(idx, val) padded to a power-of-two length for the v3 wire (pad rows
+    target n_sig = dropped by the device scatter); (None, None) = cold."""
+    if chunk.sig0_idx is None or len(chunk.sig0_idx) == 0:
+        return None, None
+    k = _bucket_pow2(len(chunk.sig0_idx))
+    idx = np.full(k, n_sig, np.uint32)
+    idx[:len(chunk.sig0_idx)] = chunk.sig0_idx
+    val = np.zeros((k, 2), np.uint16)
+    val[:len(chunk.sig0_idx)] = chunk.sig0_val
+    return idx, val
 
 
 def _run_v3(an: Analysis, c: SlimChunk):
@@ -282,12 +324,15 @@ def _run_v3(an: Analysis, c: SlimChunk):
         np.int32(len(c.coo_slot)), jnp.asarray(pidx), jnp.asarray(pdict),
         jnp.asarray(esc_idx), jnp.asarray(esc_val),
         nsub=int(ns * an.sup), U=int(ud + us))
+    s_idx, s_val = _sig0_sparse_padded(c, an.n_sig)
     probs, bits = mp.model_pass_v3(
         jnp.asarray(packed), prior_full, jnp.asarray(c.dk_d),
         jnp.asarray(c.dk_s), deltas, jnp.asarray(c.dual0),
         batch=int(an.batch), sup=int(an.sup), fast_w=int(an.fast_w),
         slow_w=int(an.slow_w), sig_w=int(an.sig_w), sig_alpha=int(an.sig_alpha),
-        ud=int(ud), us=int(us), n_sig=int(an.n_sig))
+        ud=int(ud), us=int(us), n_sig=int(an.n_sig),
+        sig0_idx=None if s_idx is None else jnp.asarray(s_idx),
+        sig0_val=None if s_val is None else jnp.asarray(s_val))
     return probs, bits
 
 
@@ -299,20 +344,21 @@ def device_probs(an: Analysis, chunk, impl: str | None = None) -> np.ndarray:
         probs, _ = _run_v3(an, chunk)
         return np.asarray(probs)[:chunk.n]
     impl = impl or mp.default_impl()
+    sig0 = _sig0_dense(chunk, an.n_sig)
     if impl == "v2":
         if chunk.v2_bin_u is not None:
             return mp.run_chunk_v2_tables(
                 chunk.kind, chunk.prior, chunk.pre_ones, chunk.pre_tot, chunk.v2_m,
                 chunk.v2_bin_u, chunk.v2_dk_d, chunk.v2_dk_s, chunk.v2_dd, chunk.v2_ds,
                 chunk.dual0, an.batch, an.sup, an.fast_w, an.slow_w, an.sig_w,
-                an.sig_alpha, an.n_sig)
+                an.sig_alpha, an.n_sig, sig0=sig0)
         return mp.run_chunk_v2(chunk.bit, chunk.kind, chunk.key, chunk.prior,
                                chunk.pre_ones, chunk.pre_tot, chunk.dual0, an.batch,
                                mp.default_sup(), an.fast_w, an.slow_w, an.sig_w,
-                               an.sig_alpha, an.n_sig)
+                               an.sig_alpha, an.n_sig, sig0=sig0)
     return mp.run_chunk(chunk.bit, chunk.kind, chunk.key, chunk.prior, chunk.dual0,
                         an.batch, an.fast_w, an.slow_w, an.sig_w, an.sig_alpha, an.n_sig,
-                        impl=impl)
+                        impl=impl, sig0=sig0)
 
 
 def pick_lanes(n_pairs: int) -> int:
@@ -485,6 +531,14 @@ def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
                                (G_pad, NS, US)).copy()
         dual0 = np.ones((G_pad, an.n_dual, 4), np.uint16)
         n_arr = np.zeros((G_pad,), np.int32)
+        SK = _bucket_pow2(max(max((len(c.sig0_idx) if c.sig0_idx is not None else 0)
+                                  for c in chunks), 1))
+        sig0_idx = np.full((G_pad, SK), an.n_sig, np.uint32)  # pad rows drop
+        sig0_val = np.zeros((G_pad, SK, 2), np.uint16)
+        for g, c in enumerate(chunks):
+            if c.sig0_idx is not None and len(c.sig0_idx):
+                sig0_idx[g, :len(c.sig0_idx)] = c.sig0_idx
+                sig0_val[g, :len(c.sig0_idx)] = c.sig0_val
         for g, c in enumerate(chunks):
             pk = c.packed
             b = (pk >> 15).astype(np.uint8)
@@ -517,7 +571,7 @@ def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
             ud=int(UD), us=int(US), n_sig=int(an.n_sig), K_total=int(K))
         x_final, words, emits, _, total_words = step(
             *(jnp.asarray(a) for a in (bit, kind, slot, prior, dk_d, dk_s,
-                                       deltas, dual0, n_arr)))
+                                       deltas, dual0, sig0_idx, sig0_val, n_arr)))
         x_final = np.asarray(x_final)
         words = np.asarray(words)
         emits = np.asarray(emits)

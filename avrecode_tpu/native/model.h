@@ -850,6 +850,28 @@ class PriorModel {
   const std::vector<Dual>& dual_table() const { return dual_; }
   const std::vector<Estimator>& sig_table() const { return sig_est_; }
 
+  // Warm-started chunks (container v16): chunk 0 publishes a copy of its
+  // learned tables after its first `warm_slices` slices; later chunks start
+  // from that snapshot instead of the cold CABAC-init seed, recovering most
+  // of the sectioning ratio cost while chunks still encode/decode in
+  // parallel (only chunk 0's prefix serializes). The snapshot is taken
+  // between slices with no flush: pending batch updates of chunk 0 are NOT
+  // transferred (deterministic on both codec sides; keeps the device pass's
+  // uniform batch grid intact).
+  struct TableSnapshot {
+    std::vector<Dual> dual;
+    std::vector<Estimator> sig;
+  };
+  void snapshot_tables(TableSnapshot& s) const {
+    s.dual = dual_;
+    s.sig = sig_est_;
+  }
+  void restore_tables(const TableSnapshot& s) {
+    dual_ = s.dual;
+    sig_est_ = s.sig;
+    seeded_ = true;  // the snapshot already carries the CABAC-init seed
+  }
+
  private:
   struct NZFrame {
     int w = 0, h = 0;

@@ -5,6 +5,7 @@
 #include <algorithm>
 #include <atomic>
 #include <chrono>
+#include <condition_variable>
 #include <mutex>
 #include <thread>
 
@@ -383,15 +384,25 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
     uint64_t sec_bins = opt.section_bins ? opt.section_bins : 8'000'000;
     const char* env = getenv("ARTC_SECTION_BINS");
     if (env && *env) sec_bins = strtoull(env, nullptr, 10);
+    uint64_t seed_bins = 4'000'000;
+    if (const char* se = getenv("ARTC_SEED_BINS")) seed_bins = strtoull(se, nullptr, 10);
     uint64_t total = 0;
     for (const auto& s : slices)
       total += s.coding == 1 ? s.cstream.values.size() : s.ss.bins.size();
-    uint64_t n_sec = std::min<uint64_t>(total / sec_bins + 1, 64);
-    if (n_sec > 1) {
+    if (total > sec_bins) {
+      // Sectioned file: a short "seed" section 0 (its tables warm-start every
+      // later section — see pick_warm_slices / WarmCtx) followed by balanced
+      // ~sec_bins sections. The short seed both deepens the warm start and
+      // shortens the critical path (later sections wait only on the seed).
+      uint64_t n_rest =
+          std::min<uint64_t>(std::max<uint64_t>((total - seed_bins) / sec_bins + 1, 1), 63);
+      std::vector<uint64_t> tb;  // cumulative-bin targets for section starts
+      tb.push_back(seed_bins);
+      for (uint64_t i = 1; i < n_rest; ++i)
+        tb.push_back(seed_bins + (total - seed_bins) * i / n_rest);
       uint64_t acc = 0, sec = 0;
       for (auto& s : slices) {
-        if (s.new_picture && sec + 1 < n_sec && acc * n_sec >= total * (sec + 1))
-          ++sec;
+        if (s.new_picture && sec < tb.size() && acc >= tb[sec]) ++sec;
         s.chunk_idx = uint32_t(sec);
         acc += s.coding == 1 ? s.cstream.values.size() : s.ss.bins.size();
       }
@@ -405,22 +416,74 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
   return out;
 }
 
+// Warm-start rendezvous (container v16): chunk 0's worker publishes a table
+// snapshot after `src_slices` slices; later chunks wait on it before
+// starting. Shared between compress, decompress, and the analyze export.
+struct WarmCtx {
+  int src_slices = 0;  // 0 = warm start disabled
+  PriorModel::TableSnapshot snap;
+  std::mutex mu;
+  std::condition_variable cv;
+  bool ready = false;
+  void publish(const PriorModel& m) {
+    std::lock_guard<std::mutex> lock(mu);
+    if (ready) return;
+    m.snapshot_tables(snap);
+    ready = true;
+    cv.notify_all();
+  }
+  const PriorModel::TableSnapshot& wait() {
+    std::unique_lock<std::mutex> lock(mu);
+    cv.wait(lock, [&] { return ready; });
+    return snap;
+  }
+};
+
+// Warm-slice policy (encoder side; the chosen count travels in the
+// container): all of chunk 0 up to ~the seed-section size (with the seeded
+// section split, chunk 0 IS the seed, so this is the whole chunk and later
+// sections wait only on the short seed). Deterministic from pass-1 data.
+static int pick_warm_slices(const std::vector<SliceRecord>& slices,
+                            const std::vector<std::pair<size_t, size_t>>& ranges) {
+  if (ranges.size() < 2) return 0;
+  uint64_t target = 4'500'000;
+  if (const char* e = getenv("ARTC_WARM_BINS")) target = strtoull(e, nullptr, 10);
+  if (target == 0) return 0;
+  auto [b, e] = ranges[0];
+  uint64_t acc = 0;
+  for (size_t si = b; si < e; ++si) {
+    acc += slices[si].coding == 1 ? slices[si].cstream.values.size()
+                                  : slices[si].ss.bins.size();
+    if (acc >= target) return int(si - b) + 1;
+  }
+  return int(e - b);
+}
+
 // Runs the model+entropy pass over one chunk's slices. If trace/probs_out are
 // given, records the device-path inputs; always returns the rANS blob.
+// warm_make (chunk 0) publishes the table snapshot after src_slices slices;
+// warm_use (chunks 1+) blocks until it is published, then starts from it.
 static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slices, size_t begin,
                                             size_t end, const Options& opt, Stats& st,
                                             std::vector<PriorModel::Coded>* trace,
                                             std::vector<uint16_t>* probs_out,
                                             std::vector<Dual>* dual0, uint64_t nz_modes,
-                                            bool encode_blob = true) {
+                                            bool encode_blob = true,
+                                            WarmCtx* warm_make = nullptr,
+                                            WarmCtx* warm_use = nullptr,
+                                            std::vector<Estimator>* sig0 = nullptr) {
   PriorModel model;
   model.set_profile(opt.model_profile);
   model.set_batch_size(opt.batch_size);
   model.set_nz_modes(nz_modes);
+  if (warm_use) model.restore_tables(warm_use->wait());
   if (dual0) {
-    // Snapshot the seeded tables (device starting state).
-    model.seed_from_cabac(slices[begin].cabac_init_idc, slices[begin].slice_qp);
+    // Snapshot the starting tables (device starting state): the warm
+    // snapshot if one applies, the CABAC-init seed otherwise.
+    if (!warm_use)
+      model.seed_from_cabac(slices[begin].cabac_init_idc, slices[begin].slice_qp);
     *dual0 = model.dual_table();
+    if (sig0) *sig0 = model.sig_table();
   }
   std::vector<uint8_t> bits;
   std::vector<uint16_t> probs;
@@ -434,7 +497,12 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
       enc.process(slices[si].ss);
       st.total_bins += slices[si].ss.bins.size();
     }
+    if (warm_make && int(si - begin) + 1 == warm_make->src_slices)
+      warm_make->publish(model);
   }
+  // Never leave waiters hanging (src_slices beyond the chunk cannot happen
+  // with the encoder policy, but a container could claim it).
+  if (warm_make && !warm_make->ready) warm_make->publish(model);
   for (int k = 0; k < kNumBinKlasses; ++k) {
     st.bill.mbits[k] += model.bill.mbits[k];
     st.bill.count[k] += model.bill.count[k];
@@ -523,7 +591,8 @@ static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
 static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
                                            const std::vector<std::vector<uint8_t>>& blobs,
                                            const std::vector<uint64_t>& nz_modes,
-                                           const Options& opt, Stats& st) {
+                                           const Options& opt, Stats& st,
+                                           int warm_slices = 0) {
   const auto& slices = p1.slices;
   const auto& segments = p1.segments;
   const auto& paramsets = p1.paramsets;
@@ -571,6 +640,9 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   }
   w.vu(uint64_t(st.n_chunks));
   for (int c = 0; c < st.n_chunks; ++c) w.vu(nz_modes[c]);
+  // v16: chunks 1+ start from chunk 0's table snapshot after this many of
+  // chunk 0's slices (0 = cold starts everywhere).
+  w.vu(uint64_t(warm_slices));
   w.vu(segments.size());
   for (const auto& seg : segments) {
     if (seg.kind == 0) {
@@ -605,8 +677,9 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
 static std::vector<uint8_t> finalize_container(const uint8_t* data, size_t size, const Pass1& p1,
                                                const std::vector<std::vector<uint8_t>>& blobs,
                                                const std::vector<uint64_t>& nz_modes,
-                                               const Options& opt, Stats& st) {
-  auto out = pack_container(data, p1, blobs, nz_modes, opt, st);
+                                               const Options& opt, Stats& st,
+                                               int warm_slices = 0) {
+  auto out = pack_container(data, p1, blobs, nz_modes, opt, st, warm_slices);
   if (opt.chunk_mode == 0 && out.size() >= size + std::max<size_t>(40, size / 256)) {
     Pass1 lit;
     lit.segments.push_back({0, 0, size, 0});
@@ -657,6 +730,8 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
       fprintf(stderr, "[artc]   nz-mode probe %.3fs (shared, %zu sections)\n",
               now_s() - tp, ranges.size());
   }
+  WarmCtx warm;
+  warm.src_slices = pick_warm_slices(p1.slices, ranges);
   if (n_workers <= 1) {
     for (size_t c = 0; c < ranges.size(); ++c) {
       auto [b, e] = ranges[c];
@@ -665,7 +740,9 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
       if (timing_enabled() && !share_modes)
         fprintf(stderr, "[artc]   nz-mode probe %.3fs\n", now_s() - tp);
       blobs[c] = run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr,
-                                 nz_modes[c]);
+                                 nz_modes[c], true,
+                                 c == 0 && warm.src_slices ? &warm : nullptr,
+                                 c > 0 && warm.src_slices ? &warm : nullptr);
       st.recoded_bytes += blobs[c].size();
     }
   } else {
@@ -679,7 +756,9 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
           Stats local;
           uint64_t modes = share_modes ? modes0 : pick_nz_modes(p1.slices, b, e, opt);
           auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr, nullptr,
-                                      modes);
+                                      modes, true,
+                                      c == 0 && warm.src_slices ? &warm : nullptr,
+                                      c > 0 && warm.src_slices ? &warm : nullptr);
           std::lock_guard<std::mutex> lock(mu);
           nz_modes[c] = modes;
           st.recoded_bytes += blob.size();
@@ -702,7 +781,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
     fprintf(stderr, "[artc] model+encode %.3fs (%zu chunks)\n", now_s() - t1,
             ranges.size());
   double t2 = timing_enabled() ? now_s() : 0;
-  auto out = finalize_container(data, size, p1, blobs, nz_modes, opt, st);
+  auto out = finalize_container(data, size, p1, blobs, nz_modes, opt, st, warm.src_slices);
   if (timing_enabled()) fprintf(stderr, "[artc] pack %.3fs\n", now_s() - t2);
   if (CtxBillTab::enabled()) CtxBillTab::get().dump(stderr);
   if (stats) *stats = st;
@@ -768,6 +847,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   uint32_t n_chunks = uint32_t(r.vu());
   std::vector<uint64_t> nz_modes(n_chunks);
   for (uint32_t c = 0; c < n_chunks; ++c) nz_modes[c] = r.vu();
+  int warm_slices = int(r.vu());  // v16 warm-started chunks (0 = cold)
   uint32_t n_segments = uint32_t(r.vu());
 
   // Segment table first, chunk blobs after — collect segment descriptors.
@@ -890,12 +970,18 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     return nal;
   };
 
+  // v16 warm-started chunks: chunk 0 publishes its table snapshot after its
+  // first warm_slices slices; chunks 1+ restore it before decoding (exactly
+  // mirrors the encoder's sequencing in compress()).
+  WarmCtx warm;
+  warm.src_slices = n_chunks > 1 ? warm_slices : 0;
   auto init_chunk = [&](uint32_t ci) {
     ChunkState& cs = chunks[ci];
     cs.model = std::make_unique<PriorModel>();
     cs.model->set_profile(model_profile);
     cs.model->set_batch_size(batch_size);
     cs.model->set_nz_modes(nz_modes[ci]);
+    if (ci > 0 && warm.src_slices) cs.model->restore_tables(warm.wait());
     cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[ci].first,
                                                        blob_extents[ci].second);
   };
@@ -932,12 +1018,23 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
             init_chunk(uint32_t(ci));
             PictureState pic;
             int slice_id = 0;
-            for (size_t si : chunk_segs[ci])
+            for (size_t si : chunk_segs[ci]) {
               slice_out[si] = decode_slice(segs[si], chunks[ci], pic, ++slice_id);
+              if (ci == 0 && slice_id == warm.src_slices)
+                warm.publish(*chunks[0].model);
+            }
+            if (ci == 0 && warm.src_slices && !warm.ready)
+              warm.publish(*chunks[0].model);
           } catch (const std::exception& e) {
             std::lock_guard<std::mutex> lock(err_mu);
             failed = true;
             err = e.what();
+            if (ci == 0 && warm.src_slices && !warm.ready) {
+              // Release waiters with a structurally valid (cold) snapshot;
+              // their output is discarded — the failure throws below.
+              PriorModel cold;
+              warm.publish(cold);
+            }
           }
         }
       });
@@ -946,10 +1043,16 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   } else {
     PictureState pic;
     int slice_id = 0;
+    int chunk0_done = 0;
     for (size_t i = 0; i < segs.size(); ++i) {
       if (segs[i].kind != 1) continue;
-      if (!chunks[segs[i].chunk_idx].model) init_chunk(segs[i].chunk_idx);
-      slice_out[i] = decode_slice(segs[i], chunks[segs[i].chunk_idx], pic, ++slice_id);
+      uint32_t ci = segs[i].chunk_idx;
+      if (ci > 0 && warm.src_slices && !warm.ready && chunks[0].model)
+        warm.publish(*chunks[0].model);  // src_slices beyond chunk 0's end
+      if (!chunks[ci].model) init_chunk(ci);
+      slice_out[i] = decode_slice(segs[i], chunks[ci], pic, ++slice_id);
+      if (ci == 0 && ++chunk0_done == warm.src_slices)
+        warm.publish(*chunks[0].model);
     }
   }
 
@@ -1177,7 +1280,8 @@ extern "C" {
 //              prefix counts — lets the device pass skip the sort/prefix
 //              machinery while keeping immediate-increment semantics);
 //              prob u16[] (host-computed, for differential testing);
-//              dual0 u16[4 * n_dual_keys] (fp,fn,sp,sn per key)
+//              dual0 u16[4 * n_dual_keys] (fp,fn,sp,sn per key);
+//              u32 n_sig_nz + sparse sig0 rows (v16 warm-started chunks)
 static uint32_t bucket_pow2(uint32_t x) {
   uint32_t b = 1;
   while (b < x) b *= 2;
@@ -1193,6 +1297,7 @@ struct ArtcSession {
   artc::Pass1 p1;
   std::vector<std::pair<size_t, size_t>> ranges;
   std::vector<uint64_t> nz_modes;
+  int warm_slices = 0;  // v16 warm-started chunks (0 = cold)
 };
 
 void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_mode,
@@ -1214,6 +1319,7 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
       s->nz_modes.push_back(share && !s->nz_modes.empty()
                                 ? s->nz_modes[0]
                                 : pick_nz_modes(s->p1.slices, b, e, s->opt));
+    s->warm_slices = pick_warm_slices(s->p1.slices, s->ranges);
     return s;
   } catch (const std::exception& e) {
     g_error = e.what();
@@ -1237,14 +1343,29 @@ void artc_session_close(void* h) { delete static_cast<ArtcSession*>(h); }
 //   u8  prior_idx[n]   (255 = escape)
 //   u32 dk_d[ns*ud]; u32 dk_s[ns*us]
 //   u16 dual0[4*n_dual]
+//   u32 n_sig_nz; u32 sig_idx[]; u16 sig_pos[]; u16 sig_neg[]
+//     (sparse sig start state — nonzero only for v16 warm-started chunks)
 //   u16 coo_cnt[ns*sup]; u16 coo_slot[]; u16 coo_ones[]; u16 coo_tot[]
 //     (per-sub-batch per-touched-slot (ones, total) update deltas, the sparse
 //      form of the v2 dd/ds tables — reconstructed on device by one scatter)
 //   u16 probs[n] if flags bit0
+static void write_sig0_sparse(artc::Writer& w, const std::vector<artc::Estimator>& sig0) {
+  // Sparse sig start state (v16 warm-started chunks): nonzero rows only.
+  // Cold chunks (and chunk 0) write an empty list.
+  std::vector<uint32_t> idx;
+  for (uint32_t i = 0; i < sig0.size(); ++i)
+    if (sig0[i].pos | sig0[i].neg) idx.push_back(i);
+  w.u32(uint32_t(idx.size()));
+  for (uint32_t i : idx) w.u32(i);
+  for (uint32_t i : idx) w.u16(sig0[i].pos);
+  for (uint32_t i : idx) w.u16(sig0[i].neg);
+}
+
 static void write_slim_chunk(artc::Writer& w,
                              const std::vector<artc::PriorModel::Coded>& trace,
                              const std::vector<uint16_t>& probs, bool has_probs,
-                             const std::vector<artc::Dual>& dual0, uint32_t batch,
+                             const std::vector<artc::Dual>& dual0,
+                             const std::vector<artc::Estimator>& sig0, uint32_t batch,
                              uint32_t sup_u) {
   using namespace artc;
   using Coded = PriorModel::Coded;
@@ -1376,6 +1497,7 @@ static void write_slim_chunk(artc::Writer& w,
     w.u16(d.sp);
     w.u16(d.sn);
   }
+  write_sig0_sparse(w, sig0);
   w.u64(coo_slot.size());
   w.bytes(reinterpret_cast<const uint8_t*>(coo_cnt.data()), coo_cnt.size() * 2);
   w.bytes(reinterpret_cast<const uint8_t*>(coo_slot.data()), coo_slot.size() * 2);
@@ -1417,6 +1539,8 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
     // Slim chunks are independent: walk + export in parallel into per-chunk
     // buffers (with sectioned chunk_mode-0 files this parallelizes the whole
     // analyze across cores), then concatenate in order.
+    WarmCtx warm;
+    warm.src_slices = se->warm_slices;
     if (slim) {
       std::vector<Writer> cw(ranges.size());
       std::atomic<size_t> next{0};
@@ -1426,15 +1550,18 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
           std::vector<PriorModel::Coded> trace;
           std::vector<uint16_t> probs;
           std::vector<Dual> dual0;
+          std::vector<Estimator> sig0;
           Stats tmp;
           double t0 = timing_enabled() ? now_s() : 0;
           run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0,
-                          se->nz_modes[ci], /*encode_blob=*/false);
+                          se->nz_modes[ci], /*encode_blob=*/false,
+                          ci == 0 && warm.src_slices ? &warm : nullptr,
+                          ci > 0 && warm.src_slices ? &warm : nullptr, &sig0);
           if (timing_enabled())
             fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
                     ci, now_s() - t0, trace.size());
           t0 = timing_enabled() ? now_s() : 0;
-          write_slim_chunk(cw[ci], trace, probs, want_probs, dual0,
+          write_slim_chunk(cw[ci], trace, probs, want_probs, dual0, sig0,
                            opt.batch_size ? opt.batch_size : 1, sup_u);
           if (timing_enabled())
             fprintf(stderr, "[artc] analyze chunk %zu: slim export %.3fs\n",
@@ -1455,11 +1582,14 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
       std::vector<PriorModel::Coded> trace;
       std::vector<uint16_t> probs;
       std::vector<Dual> dual0;
+      std::vector<Estimator> sig0;
       Stats tmp;
       uint64_t modes = se->nz_modes[ci];
       double t0 = timing_enabled() ? now_s() : 0;
       run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0, modes,
-                      /*encode_blob=*/false);
+                      /*encode_blob=*/false,
+                      ci == 0 && warm.src_slices ? &warm : nullptr,
+                      ci > 0 && warm.src_slices ? &warm : nullptr, &sig0);
       if (timing_enabled())
         fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
                 ci, now_s() - t0, trace.size());
@@ -1510,6 +1640,7 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
         w.u16(d.sp);
         w.u16(d.sn);
       }
+      write_sig0_sparse(w, sig0);
       // ---- model_pass_v2 tables: per-super-step sorted-unique dicts,
       // per-bin dict indices, per-sub-batch per-entry (ones, total) deltas.
       {
@@ -1624,7 +1755,7 @@ int artc_session_pack(void* h, const uint8_t* blob_data, const uint64_t* blob_le
       st.recoded_bytes += blob_lens[i];
     }
     auto v = finalize_container(se->data.data(), se->data.size(), se->p1, blobs,
-                                se->nz_modes, se->opt, st);
+                                se->nz_modes, se->opt, st, se->warm_slices);
     *out = static_cast<uint8_t*>(malloc(v.size()));
     memcpy(*out, v.data(), v.size());
     *out_len = v.size();
@@ -1676,8 +1807,13 @@ int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chun
     std::vector<std::pair<size_t, size_t>> ranges2;
     chunk_ranges(p1.slices, st.n_chunks, &ranges2);
     std::vector<uint64_t> nz_modes;
-    for (auto [b, e] : ranges2) nz_modes.push_back(pick_nz_modes(p1.slices, b, e, opt));
-    auto v = finalize_container(data, size, p1, blobs, nz_modes, opt, st);
+    bool share2 = opt.chunk_mode == 0 && ranges2.size() > 1;
+    for (auto [b, e] : ranges2)
+      nz_modes.push_back(share2 && !nz_modes.empty()
+                             ? nz_modes[0]
+                             : pick_nz_modes(p1.slices, b, e, opt));
+    auto v = finalize_container(data, size, p1, blobs, nz_modes, opt, st,
+                                pick_warm_slices(p1.slices, ranges2));
     *out = static_cast<uint8_t*>(malloc(v.size()));
     memcpy(*out, v.data(), v.size());
     *out_len = v.size();

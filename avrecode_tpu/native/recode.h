@@ -51,7 +51,11 @@ namespace artc {
 // mirrored-CABAC prior (kResDirAlpha/kResDirFastBoost, prior bit-15 tagged
 // in the trace); sig estimator window 80 -> 128; ref_idx bins prev-skip
 // conditioned (kMbExtraStride 40 -> 46).
-constexpr uint8_t kContainerVersion = 15;
+// v16: warm-started chunks — chunks 1+ start from a snapshot of chunk 0's
+// tables taken after its first warm_slices slices (new container field after
+// nz_modes; 0 = cold). Recovers most of the sectioning cold-start cost while
+// chunks still code in parallel.
+constexpr uint8_t kContainerVersion = 16;
 
 struct Options {
   int lanes = 16;

@@ -226,7 +226,7 @@ def wire_expand(coo_cnt, coo_slot, coo_vals, n_coo, prior_idx, pdict, esc_idx, e
 def v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s,
             deltas, dual0_u16, *, batch: int, sup: int,
             fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
-            n_sig: int = 1 << 17):
+            n_sig: int = 1 << 17, sig0_idx=None, sig0_val=None):
     """Frozen-batch (model profile 2) pass over the slim wire format.
 
     Designed for the tunnel-attached TPU: the wire carries ~3 bytes/bin
@@ -267,8 +267,13 @@ def v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s,
 
     dual0 = jnp.concatenate([dual0_u16.astype(jnp.int32),
                              jnp.ones((1 + ud, 4), jnp.int32)], axis=0)
-    sig0 = jnp.concatenate([jnp.zeros((n_sig, 2), jnp.int32),
-                            jnp.ones((us, 2), jnp.int32)], axis=0)
+    # Sig start state: zeros (cold) with the sparse v16 warm rows scattered in
+    # (indices >= n_sig, incl. the pad sentinel, drop).
+    sig_base = jnp.zeros((n_sig, 2), jnp.int32)
+    if sig0_idx is not None:
+        sig_base = sig_base.at[sig0_idx.astype(jnp.int32)].set(
+            sig0_val.astype(jnp.int32), mode="drop")
+    sig0 = jnp.concatenate([sig_base, jnp.ones((us, 2), jnp.int32)], axis=0)
 
     sh = (ns, sup, batch)
 
@@ -332,7 +337,7 @@ def v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s,
                                     "ud", "us", "n_sig"))
 def model_pass_v3(packed, prior_u16, dk_d, dk_s, deltas, dual0_u16, batch: int, sup: int,
                   fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
-                  n_sig: int = 1 << 17):
+                  n_sig: int = 1 << 17, sig0_idx=None, sig0_val=None):
     """Jitted single-chunk entry over the u16 wire word (bit<<15|kind<<13|slot;
     everything arrives in the narrowest wire dtype and is widened on device —
     transfer bytes, not FLOPs, are the scarce resource on a tunnel-attached
@@ -346,7 +351,8 @@ def model_pass_v3(packed, prior_u16, dk_d, dk_s, deltas, dual0_u16, batch: int, 
     slot_all = pk & 0x1FFF
     probs = v3_core(bit_all, kind_all, slot_all, prior_u16, dk_d, dk_s, deltas,
                     dual0_u16, batch=batch, sup=sup, fast_w=fast_w, slow_w=slow_w,
-                    sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us, n_sig=n_sig)
+                    sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us, n_sig=n_sig,
+                    sig0_idx=sig0_idx, sig0_val=sig0_val)
     return probs, bit_all
 
 
@@ -686,7 +692,7 @@ def build_v2_inputs(bit_p, kind_p, key_p, n_dual_ext, n_sig, batch, sup):
 
 
 def run_chunk_v2(bit, kind, key, prior, pre_ones, pre_tot, dual0, batch, sup,
-                 fast_w, slow_w, sig_w, sig_alpha, n_sig):
+                 fast_w, slow_w, sig_w, sig_alpha, n_sig, sig0=None):
     """numpy in/out wrapper for the fast path: pads the stream to whole
     super-steps (padding bins become kind-3 no-ops), builds the dictionary
     inputs, runs the jitted pass, trims."""
@@ -708,8 +714,8 @@ def run_chunk_v2(bit, kind, key, prior, pre_ones, pre_tot, dual0, batch, sup,
         bit_p, kind_p, key_p, n_dual, n_sig, batch, sup)
     dual_ext = np.concatenate(
         [dual0.astype(np.int32), np.ones((1 + ud, 4), np.int32)], axis=0)
-    sig_ext = np.concatenate(
-        [np.zeros((n_sig, 2), np.int32), np.ones((us, 2), np.int32)], axis=0)
+    sig_base = np.zeros((n_sig, 2), np.int32) if sig0 is None else sig0.astype(np.int32)
+    sig_ext = np.concatenate([sig_base, np.ones((us, 2), np.int32)], axis=0)
     sh = (ns, sup, batch)
     probs = model_pass_v2(
         jnp.asarray(kind_p.reshape(sh)), jnp.asarray(prior_p.reshape(sh)),
@@ -722,7 +728,8 @@ def run_chunk_v2(bit, kind, key, prior, pre_ones, pre_tot, dual0, batch, sup,
 
 
 def run_chunk_v2_tables(kind, prior, pre_ones, pre_tot, v2_m, bin_u, dk_d, dk_s, dd, ds,
-                        dual0, batch, sup, fast_w, slow_w, sig_w, sig_alpha, n_sig):
+                        dual0, batch, sup, fast_w, slow_w, sig_w, sig_alpha, n_sig,
+                        sig0=None):
     """Fast path with C++-precomputed dictionary tables (artc_analyze)."""
     n = len(kind)
     if n == 0:
@@ -738,8 +745,8 @@ def run_chunk_v2_tables(kind, prior, pre_ones, pre_tot, v2_m, bin_u, dk_d, dk_s,
     pret_p = np.concatenate([pre_tot.astype(np.int32), np.zeros(pad, np.int32)])
     dual_ext = np.concatenate(
         [dual0.astype(np.int32), np.ones((1 + ud, 4), np.int32)], axis=0)
-    sig_ext = np.concatenate(
-        [np.zeros((n_sig, 2), np.int32), np.ones((us, 2), np.int32)], axis=0)
+    sig_base = np.zeros((n_sig, 2), np.int32) if sig0 is None else sig0.astype(np.int32)
+    sig_ext = np.concatenate([sig_base, np.ones((us, 2), np.int32)], axis=0)
     sh = (ns, sup, batch)
     probs = model_pass_v2(
         jnp.asarray(kind_p.reshape(sh)), jnp.asarray(prior_p.reshape(sh)),
@@ -752,7 +759,7 @@ def run_chunk_v2_tables(kind, prior, pre_ones, pre_tot, v2_m, bin_u, dk_d, dk_s,
 
 
 def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_alpha, n_sig,
-              impl=None):
+              impl=None, sig0=None):
     """numpy in/out convenience wrapper: pads, runs the jitted pass, trims."""
     n = len(bit)
     if n == 0:
@@ -767,21 +774,21 @@ def run_chunk(bit, kind, key, prior, dual0, batch, fast_w, slow_w, sig_w, sig_al
     key_p = np.concatenate([key.astype(np.int32), np.full(pad, scratch, np.int32)])
     prior_p = np.concatenate([prior.astype(np.int32), np.zeros(pad, np.int32)])
     dual_ext = np.concatenate([dual0.astype(np.int32), np.ones((1, 4), np.int32)], axis=0)
+    sig_base = np.zeros((n_sig, 2), np.int32) if sig0 is None else sig0.astype(np.int32)
     if impl == "dict":
         nb = m // batch
         bin_u, dict_keys = build_dicts(kind_p, key_p, n_dual + 1, batch)
-        sig0 = np.zeros((n_sig + 1, 2), np.int32)  # + scratch row
+        sig_ext = np.concatenate([sig_base, np.zeros((1, 2), np.int32)], axis=0)
         probs = model_pass_dict(
             jnp.asarray(bit_p.reshape(nb, batch)), jnp.asarray(kind_p.reshape(nb, batch)),
             jnp.asarray(prior_p.reshape(nb, batch)), jnp.asarray(bin_u),
-            jnp.asarray(dict_keys), jnp.asarray(dual_ext), jnp.asarray(sig0),
+            jnp.asarray(dict_keys), jnp.asarray(dual_ext), jnp.asarray(sig_ext),
             batch=int(batch), fast_w=int(fast_w), slow_w=int(slow_w), sig_w=int(sig_w),
             sig_alpha=int(sig_alpha))
         return np.asarray(probs)[:n]
-    sig0 = np.zeros((n_sig, 2), np.int32)
     probs = model_pass(
         jnp.asarray(bit_p), jnp.asarray(kind_p), jnp.asarray(key_p), jnp.asarray(prior_p),
-        jnp.asarray(dual_ext), jnp.asarray(sig0), batch=int(batch), fast_w=int(fast_w),
+        jnp.asarray(dual_ext), jnp.asarray(sig_base), batch=int(batch), fast_w=int(fast_w),
         slow_w=int(slow_w), sig_w=int(sig_w), sig_alpha=int(sig_alpha),
         impl=impl)
     return np.asarray(probs)[:n]

@@ -41,6 +41,8 @@ def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
       dk_d: int32[G, NS, ud]; dk_s: int32[G, NS, us]
       deltas: uint16[G, NS*sup, U, 2]
       dual0: uint16[G, n_dual, 4]
+      sig0_idx: uint32[G, SK]; sig0_val: uint16[G, SK, 2] — sparse sig start
+        state (v16 warm-started chunks; pad rows target n_sig and drop)
       n_arr: int32[G] live bins per chunk (lane-scan validity)
     Returns (x_final uint32[G, K], words uint16[G, T, K], emits bool[G, T, K],
     probs uint16[G, M], total_words int32[])."""
@@ -48,11 +50,13 @@ def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
     assert K_total % n_lane == 0
     k_local = K_total // n_lane
 
-    def step(bit, kind, slot, prior, dk_d, dk_s, deltas, dual0, n_arr):
-        probs = jax.vmap(lambda b, k, s, p, kd, ks, dl, d0: mp.v3_core(
+    def step(bit, kind, slot, prior, dk_d, dk_s, deltas, dual0, sig0_idx, sig0_val,
+             n_arr):
+        probs = jax.vmap(lambda b, k, s, p, kd, ks, dl, d0, si, sv: mp.v3_core(
             b, k, s, p, kd, ks, dl, d0, batch=batch, sup=sup, fast_w=fast_w,
             slow_w=slow_w, sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us,
-            n_sig=n_sig))(bit, kind, slot, prior, dk_d, dk_s, deltas, dual0)
+            n_sig=n_sig, sig0_idx=si, sig0_val=sv))(
+            bit, kind, slot, prior, dk_d, dk_s, deltas, dual0, sig0_idx, sig0_val)
         G_l, M = bit.shape
         T = M // K_total
         lane_idx = jax.lax.axis_index("lane")
@@ -80,7 +84,8 @@ def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
         step, mesh=mesh,
         in_specs=(P("gop", None), P("gop", None), P("gop", None), P("gop", None),
                   P("gop", None, None), P("gop", None, None),
-                  P("gop", None, None, None), P("gop", None, None), P("gop")),
+                  P("gop", None, None, None), P("gop", None, None),
+                  P("gop", None), P("gop", None, None), P("gop")),
         out_specs=(P("gop", "lane"), P("gop", None, "lane"), P("gop", None, "lane"),
                    P("gop", None), P()),
         check_rep=False,

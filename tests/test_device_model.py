@@ -125,6 +125,28 @@ def test_slim_multichunk_roundtrip(corpus_dir):
     assert dec == data
 
 
+def test_warm_sectioned_roundtrip(corpus_dir, monkeypatch):
+    """v16 warm-started sections: force a seeded multi-section split on a
+    small clip, verify the bit-exact host roundtrip and the device
+    differential with a nonzero sparse sig0 start state (chunks 1+ start
+    from chunk 0's table snapshot)."""
+    from avrecode_tpu import device, pipeline
+    with open(os.path.join(corpus_dir, "multislice.264"), "rb") as f:
+        data = f.read()
+    monkeypatch.setenv("ARTC_SECTION_BINS", "150000")
+    monkeypatch.setenv("ARTC_SEED_BINS", "100000")
+    monkeypatch.setenv("ARTC_WARM_BINS", "120000")
+    comp, st = pipeline.compress(data)
+    assert st.n_chunks > 1
+    dec, _ = pipeline.decompress(comp)
+    assert dec == data
+    an = device.analyze(data, batch_size=256, model_profile=2)
+    assert len(an.chunks) > 1
+    assert any(c.sig0_idx is not None and len(c.sig0_idx) for c in an.chunks[1:])
+    for c in an.chunks:
+        assert np.array_equal(device.device_probs(an, c), c.host_probs)
+
+
 def test_model_pass_mm_impl_bit_exact(small_clip):
     """The sort-free (masked-matmul) prefix formulation must match the
     sort-based one bit-for-bit on real traces."""
