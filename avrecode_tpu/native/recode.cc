@@ -64,6 +64,13 @@ struct Pass1 {
   std::vector<SliceRecord> slices;
   std::vector<Segment> segments;
   std::vector<ParamSet> paramsets;
+  // MPEG-TS transport (v17): the pipeline codes the reassembled elementary
+  // stream `ts_es` (all segment/literal offsets refer to it); `ts_runs` maps
+  // ES bytes back to original file extents; everything else (TS/PES headers,
+  // PSI, other PIDs) is the "skeleton", stored through the side-byte coder.
+  bool ts = false;
+  std::vector<uint8_t> ts_es;
+  std::vector<TsReader::Run> ts_runs;
 };
 }  // namespace
 
@@ -196,6 +203,19 @@ static void walk_cabac_job(SliceJob& j) {
 
 static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Stats& st) {
   st.input_bytes = size;
+
+  // MPEG-TS: reassemble the H.264 elementary stream from the packet payloads
+  // and run the whole pipeline on it — every offset below then refers to the
+  // ES; pack/decompress weave the skeleton bytes back around it (v17).
+  bool is_ts = false;
+  std::vector<uint8_t> ts_es;
+  std::vector<TsReader::Run> ts_runs;
+  if (TsReader::looks_like_ts(data, size) &&
+      TsReader::extract(data, size, &ts_es, &ts_runs)) {
+    is_ts = true;
+    data = ts_es.data();
+    size = ts_es.size();
+  }
 
   // ---- enumerate NAL units (file order) ----------------------------------
   std::vector<NalUnit> nals;
@@ -413,6 +433,9 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
   out.slices = std::move(slices);
   out.segments = std::move(segments);
   out.paramsets = std::move(paramsets);
+  out.ts = is_ts;
+  out.ts_es = std::move(ts_es);
+  out.ts_runs = std::move(ts_runs);
   return out;
 }
 
@@ -602,11 +625,23 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   // order-1 byte model, store fallback when it doesn't pay (v13; the
   // reference stored all of this raw, recode.cpp:1608-1618).
   std::vector<uint8_t> side;
+  // TS transport: the skeleton (every original byte that is not ES) leads
+  // the side stream; the run map in the header tells the decoder how to
+  // weave the regenerated ES back between the skeleton bytes.
+  const uint8_t* lit_src = p1.ts ? p1.ts_es.data() : data;
+  if (p1.ts) {
+    size_t pe = 0;
+    for (const auto& r : p1.ts_runs) {
+      side.insert(side.end(), data + pe, data + r.off);
+      pe = r.off + r.len;
+    }
+    side.insert(side.end(), data + pe, data + st.input_bytes);
+  }
   for (const auto& ps : paramsets)
     side.insert(side.end(), ps.payload.begin(), ps.payload.end());
   for (const auto& seg : segments) {
     if (seg.kind == 0) {
-      side.insert(side.end(), data + seg.lit_off, data + seg.lit_off + seg.lit_len);
+      side.insert(side.end(), lit_src + seg.lit_off, lit_src + seg.lit_off + seg.lit_len);
     } else {
       const SliceRecord& r = slices[seg.slice_idx];
       side.insert(side.end(), r.header_rbsp.begin(), r.header_rbsp.end());
@@ -622,6 +657,20 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
   w.u8(uint8_t(opt.model_profile));
+  // v17 transport: 0 = direct (segments address the file), 1 = MPEG-TS
+  // (segments address the reassembled ES; the header run map + skeleton
+  // side bytes reproduce the original packetization).
+  w.u8(p1.ts ? 1 : 0);
+  if (p1.ts) {
+    w.vu(st.input_bytes);
+    w.vu(p1.ts_runs.size());
+    uint64_t pe = 0;
+    for (const auto& r : p1.ts_runs) {
+      w.vu(r.off - pe);  // skeleton bytes before this run
+      w.vu(r.len);
+      pe = r.off + r.len;
+    }
+  }
   w.u32(crc32_ieee(data, st.input_bytes));  // CRC of the original file
   if (side_blob.size() + 2 < side.size()) {
     w.u8(1);
@@ -803,6 +852,27 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   int model_profile = r.u8();
   if (model_profile != 0 && model_profile != 2)
     throw std::runtime_error("unsupported model profile");
+  // v17 transport (MPEG-TS): run map + original size; the skeleton bytes
+  // lead the side stream.
+  uint8_t transport = r.u8();
+  if (transport > 1) throw std::runtime_error("unsupported transport");
+  uint64_t ts_file_size = 0;
+  std::vector<std::pair<uint64_t, uint64_t>> ts_runs;  // (skip, take)
+  uint64_t ts_es_total = 0;
+  if (transport == 1) {
+    ts_file_size = r.vu();
+    uint64_t nr = r.vu();
+    ts_runs.reserve(nr);
+    uint64_t skip_total = 0;
+    for (uint64_t i = 0; i < nr; ++i) {
+      uint64_t skip = r.vu(), take = r.vu();
+      ts_es_total += take;
+      skip_total += skip;
+      ts_runs.emplace_back(skip, take);
+    }
+    if (ts_es_total > ts_file_size || skip_total > ts_file_size - ts_es_total)
+      throw std::runtime_error("bad TS run map");
+  }
   uint32_t want_crc = r.u32();
 
   // Side-byte stream (v13): verbatim bytes, coded or raw per the flag; every
@@ -827,6 +897,8 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     side_pos += n;
     return p;
   };
+  const uint8_t* skel =
+      transport == 1 ? side_bytes(size_t(ts_file_size - ts_es_total)) : nullptr;
 
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
@@ -1066,6 +1138,21 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
       ++st.n_slices;
     }
   }
+  if (transport == 1) {
+    // Weave the regenerated ES back between the skeleton bytes.
+    if (out.size() != ts_es_total) throw std::runtime_error("TS ES length mismatch");
+    std::vector<uint8_t> file;
+    file.reserve(ts_file_size);
+    size_t sp = 0, ep = 0;
+    for (auto [skip, take] : ts_runs) {
+      file.insert(file.end(), skel + sp, skel + sp + skip);
+      sp += skip;
+      file.insert(file.end(), out.data() + ep, out.data() + ep + take);
+      ep += take;
+    }
+    file.insert(file.end(), skel + sp, skel + (ts_file_size - ts_es_total));
+    out = std::move(file);
+  }
   st.output_bytes = out.size();
   if (crc32_ieee(out.data(), out.size()) != want_crc)
     throw std::runtime_error("integrity check failed: reconstructed file CRC mismatch");
@@ -1288,6 +1375,15 @@ static uint32_t bucket_pow2(uint32_t x) {
   return b;
 }
 
+// Super-step-count bucketing: pow2 up to 8, then multiples of 4. Pow2 all
+// the way wastes up to 2x wire bytes as padding (a 103 MB wire at 3 seeded
+// sections vs 73 at 2 plain ones); multiples of 4 cap pad waste at ~12%
+// while each distinct chunk shape still compiles exactly once on device.
+static uint32_t bucket_steps(uint32_t x) {
+  if (x <= 8) return bucket_pow2(x);
+  return (x + 3) & ~3u;
+}
+
 // Session: one pass1 + nz-mode pick shared between analysis export and
 // container packing (the pre-session flow ran both twice).
 struct ArtcSession {
@@ -1371,7 +1467,7 @@ static void write_slim_chunk(artc::Writer& w,
   using Coded = PriorModel::Coded;
   const uint64_t n = trace.size();
   const uint64_t span = uint64_t(sup_u) * batch;
-  uint64_t ns = bucket_pow2(uint32_t((n + span - 1) / span));
+  uint64_t ns = bucket_steps(uint32_t((n + span - 1) / span));
   if (ns == 0) ns = 1;
   const uint64_t m = ns * span;
   const uint32_t n_dual_ext = uint32_t(PriorModel::kNumDualKeys) + 1;
@@ -1646,7 +1742,7 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
       {
         uint32_t batch = opt.batch_size ? opt.batch_size : 1;
         uint64_t span = uint64_t(sup_u) * batch;
-        uint64_t ns = bucket_pow2(uint32_t((trace.size() + span - 1) / span));
+        uint64_t ns = bucket_steps(uint32_t((trace.size() + span - 1) / span));
         if (ns == 0) ns = 1;
         uint64_t m = ns * span;
         uint32_t n_dual_ext = uint32_t(PriorModel::kNumDualKeys) + 1;

@@ -32,6 +32,7 @@
 #include "mkv.h"
 #include "mp4.h"
 #include "nal.h"
+#include "ts.h"
 #include "rans.h"
 #include "cavlc_stream.h"
 #include "symbol_stream.h"
@@ -55,7 +56,11 @@ namespace artc {
 // tables taken after its first warm_slices slices (new container field after
 // nz_modes; 0 = cold). Recovers most of the sectioning cold-start cost while
 // chunks still code in parallel.
-constexpr uint8_t kContainerVersion = 16;
+// v17: MPEG-TS transport — the pipeline codes the reassembled H.264
+// elementary stream; a header run map + skeleton side bytes reproduce the
+// original packetization byte-exactly (new transport field after
+// model_profile).
+constexpr uint8_t kContainerVersion = 17;
 
 struct Options {
   int lanes = 16;

@@ -54,7 +54,9 @@ def _device_worker(q, data, batch):
         # the jitted frozen-batch pass alone (host analysis and tunnel
         # transfers are reported separately — see device_wire_mb).
         an = device.analyze(data, batch_size=batch, model_profile=2)
-        c = an.chunks[0]
+        # Chip rate on the largest chunk (chunk 0 is the short warm seed
+        # since container v16 — too small to amortize dispatch overheads).
+        c = max(an.chunks, key=lambda cc: cc.n)
         from avrecode_tpu.ops import model_pass as mp
         n, m = c.n, c.m
         pad = m - n
@@ -81,7 +83,8 @@ def _device_worker(q, data, batch):
         wire_mb = sum(
             cc.m * 3 + cc.dk_d.nbytes + cc.dk_s.nbytes + cc.dual0.nbytes +
             cc.coo_cnt.nbytes + device._bucket_lin(len(cc.coo_slot)) * 6 +
-            device._bucket_pow2(len(cc.esc_idx)) * 6 + 512
+            device._bucket_pow2(len(cc.esc_idx)) * 6 + 512 +
+            (0 if cc.sig0_idx is None else cc.sig0_idx.nbytes + cc.sig0_val.nbytes)
             for cc in an.chunks) / 1e6
         # Measured wire time: repeat upload of the exact production arrays.
         t0 = time.time()
@@ -95,9 +98,12 @@ def _device_worker(q, data, batch):
             args[7], args[8], args[9], np.int32(len(c.coo_slot)),
             args[1], args[2], args[3], args[4],
             nsub=int(c.ns * an.sup), U=int(c.ud + c.us))
+        s_idx, s_val = device._sig0_sparse_padded(c, an.n_sig)
         kw = dict(batch=batch, sup=an.sup, fast_w=an.fast_w, slow_w=an.slow_w,
                   sig_w=an.sig_w, sig_alpha=an.sig_alpha, ud=c.ud, us=c.us,
-                  n_sig=an.n_sig)
+                  n_sig=an.n_sig,
+                  sig0_idx=None if s_idx is None else jnp.asarray(s_idx),
+                  sig0_val=None if s_val is None else jnp.asarray(s_val))
         probs, bits = mp.model_pass_v3(args[0], prior_full, args[5], args[6],
                                        deltas, dual0_dev, **kw)
         int(jnp.sum(probs.astype(jnp.int32)))  # warm + sync

@@ -72,14 +72,18 @@ def test_mkv_recompresses_without_fallback(corpus_dir):
     assert rep.ratio < 1.0
 
 
-def test_ts_degrades_safely(corpus_dir):
-    """MPEG-TS fragments slices across 188-byte packets; the walker must
-    reject them cleanly (literal fallback) and still roundtrip bit-exactly,
-    with the v13 side coder keeping the container a net win."""
+def test_ts_recompresses(corpus_dir):
+    """MPEG-TS fragments every slice across 188-byte packets — the v17
+    transport reassembles the elementary stream, recompresses it with zero
+    fallbacks, and weaves the TS/PES skeleton back around it bit-exactly.
+    (The reference's memmem segmentation cannot locate fragmented slices, so
+    it stores TS essentially raw — this is a capability win.)"""
     with open(os.path.join(corpus_dir, "ipb_high.ts"), "rb") as f:
         data = f.read()
     rep = pipeline.roundtrip(data)
     assert rep.ok
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0
     assert rep.ratio < 1.0
 
 
