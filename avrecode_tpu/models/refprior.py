@@ -33,7 +33,11 @@ class RefPriorConfig:
     # significance prior mixing — model.h kSigMixAlpha / kSigMixAlphaOff;
     # the off-mode tag travels in prior bit 15 (kPriorOffTag)
     sig_mix_alpha: int = 1        # on-mode: hypergeometric prior weight
-    sig_mix_alpha_off: int = 48   # off-mode: mirrored-CABAC prior weight
+    sig_mix_alpha_off: int = 48   # off-mode default (probe may override)
+    # v18: the off weight is chosen per file by the nz-mode probe from these
+    # candidates (model.h kSigAlphaCands) and travels in the container and
+    # the analyze header's sig_alpha high half.
+    sig_mix_alpha_off_cands: tuple = (48, 32, 64, 96)
     sig_hash_bits: int = 17       # sig key space hashed to 2^17 entries
     # v15 residual-level mix — model.h kResDirAlpha / kResDirFastBoost /
     # ops.model_pass.RES_DIR_ALPHA / RES_DIR_K; selected per bin by the

@@ -393,9 +393,17 @@ class PriorModel {
   // LOST everywhere (their seeded fast estimators + linear mix are better).
   static constexpr uint32_t kResDirAlpha = 32;
   static constexpr uint32_t kResDirFastBoost = 2;
+  // Off-mode sig prior weight: chosen empirically per FILE by the nz-mode
+  // probe from kSigAlphaCands (v18) — dense grain favors a heavy mirrored-
+  // CABAC prior (96: bench -0.025pp), structured content a light one
+  // (32: sparse -0.034pp). One value per file so the device pass keeps a
+  // single static sig_alpha; travels in the container and the analyze wire.
+  static constexpr uint32_t kSigAlphaCands[4] = {48, 32, 64, 96};
+  void set_alpha_off(uint32_t a) { alpha_off_ = a; }
+  uint32_t alpha_off() const { return alpha_off_; }
   uint32_t prob_for(uint8_t kind, uint32_t key, uint16_t prior) const {
     if (kind == kKindSig) {
-      uint32_t alpha = (prior & kPriorOffTag) ? kSigMixAlphaOff : kSigMixAlpha;
+      uint32_t alpha = (prior & kPriorOffTag) ? alpha_off_ : kSigMixAlpha;
       prior &= 0x7fff;
       const Estimator& e = sig_est_[key];
       uint32_t p = ((uint32_t(e.pos) << kProbBits) + alpha * prior) /
@@ -580,6 +588,14 @@ class PriorModel {
     assert(!nz_on() || nnz_total_ >= 1);
     cached_sig_key_ = uint32_t(sig_key(pos));
     return prob_for(kKindSig, cached_sig_key_, sig_prior(ctx, pos));
+  }
+  // Probe-only alternative-alpha pricing of the bin sig_prob just computed
+  // (reuses cached_sig_key_; pre-update state, like sig_prob itself).
+  uint32_t sig_prob_alpha_probe(uint16_t prior, uint32_t alpha) const {
+    const Estimator& e = sig_est_[cached_sig_key_];
+    uint32_t p = ((uint32_t(e.pos) << kProbBits) + alpha * (prior & 0x7fff)) /
+                 (uint32_t(e.pos) + e.neg + alpha);
+    return clamp15(int32_t(p));
   }
   void sig_update(int pos, int bit) {
     (void)pos;
@@ -844,6 +860,9 @@ class PriorModel {
   // learned estimator paid vs what CABAC-parity coding would have paid.
   uint64_t eobc_adapt_mbits[3][6] = {};
   uint64_t eobc_parity_mbits[3][6] = {};
+  // Per-candidate off-mode sig cost (probe pass only): drives the empirical
+  // per-file alpha_off choice (kSigAlphaCands).
+  uint64_t sigc_alpha_mbits[4][3][6] = {};
   int slice_class() const { return sc_; }
   int cur_cat() const { return cat_; }
 
@@ -950,6 +969,7 @@ class PriorModel {
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
   uint64_t nz_modes_ = kAllNzOn;  // default: NZ-first everywhere
+  uint32_t alpha_off_ = kSigMixAlphaOff;
   int profile_ = 0;
   std::vector<uint8_t> skip_grid_[2];
   bool seeded_ = false;

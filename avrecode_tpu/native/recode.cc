@@ -494,11 +494,13 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
                                             bool encode_blob = true,
                                             WarmCtx* warm_make = nullptr,
                                             WarmCtx* warm_use = nullptr,
-                                            std::vector<Estimator>* sig0 = nullptr) {
+                                            std::vector<Estimator>* sig0 = nullptr,
+                                            uint32_t alpha_off = 0) {
   PriorModel model;
   model.set_profile(opt.model_profile);
   model.set_batch_size(opt.batch_size);
   model.set_nz_modes(nz_modes);
+  if (alpha_off) model.set_alpha_off(alpha_off);
   if (warm_use) model.restore_tables(warm_use->wait());
   if (dual0) {
     // Snapshot the starting tables (device starting state): the warm
@@ -548,9 +550,13 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
 // NZ-first everywhere and once with adaptive-EOB everywhere, compare the
 // accumulated significance-complex cost per cell, take the cheaper mode.
 // (The cells are independent in cost: each mode's estimator tables are
-// disjoint per cell.)
+// disjoint per cell.) When alpha_out is given (chunk 0), the off probe also
+// prices every kSigAlphaCands value and returns the per-file alpha_off
+// choice; later chunks pass the chosen alpha_in so their mode costs are
+// priced consistently.
 static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
-                              const Options& opt);
+                              const Options& opt, uint32_t alpha_in = 0,
+                              uint32_t* alpha_out = nullptr);
 
 static void chunk_ranges(const std::vector<SliceRecord>& slices, int n_chunks,
                          std::vector<std::pair<size_t, size_t>>* ranges) {
@@ -563,17 +569,20 @@ static void chunk_ranges(const std::vector<SliceRecord>& slices, int n_chunks,
 }
 
 static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t begin, size_t end,
-                              const Options& opt) {
+                              const Options& opt, uint32_t alpha_in, uint32_t* alpha_out) {
   // Probe on a prefix sample of the chunk (cap ~4M bins): mode choice is a
   // coarse statistic; the sample keeps the two probe passes cheap.
   constexpr uint64_t kProbeBinCap = 3'000'000;
   uint64_t on_cost[3][6], off_cost[3][6];
   uint64_t eob_adapt[3][6], eob_parity[3][6];
+  uint64_t sig_alpha[4][3][6];
+  uint32_t alpha = alpha_in ? alpha_in : PriorModel::kSigMixAlphaOff;
   auto probe = [&](int mode, uint64_t (*cost)[6], bool grab_eob) {
     PriorModel m;
     m.set_profile(opt.model_profile);
     m.set_batch_size(opt.batch_size);
     m.set_nz_modes(mode ? 0 : PriorModel::kAllNzOn);
+    m.set_alpha_off(alpha);
     std::vector<uint8_t> bits;
     std::vector<uint16_t> probs;
     ModelEncoder enc(m, bits, probs);
@@ -588,11 +597,31 @@ static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
     if (grab_eob) {
       memcpy(eob_adapt, m.eobc_adapt_mbits, sizeof(eob_adapt));
       memcpy(eob_parity, m.eobc_parity_mbits, sizeof(eob_parity));
+      memcpy(sig_alpha, m.sigc_alpha_mbits, sizeof(sig_alpha));
     }
   };
   std::thread t_on([&] { probe(0, on_cost, false); });
   probe(1, off_cost, true);  // adaptive pass also prices CABAC-parity EOB
   t_on.join();
+  int best_a = 0;
+  if (alpha_out) {
+    // Empirical per-file alpha_off: the probe ran at kSigAlphaCands[0]; its
+    // per-cell alternative pricing tells what each candidate would have
+    // cost. Adjust the off-mode cell costs to the chosen candidate so the
+    // mode decision below is priced consistently.
+    uint64_t tot[4] = {};
+    for (int c = 0; c < 4; ++c)
+      for (int sc = 0; sc < 3; ++sc)
+        for (int cat = 0; cat < 6; ++cat) tot[c] += sig_alpha[c][sc][cat];
+    for (int c = 1; c < 4; ++c)
+      if (tot[c] < tot[best_a]) best_a = c;
+    *alpha_out = PriorModel::kSigAlphaCands[best_a];
+    if (best_a != 0)
+      for (int sc = 0; sc < 3; ++sc)
+        for (int cat = 0; cat < 6; ++cat)
+          off_cost[sc][cat] +=
+              sig_alpha[best_a][sc][cat] - sig_alpha[0][sc][cat];
+  }
   uint64_t modes = 0;
   for (int sc = 0; sc < 3; ++sc)
     for (int cat = 0; cat < 6; ++cat) {
@@ -615,7 +644,8 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
                                            const std::vector<std::vector<uint8_t>>& blobs,
                                            const std::vector<uint64_t>& nz_modes,
                                            const Options& opt, Stats& st,
-                                           int warm_slices = 0) {
+                                           int warm_slices = 0,
+                                           uint32_t alpha_off = 0) {
   const auto& slices = p1.slices;
   const auto& segments = p1.segments;
   const auto& paramsets = p1.paramsets;
@@ -692,6 +722,8 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   // v16: chunks 1+ start from chunk 0's table snapshot after this many of
   // chunk 0's slices (0 = cold starts everywhere).
   w.vu(uint64_t(warm_slices));
+  // v18: empirical per-file off-mode sig prior weight (probe-chosen).
+  w.vu(alpha_off ? alpha_off : PriorModel::kSigMixAlphaOff);
   w.vu(segments.size());
   for (const auto& seg : segments) {
     if (seg.kind == 0) {
@@ -727,8 +759,9 @@ static std::vector<uint8_t> finalize_container(const uint8_t* data, size_t size,
                                                const std::vector<std::vector<uint8_t>>& blobs,
                                                const std::vector<uint64_t>& nz_modes,
                                                const Options& opt, Stats& st,
-                                               int warm_slices = 0) {
-  auto out = pack_container(data, p1, blobs, nz_modes, opt, st, warm_slices);
+                                               int warm_slices = 0,
+                                               uint32_t alpha_off = 0) {
+  auto out = pack_container(data, p1, blobs, nz_modes, opt, st, warm_slices, alpha_off);
   if (opt.chunk_mode == 0 && out.size() >= size + std::max<size_t>(40, size / 256)) {
     Pass1 lit;
     lit.segments.push_back({0, 0, size, 0});
@@ -771,27 +804,31 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   // one stream): one probe on the first section serves all of them. GOP
   // chunks (mode 1) keep per-chunk probes.
   bool share_modes = opt.chunk_mode == 0 && ranges.size() > 1;
+  // Chunk 0's probe always runs first: it both picks chunk 0's modes and the
+  // per-file alpha_off (v18) that every later probe/pass prices with.
+  uint32_t alpha_off = PriorModel::kSigMixAlphaOff;
   uint64_t modes0 = 0;
-  if (share_modes) {
+  if (!ranges.empty()) {
     double tp = timing_enabled() ? now_s() : 0;
-    modes0 = pick_nz_modes(p1.slices, ranges[0].first, ranges[0].second, opt);
+    modes0 = pick_nz_modes(p1.slices, ranges[0].first, ranges[0].second, opt, 0,
+                           &alpha_off);
     if (timing_enabled())
-      fprintf(stderr, "[artc]   nz-mode probe %.3fs (shared, %zu sections)\n",
-              now_s() - tp, ranges.size());
+      fprintf(stderr, "[artc]   nz-mode probe %.3fs (%s, alpha_off %u)\n",
+              now_s() - tp, share_modes ? "shared" : "chunk 0", alpha_off);
   }
   WarmCtx warm;
   warm.src_slices = pick_warm_slices(p1.slices, ranges);
   if (n_workers <= 1) {
     for (size_t c = 0; c < ranges.size(); ++c) {
       auto [b, e] = ranges[c];
-      double tp = timing_enabled() ? now_s() : 0;
-      nz_modes[c] = share_modes ? modes0 : pick_nz_modes(p1.slices, b, e, opt);
-      if (timing_enabled() && !share_modes)
-        fprintf(stderr, "[artc]   nz-mode probe %.3fs\n", now_s() - tp);
+      nz_modes[c] = (share_modes || c == 0)
+                        ? modes0
+                        : pick_nz_modes(p1.slices, b, e, opt, alpha_off, nullptr);
       blobs[c] = run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr,
                                  nz_modes[c], true,
                                  c == 0 && warm.src_slices ? &warm : nullptr,
-                                 c > 0 && warm.src_slices ? &warm : nullptr);
+                                 c > 0 && warm.src_slices ? &warm : nullptr, nullptr,
+                                 alpha_off);
       st.recoded_bytes += blobs[c].size();
     }
   } else {
@@ -803,11 +840,14 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
         for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
           auto [b, e] = ranges[c];
           Stats local;
-          uint64_t modes = share_modes ? modes0 : pick_nz_modes(p1.slices, b, e, opt);
+          uint64_t modes = (share_modes || c == 0)
+                               ? modes0
+                               : pick_nz_modes(p1.slices, b, e, opt, alpha_off, nullptr);
           auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr, nullptr,
                                       modes, true,
                                       c == 0 && warm.src_slices ? &warm : nullptr,
-                                      c > 0 && warm.src_slices ? &warm : nullptr);
+                                      c > 0 && warm.src_slices ? &warm : nullptr, nullptr,
+                                      alpha_off);
           std::lock_guard<std::mutex> lock(mu);
           nz_modes[c] = modes;
           st.recoded_bytes += blob.size();
@@ -830,7 +870,8 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
     fprintf(stderr, "[artc] model+encode %.3fs (%zu chunks)\n", now_s() - t1,
             ranges.size());
   double t2 = timing_enabled() ? now_s() : 0;
-  auto out = finalize_container(data, size, p1, blobs, nz_modes, opt, st, warm.src_slices);
+  auto out = finalize_container(data, size, p1, blobs, nz_modes, opt, st, warm.src_slices,
+                                alpha_off);
   if (timing_enabled()) fprintf(stderr, "[artc] pack %.3fs\n", now_s() - t2);
   if (CtxBillTab::enabled()) CtxBillTab::get().dump(stderr);
   if (stats) *stats = st;
@@ -920,6 +961,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   std::vector<uint64_t> nz_modes(n_chunks);
   for (uint32_t c = 0; c < n_chunks; ++c) nz_modes[c] = r.vu();
   int warm_slices = int(r.vu());  // v16 warm-started chunks (0 = cold)
+  uint32_t alpha_off = uint32_t(r.vu());  // v18 per-file off-sig prior weight
   uint32_t n_segments = uint32_t(r.vu());
 
   // Segment table first, chunk blobs after — collect segment descriptors.
@@ -1053,6 +1095,7 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
     cs.model->set_profile(model_profile);
     cs.model->set_batch_size(batch_size);
     cs.model->set_nz_modes(nz_modes[ci]);
+    cs.model->set_alpha_off(alpha_off);
     if (ci > 0 && warm.src_slices) cs.model->restore_tables(warm.wait());
     cs.rans = std::make_unique<RansInterleavedDecoder>(data + blob_extents[ci].first,
                                                        blob_extents[ci].second);
@@ -1393,7 +1436,8 @@ struct ArtcSession {
   artc::Pass1 p1;
   std::vector<std::pair<size_t, size_t>> ranges;
   std::vector<uint64_t> nz_modes;
-  int warm_slices = 0;  // v16 warm-started chunks (0 = cold)
+  int warm_slices = 0;        // v16 warm-started chunks (0 = cold)
+  uint32_t alpha_off = 0;     // v18 per-file off-sig prior weight
 };
 
 void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_mode,
@@ -1411,10 +1455,14 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
     s->p1 = run_pass1(s->data.data(), size, s->opt, s->st);
     chunk_ranges(s->p1.slices, s->st.n_chunks, &s->ranges);
     bool share = s->opt.chunk_mode == 0 && s->ranges.size() > 1;
+    s->alpha_off = PriorModel::kSigMixAlphaOff;
     for (auto [b, e] : s->ranges)
-      s->nz_modes.push_back(share && !s->nz_modes.empty()
-                                ? s->nz_modes[0]
-                                : pick_nz_modes(s->p1.slices, b, e, s->opt));
+      s->nz_modes.push_back(
+          s->nz_modes.empty()
+              ? pick_nz_modes(s->p1.slices, b, e, s->opt, 0, &s->alpha_off)
+              : (share ? s->nz_modes[0]
+                       : pick_nz_modes(s->p1.slices, b, e, s->opt, s->alpha_off,
+                                       nullptr)));
     s->warm_slices = pick_warm_slices(s->p1.slices, s->ranges);
     return s;
   } catch (const std::exception& e) {
@@ -1628,9 +1676,10 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
     w.u32(uint32_t(PriorModel::kSlowWindow));
     w.u32(uint32_t(PriorModel::kWindowSig));
     // low 16 bits: on-mode alpha; high 16: off-mode alpha (prior bit 15
-    // selects per bin — see PriorModel::kPriorOffTag).
+    // selects per bin — see PriorModel::kPriorOffTag). The off weight is the
+    // session's probe-chosen per-file value (v18).
     w.u32(uint32_t(PriorModel::kSigMixAlpha) |
-          (uint32_t(PriorModel::kSigMixAlphaOff) << 16));
+          ((se->alpha_off ? se->alpha_off : PriorModel::kSigMixAlphaOff) << 16));
     w.u32(sup_u);
     // Slim chunks are independent: walk + export in parallel into per-chunk
     // buffers (with sectioned chunk_mode-0 files this parallelizes the whole
@@ -1652,7 +1701,8 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
           run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0,
                           se->nz_modes[ci], /*encode_blob=*/false,
                           ci == 0 && warm.src_slices ? &warm : nullptr,
-                          ci > 0 && warm.src_slices ? &warm : nullptr, &sig0);
+                          ci > 0 && warm.src_slices ? &warm : nullptr, &sig0,
+                          se->alpha_off);
           if (timing_enabled())
             fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
                     ci, now_s() - t0, trace.size());
@@ -1685,7 +1735,8 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
       run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0, modes,
                       /*encode_blob=*/false,
                       ci == 0 && warm.src_slices ? &warm : nullptr,
-                      ci > 0 && warm.src_slices ? &warm : nullptr, &sig0);
+                      ci > 0 && warm.src_slices ? &warm : nullptr, &sig0,
+                      se->alpha_off);
       if (timing_enabled())
         fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
                 ci, now_s() - t0, trace.size());
@@ -1851,7 +1902,8 @@ int artc_session_pack(void* h, const uint8_t* blob_data, const uint64_t* blob_le
       st.recoded_bytes += blob_lens[i];
     }
     auto v = finalize_container(se->data.data(), se->data.size(), se->p1, blobs,
-                                se->nz_modes, se->opt, st, se->warm_slices);
+                                se->nz_modes, se->opt, st, se->warm_slices,
+                                se->alpha_off);
     *out = static_cast<uint8_t*>(malloc(v.size()));
     memcpy(*out, v.data(), v.size());
     *out_len = v.size();
@@ -1904,12 +1956,15 @@ int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chun
     chunk_ranges(p1.slices, st.n_chunks, &ranges2);
     std::vector<uint64_t> nz_modes;
     bool share2 = opt.chunk_mode == 0 && ranges2.size() > 1;
+    uint32_t alpha2 = PriorModel::kSigMixAlphaOff;
     for (auto [b, e] : ranges2)
-      nz_modes.push_back(share2 && !nz_modes.empty()
-                             ? nz_modes[0]
-                             : pick_nz_modes(p1.slices, b, e, opt));
+      nz_modes.push_back(
+          nz_modes.empty()
+              ? pick_nz_modes(p1.slices, b, e, opt, 0, &alpha2)
+              : (share2 ? nz_modes[0]
+                        : pick_nz_modes(p1.slices, b, e, opt, alpha2, nullptr)));
     auto v = finalize_container(data, size, p1, blobs, nz_modes, opt, st,
-                                pick_warm_slices(p1.slices, ranges2));
+                                pick_warm_slices(p1.slices, ranges2), alpha2);
     *out = static_cast<uint8_t*>(malloc(v.size()));
     memcpy(*out, v.data(), v.size());
     *out_len = v.size();

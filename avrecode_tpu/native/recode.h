@@ -60,7 +60,10 @@ namespace artc {
 // elementary stream; a header run map + skeleton side bytes reproduce the
 // original packetization byte-exactly (new transport field after
 // model_profile).
-constexpr uint8_t kContainerVersion = 17;
+// v18: empirical per-file off-mode sig prior weight (kSigAlphaCands, priced
+// by the nz-mode probe; new header field after warm_slices) — dense grain
+// picks a heavy mirrored-CABAC prior, structured content a light one.
+constexpr uint8_t kContainerVersion = 18;
 
 struct Options {
   int lanes = 16;
@@ -166,6 +169,15 @@ class ModelEncoder {
             trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.sig_key(b.pos)),
                                m_.sig_prior(b.ctx, b.pos)});
           push(b.bin, m_.sig_prob(b.ctx, b.pos), b.klass);
+          if (discard_) {
+            // Probe pass: also price the off-mode sig bin under every
+            // candidate alpha (drives the per-file alpha_off choice).
+            uint16_t pr = m_.sig_prior(b.ctx, b.pos);
+            if (pr & PriorModel::kPriorOffTag)
+              for (int c = 0; c < 4; ++c)
+                m_.sigc_alpha_mbits[c][m_.slice_class()][m_.cur_cat()] += cost_mb(
+                    b.bin, m_.sig_prob_alpha_probe(pr, PriorModel::kSigAlphaCands[c]));
+          }
           m_.sig_update(b.pos, b.bin);
           m_.on_sig_bin(b.bin);
           break;

@@ -42,7 +42,8 @@ def test_refprior_constants_match_native(small_clip):
     assert an.slow_w == cfg.slow_window
     assert an.sig_w == cfg.sig_window
     assert (an.sig_alpha & 0xFFFF) == cfg.sig_mix_alpha
-    assert (an.sig_alpha >> 16) == cfg.sig_mix_alpha_off
+    # v18: the off weight is probe-chosen per file from the candidate set
+    assert (an.sig_alpha >> 16) in cfg.sig_mix_alpha_off_cands
     assert an.n_sig == 1 << cfg.sig_hash_bits
     assert mp.PROB_BITS == cfg.prob_bits
     assert mp.RES_DIR_ALPHA == cfg.res_dir_alpha
