@@ -248,8 +248,27 @@ class PriorModel {
   void note_implicit_last() { ++observed_; }
 
   // ---- estimator machinery ------------------------------------------------
+  // Exact small-denominator division via round-up magic multipliers:
+  // floor(n/d) == (n * ceil(2^36/d)) >> 36 for n < 2^25, d <= 2048
+  // (proof: the magic's excess e <= 1 adds n*e/2^36 < 2^-11 <= 1/d to n/d,
+  // which cannot cross the next integer since frac(n/d) <= 1 - 1/d). All
+  // batch-1 host-path numerators/denominators are within bounds (windows
+  // 48/640/128, alphas <= 96); batched device-replay states can exceed them
+  // and take the hardware divide. Saves ~20 cycles per division on the
+  // 2-3-divisions-per-bin hot loop; bit-exact by construction (tested).
+  static uint32_t div_q(uint32_t n, uint32_t d) {
+    static const uint64_t* table = [] {
+      static uint64_t t[2049];
+      t[0] = 0;
+      for (uint32_t i = 1; i <= 2048; ++i)
+        t[i] = ((uint64_t(1) << 36) + i - 1) / i;
+      return t;
+    }();
+    if (n < (1u << 25) && d <= 2048) return uint32_t((uint64_t(n) * table[d]) >> 36);
+    return n / d;
+  }
   static uint32_t prob15(const Estimator& e) {
-    uint32_t p = (uint32_t(e.pos) << kProbBits) / (e.pos + e.neg);
+    uint32_t p = div_q(uint32_t(e.pos) << kProbBits, uint32_t(e.pos) + e.neg);
     if (p < 1) p = 1;
     if (p > kProbScale - 1) p = kProbScale - 1;
     return p;
@@ -265,7 +284,7 @@ class PriorModel {
   static constexpr int kFastWindow = 48;
   static constexpr int kSlowWindow = 640;
   static uint32_t dual_prob(const Dual& d, bool slow_only = false, uint16_t prior = 0) {
-    uint32_t ps = (uint32_t(d.sp) << kProbBits) / (d.sp + d.sn);
+    uint32_t ps = div_q(uint32_t(d.sp) << kProbBits, uint32_t(d.sp) + d.sn);
     uint32_t p;
     if (slow_only) {
       p = ps;
@@ -274,10 +293,10 @@ class PriorModel {
       // mirrored CABAC prediction (2/8). Applies to every context-coded
       // mb-layer bin, residual levels, and cbf (swept weights 1..6/8 across
       // dense + sparse content; 2/8 with res+cbf included won on both).
-      uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
+      uint32_t pf = div_q(uint32_t(d.fp) << kProbBits, uint32_t(d.fp) + d.fn);
       p = (3u * (pf + ps) + 2u * prior) >> 3;
     } else {
-      uint32_t pf = (uint32_t(d.fp) << kProbBits) / (d.fp + d.fn);
+      uint32_t pf = div_q(uint32_t(d.fp) << kProbBits, uint32_t(d.fp) + d.fn);
       p = (pf + ps) >> 1;
     }
     if (p < 1) p = 1;
@@ -406,8 +425,8 @@ class PriorModel {
       uint32_t alpha = (prior & kPriorOffTag) ? alpha_off_ : kSigMixAlpha;
       prior &= 0x7fff;
       const Estimator& e = sig_est_[key];
-      uint32_t p = ((uint32_t(e.pos) << kProbBits) + alpha * prior) /
-                   (uint32_t(e.pos) + e.neg + alpha);
+      uint32_t p = div_q((uint32_t(e.pos) << kProbBits) + alpha * prior,
+                         uint32_t(e.pos) + e.neg + alpha);
       if (p < 1) p = 1;
       if (p > kProbScale - 1) p = kProbScale - 1;
       return p;
@@ -418,7 +437,7 @@ class PriorModel {
       uint32_t num =
           ((K * d.fp + uint32_t(d.sp)) << kProbBits) + A * (prior & 0x7fff);
       uint32_t den = K * (uint32_t(d.fp) + d.fn) + d.sp + d.sn + A;
-      uint32_t p = num / den;
+      uint32_t p = div_q(num, den);
       if (p < 1) p = 1;
       if (p > kProbScale - 1) p = kProbScale - 1;
       return p;
@@ -438,6 +457,24 @@ class PriorModel {
   // this is exactly classic per-bin adaptation. MUST be called once per coded
   // bin, in pair-stream order, on both encode and decode paths.
   void note_coded(uint8_t kind, uint32_t key, int bit) {
+    if (batch_ == 1 && profile_ == 0) {
+      // Per-bin adaptation fast path: the pending queue always flushes after
+      // one entry — update and window-halve inline (bit-identical to the
+      // queued path; one estimator can gain at most 1 per bin, so a single
+      // halving check suffices).
+      if (kind == kKindPrior) return;
+      if (kind == kKindSig) {
+        Estimator& e = sig_est_[key];
+        if (bit) ++e.pos; else ++e.neg;
+        if (e.pos + e.neg > kWindowSig) {
+          e.pos = (e.pos + 1) >> 1;
+          e.neg = (e.neg + 1) >> 1;
+        }
+      } else {
+        dual_update(dual_[key], bit);
+      }
+      return;
+    }
     if (profile_ == 2) {
       // Frozen-batch profile: increments are NOT visible within the batch —
       // probabilities read the table as of the last flush. This removes the
@@ -463,6 +500,7 @@ class PriorModel {
   // stream position: record a no-op pending entry so host batch boundaries
   // stay aligned with the device's stream-position batches.
   void note_passthrough() {
+    if (batch_ == 1 && profile_ == 0) return;  // alignment no-op at batch 1
     pending_.push_back({0, kKindPrior, 0, 0});
     if (pending_.size() >= batch_) flush_updates();
   }

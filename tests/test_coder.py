@@ -153,3 +153,23 @@ def test_tsan_clean(corpus_dir, tmp_path):
     res = subprocess.run([exe] + clips, capture_output=True, text=True)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "ThreadSanitizer" not in res.stderr, res.stderr[-2000:]
+
+
+def test_div_q_magic_exact():
+    """PriorModel::div_q replaces the hot-loop hardware divisions with
+    round-up magic multipliers: floor(n/d) == (n * ceil(2^36/d)) >> 36 for
+    n < 2^25, d <= 2048. Verify the identity at the adversarial points (the
+    floor boundaries n = k*d - 1 and k*d, plus the bound extremes) for every
+    denominator — format-defining, must hold exactly."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for d in range(1, 2049):
+        m = ((1 << 36) + d - 1) // d
+        kmax = ((1 << 25) - 1) // d
+        ks = np.unique(np.concatenate([
+            np.array([1, 2, kmax], dtype=np.int64),
+            rng.integers(1, kmax + 1, 256, dtype=np.int64),
+        ]))
+        for n in (ks * d - 1, np.minimum(ks * d, (1 << 25) - 1)):
+            assert np.array_equal((n.astype(np.uint64) * np.uint64(m)) >> np.uint64(36),
+                                  (n // d).astype(np.uint64)), d
