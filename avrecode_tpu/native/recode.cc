@@ -1418,13 +1418,13 @@ static uint32_t bucket_pow2(uint32_t x) {
   return b;
 }
 
-// Super-step-count bucketing: pow2 up to 8, then multiples of 4. Pow2 all
+// Super-step-count bucketing: pow2 up to 8, then multiples of 2. Pow2 all
 // the way wastes up to 2x wire bytes as padding (a 103 MB wire at 3 seeded
-// sections vs 73 at 2 plain ones); multiples of 4 cap pad waste at ~12%
-// while each distinct chunk shape still compiles exactly once on device.
+// sections vs 73 at 2 plain ones); even steps cap pad waste at ~6% while
+// each distinct chunk shape still compiles exactly once on device.
 static uint32_t bucket_steps(uint32_t x) {
   if (x <= 8) return bucket_pow2(x);
-  return (x + 3) & ~3u;
+  return (x + 1) & ~1u;
 }
 
 // Session: one pass1 + nz-mode pick shared between analysis export and
