@@ -87,6 +87,33 @@ def test_ts_recompresses(corpus_dir):
     assert rep.ratio < 1.0
 
 
+def test_ts_multiplexed_pids(corpus_dir):
+    """TS with other PIDs interleaved (null packets + a fake audio PES):
+    foreign packets belong to the skeleton; the video ES must still
+    reassemble and recompress with zero fallbacks."""
+    with open(os.path.join(corpus_dir, "ipb_high.ts"), "rb") as f:
+        data = f.read()
+    assert len(data) % 188 == 0
+    rng = __import__("random").Random(3)
+    out = bytearray()
+    audio_cc = 0
+    for i in range(0, len(data), 188):
+        out += data[i:i + 188]
+        r = rng.random()
+        if r < 0.15:  # null packet
+            out += bytes([0x47, 0x1F, 0xFF, 0x10]) + bytes(184)
+        elif r < 0.25:  # fake audio PES packet on an unannounced PID (0x200)
+            pes = bytes([0x47, 0x42, 0x00, 0x10 | (audio_cc & 0xF)])
+            audio_cc += 1
+            payload = bytes([0, 0, 1, 0xC0, 0, 20, 0x80, 0x00, 0x00]) + bytes(
+                rng.randrange(256) for _ in range(175))
+            out += pes + payload
+    rep = pipeline.roundtrip(bytes(out))
+    assert rep.ok
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0
+
+
 def test_non_video_passthrough():
     """Arbitrary non-video bytes roundtrip as a pure-literal container."""
     data = bytes(range(256)) * 40
