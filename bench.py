@@ -108,12 +108,15 @@ def _device_worker(q, data, batch):
                                        deltas, dual0_dev, **kw)
         int(jnp.sum(probs.astype(jnp.int32)))  # warm + sync
         exact = bool(np.array_equal(np.asarray(probs)[:n], c.host_probs))
-        reps = 3
+        # One scalar readback AFTER all reps: a per-rep readback pays the
+        # tunnel RTT each time and understates the chip rate by ~30%.
+        reps = 4
         t0 = time.time()
+        p2 = None
         for _ in range(reps):
             p2, _ = mp.model_pass_v3(args[0], prior_full, args[5], args[6],
                                      deltas, dual0_dev, **kw)
-            int(jnp.sum(p2.astype(jnp.int32)))
+        int(jnp.sum(p2.astype(jnp.int32)))
         mbins_s = m * reps / (time.time() - t0) / 1e6
         if not exact:
             mbins_s = 0.0
@@ -142,7 +145,11 @@ def main():
 
     # ---- device path in a watchdogged subprocess (a wedged TPU must not
     # hang the benchmark; fall back to the host number, flagged) ----
-    timeout_s = int(os.environ.get("ARTC_BENCH_DEVICE_TIMEOUT", "420"))
+    # The tunnel's throughput varies ~10x on this shared rig; first-run
+    # compiles + the ~80 MB wire can exceed 7 minutes on a bad day. The
+    # watchdog guards against a WEDGED chip, not a slow tunnel — keep it
+    # generous so a degraded link still produces device numbers.
+    timeout_s = int(os.environ.get("ARTC_BENCH_DEVICE_TIMEOUT", "1200"))
     ctx = mp_proc.get_context("spawn")
     q = ctx.Queue()
     proc = ctx.Process(target=_device_worker, args=(q, data, BATCH))
