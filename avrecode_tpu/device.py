@@ -443,7 +443,17 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
         finally:
             lib.artc_free(out)
         an = _parse_analysis(raw)
-        blobs = [device_blob(an, c, force_lanes=force_lanes) for c in an.chunks]
+        if an.slim:
+            # Two-phase: dispatch every chunk's model pass first (uploads and
+            # compute overlap under async dispatch), then finish the blobs
+            # (each finish syncs on a counts readback).
+            from .ops import lanes as lx
+            staged = [(_run_v3(an, c), c) for c in an.chunks]
+            blobs = [lx.encode_interleaved_dev(b, p, c.n,
+                                               force_lanes or pick_lanes(c.n))
+                     for (p, b), c in staged]
+        else:
+            blobs = [device_blob(an, c, force_lanes=force_lanes) for c in an.chunks]
         return _pack_session(lib, h, blobs)
     finally:
         lib.artc_session_close(h)

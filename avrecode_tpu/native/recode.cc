@@ -291,6 +291,20 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
     }
     std::sort(nals.begin(), nals.end(),
               [](const NalUnit& a, const NalUnit& b) { return a.offset < b.offset; });
+  } else if (AviReader::looks_like_avi(data, size)) {
+    // RIFF/AVI: Annex-B access units inside '##dc' movi chunks. Per-chunk
+    // NAL scans keep chunk headers/index data out of NAL extents (a
+    // whole-file scan glues trailing RIFF bytes to the last NAL of a frame
+    // and the re-encode verify rejects the slice).
+    std::vector<std::pair<size_t, size_t>> vchunks;
+    AviReader::video_chunks(data, size, &vchunks);
+    for (auto [off, len] : vchunks) {
+      auto sn = find_nals_annexb(data + off, len);
+      for (auto nu : sn) {
+        nu.offset += off;
+        nals.push_back(nu);
+      }
+    }
   } else {
     nals = find_nals_annexb(data, size);
   }

@@ -28,6 +28,7 @@
 #include "cabac.h"
 #include "h264_params.h"
 #include "h264_slice.h"
+#include "avi.h"
 #include "model.h"
 #include "mkv.h"
 #include "mp4.h"

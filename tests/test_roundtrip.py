@@ -87,6 +87,20 @@ def test_ts_recompresses(corpus_dir):
     assert rep.ratio < 1.0
 
 
+def test_avi_recompresses(corpus_dir):
+    """RIFF/AVI carries Annex-B access units in movi chunks; the per-chunk
+    NAL scan (native/avi.h) must keep chunk headers out of NAL extents so
+    every slice recompresses (a whole-file scan leaves trailing RIFF bytes
+    glued to frame-final NALs and those slices fall back)."""
+    with open(os.path.join(corpus_dir, "ipb_high.avi"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0
+    assert rep.ratio < 1.0
+
+
 def test_ts_multiplexed_pids(corpus_dir):
     """TS with other PIDs interleaved (null packets + a fake audio PES):
     foreign packets belong to the skeleton; the video ES must still

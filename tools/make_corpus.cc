@@ -118,7 +118,8 @@ int main(int argc, char** argv) {
   const char* ofmt = annexb ? "h264"
                      : strstr(outfile, ".mkv") ? "matroska"
                      : strstr(outfile, ".ts") ? "mpegts"
-                                              : "mp4";
+                     : strstr(outfile, ".avi") ? "avi"
+                                               : "mp4";
   AVFormatContext* fmt = nullptr;
   avformat_alloc_output_context2(&fmt, nullptr, ofmt, outfile);
   if (!fmt) { fprintf(stderr, "mux alloc failed\n"); return 1; }
