@@ -8,7 +8,7 @@ import pytest
 from avrecode_tpu import pipeline
 
 CLIPS = ["i_main.264", "ipb_high.264", "ipb_high.mp4", "ipb_high.mkv",
-         "multislice.264",
+         "ipb_high.mov", "multislice.264",
          "stress_wpred.264", "stress_aud.mp4", "stress_cavlc.264",
          "c422.264", "c422.mp4", "pcm_cabac.264", "pcm_cavlc.264",
          "pcm_mixed.mp4", "mbaff.264", "mbaff422.mp4", "hi10.264",

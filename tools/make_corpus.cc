@@ -119,6 +119,7 @@ int main(int argc, char** argv) {
                      : strstr(outfile, ".mkv") ? "matroska"
                      : strstr(outfile, ".ts") ? "mpegts"
                      : strstr(outfile, ".avi") ? "avi"
+                     : strstr(outfile, ".mov") ? "mov"
                                                : "mp4";
   AVFormatContext* fmt = nullptr;
   avformat_alloc_output_context2(&fmt, nullptr, ofmt, outfile);
