@@ -574,9 +574,12 @@ class SliceWalker {
       int n = t8x8 ? 4 : 16;
       for (int i = 0; i < n; ++i) {
         if (!io_.decision(kCtxIntra4x4PredFlag, kKlassOther)) {
-          io_.decision(kCtxIntra4x4PredRem, kKlassOther);
-          io_.decision(kCtxIntra4x4PredRem, kKlassOther);
-          io_.decision(kCtxIntra4x4PredRem, kKlassOther);
+          // rem_intra_pred_mode: the spec codes all 3 FL bins under ONE
+          // context; the model keys them on the binary-tree node (aux) so
+          // the full 8-value rem distribution is learned (v20).
+          int node = 1;
+          for (int b = 0; b < 3; ++b)
+            node = (node << 1) | io_.decision(kCtxIntra4x4PredRem, kKlassOther, node);
         }
       }
     }

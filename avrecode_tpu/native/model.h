@@ -94,7 +94,11 @@ class PriorModel {
   static constexpr int kMvdAuxBuckets = 8;
   static constexpr size_t kMvdAuxBase = kSignBase + 3 * 16;
   static constexpr size_t kMvdAuxStride = size_t(14) * 2 * kMvdAuxBuckets;
-  static constexpr size_t kNumDualKeys = kMvdAuxBase + 3 * kMvdAuxStride;
+  // rem_intra_pred_mode bins keyed on the binary-tree node (aux 1..7): the
+  // spec codes all 3 FL bins under one context; this learns the full rem
+  // value distribution (v20).
+  static constexpr size_t kIntraRemBase = kMvdAuxBase + 3 * kMvdAuxStride;
+  static constexpr size_t kNumDualKeys = kIntraRemBase + 3 * 8;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -368,6 +372,8 @@ class PriorModel {
                  (size_t(ctx - kCtxMvdX) * 2 + prev_skip()) * kMvdAuxBuckets +
                  size_t(aux);
         }
+        if (aux >= 0 && ctx == kCtxIntra4x4PredRem)
+          return kIntraRemBase + size_t(sc_) * 8 + size_t(aux & 7);
         if ((ctx >= kCtxMbTypeP && ctx < kCtxMbTypeP + 4) ||
             (ctx >= kCtxMbTypeB && ctx < kCtxMbTypeB + 9) ||
             (ctx >= kCtxMvdX && ctx < kCtxMvdX + 14) ||

@@ -64,7 +64,10 @@ namespace artc {
 // v18: empirical per-file off-mode sig prior weight (kSigAlphaCands, priced
 // by the nz-mode probe; new header field after warm_slices) — dense grain
 // picks a heavy mirrored-CABAC prior, structured content a light one.
-constexpr uint8_t kContainerVersion = 18;
+// v20: rem_intra_pred_mode bins keyed on the binary-tree node (walker aux;
+// the spec codes all 3 FL bins under one context) — learns the full
+// 8-value rem distribution. (v19 was the reverted CAVLC temporal bank.)
+constexpr uint8_t kContainerVersion = 20;
 
 struct Options {
   int lanes = 16;
