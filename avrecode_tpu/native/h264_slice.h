@@ -494,9 +494,9 @@ class SliceWalker {
       if (!io_.decision(base + off, kKlassOther, aux)) break;
       ++val;
     }
-    if (val == 9) {  // EG3 suffix, bypass
+    if (val == 9) {  // EG3 suffix, bypass (exponent bins keyed by index, v21)
       int k = 3;
-      while (io_.bypass(kKlassBypassOther)) {
+      while (io_.bypass(kKlassBypassOther, k - 3)) {
         val += 1 << k;
         if (++k > 24) throw BitstreamError("mvd suffix too long");
       }
@@ -1070,9 +1070,9 @@ class SliceWalker {
         int ctx_n = 5 + (num_gt1 < gt1_cap ? num_gt1 : gt1_cap);
         int level = 2;
         while (level < 15 && io_.res_bin(abs_base + ctx_n, p)) ++level;
-        if (level == 15) {  // UEG0 suffix
+        if (level == 15) {  // UEG0 suffix (exponent bins keyed by index, v21)
           int k = 0;
-          while (io_.bypass(kKlassBypassRes)) {
+          while (io_.bypass(kKlassBypassRes, k)) {
             level += 1 << k;
             if (++k > 24) throw BitstreamError("level suffix too long");
           }

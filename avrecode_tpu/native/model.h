@@ -98,7 +98,12 @@ class PriorModel {
   // spec codes all 3 FL bins under one context; this learns the full rem
   // value distribution (v20).
   static constexpr size_t kIntraRemBase = kMvdAuxBase + 3 * kMvdAuxStride;
-  static constexpr size_t kNumDualKeys = kIntraRemBase + 3 * 8;
+  // Exp-Golomb suffix exponent bins (mvd UEG3 / level UEG0) keyed on the
+  // exponent index (aux, capped 8): CABAC prices every bypass bin at exactly
+  // 1 bit, but the continuation probability decays geometrically (v21).
+  static constexpr size_t kBypOtherAuxBase = kIntraRemBase + 3 * 8;
+  static constexpr size_t kBypResAuxBase = kBypOtherAuxBase + 3 * 8;
+  static constexpr size_t kNumDualKeys = kBypResAuxBase + 3 * 8;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -350,6 +355,8 @@ class PriorModel {
         // gradients, chroma DC) gains up to 0.28pp.
         return kSignBase + size_t(sc_) * 16 + (cat_ & 15);
       case kKlassBypassRes:
+        if (aux >= 0)
+          return kBypResAuxBase + size_t(sc_) * 8 + size_t(aux > 7 ? 7 : aux);
         return base + kNumModelContexts + 0;
       case kKlassRes:
         if (ctx < kCtxBypass) return res_key(ctx, 0);
@@ -374,6 +381,8 @@ class PriorModel {
         }
         if (aux >= 0 && ctx == kCtxIntra4x4PredRem)
           return kIntraRemBase + size_t(sc_) * 8 + size_t(aux & 7);
+        if (aux >= 0 && ctx == kCtxBypass)
+          return kBypOtherAuxBase + size_t(sc_) * 8 + size_t(aux > 7 ? 7 : aux);
         if ((ctx >= kCtxMbTypeP && ctx < kCtxMbTypeP + 4) ||
             (ctx >= kCtxMbTypeB && ctx < kCtxMbTypeB + 9) ||
             (ctx >= kCtxMvdX && ctx < kCtxMvdX + 14) ||

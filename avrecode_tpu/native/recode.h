@@ -67,7 +67,10 @@ namespace artc {
 // v20: rem_intra_pred_mode bins keyed on the binary-tree node (walker aux;
 // the spec codes all 3 FL bins under one context) — learns the full
 // 8-value rem distribution. (v19 was the reverted CAVLC temporal bank.)
-constexpr uint8_t kContainerVersion = 20;
+// v21: Exp-Golomb suffix exponent bins (mvd UEG3 / level UEG0) keyed on the
+// exponent index — CABAC prices bypass bins at exactly 1 bit while the
+// continuation probability decays geometrically.
+constexpr uint8_t kContainerVersion = 21;
 
 struct Options {
   int lanes = 16;
@@ -432,8 +435,8 @@ class ModelSource {
     enc_.encode_decision(cab_ctxs_, ctx, bit);
     return bit;
   }
-  int bypass(BinKlass klass) {
-    int bit = rans_.decode(m_.bin_prob(kCtxBypass, klass));
+  int bypass(BinKlass klass, int aux = -1) {
+    int bit = rans_.decode(m_.bin_prob(kCtxBypass, klass, aux));
     m_.bin_update(kCtxBypass, klass, bit);
     enc_.encode_bypass(bit);
     return bit;

@@ -91,10 +91,11 @@ class RecordingSource {
     out_->bins.push_back({uint16_t(ctx), klass, uint8_t(b), int16_t(aux), cost_mbits(p0)});
     return b;
   }
-  int bypass(BinKlass klass) {
+  int bypass(BinKlass klass, int aux = -1) {
     int64_t p0 = potential();
     int b = dec_.decode_bypass();
-    out_->bins.push_back({uint16_t(kCtxBypass), klass, uint8_t(b), -1, cost_mbits(p0)});
+    out_->bins.push_back({uint16_t(kCtxBypass), klass, uint8_t(b), int16_t(aux),
+                          cost_mbits(p0)});
     return b;
   }
   // end_of_slice distinguishes the slice-end bin from the I_PCM mb_type

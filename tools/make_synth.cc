@@ -103,7 +103,8 @@ class SynthSource {
     enc_.encode_decision(ctxs_, ctx, bit);
     return bit;
   }
-  int bypass(BinKlass) {
+  int bypass(BinKlass, int aux = -1) {
+    (void)aux;
     int bit = rng_.chance(24) ? 1 : 0;  // p(1) = 3/8, keeps EG suffixes short
     if (bit && ++byp_run_ > 3) bit = 0;
     if (!bit) byp_run_ = 0;
