@@ -265,15 +265,21 @@ class PriorModel {
   // 48/640/128, alphas <= 96); batched device-replay states can exceed them
   // and take the hardware divide. Saves ~20 cycles per division on the
   // 2-3-divisions-per-bin hot loop; bit-exact by construction (tested).
-  static uint32_t div_q(uint32_t n, uint32_t d) {
-    static const uint64_t* table = [] {
-      static uint64_t t[2049];
+  // The magic table lives at namespace scope (initialized at library load):
+  // a function-local static would cost an atomic init-guard load per call —
+  // ~45M calls per model pass.
+  struct DivMagic {
+    uint64_t t[2049];
+    DivMagic() {
       t[0] = 0;
       for (uint32_t i = 1; i <= 2048; ++i)
         t[i] = ((uint64_t(1) << 36) + i - 1) / i;
-      return t;
-    }();
-    if (n < (1u << 25) && d <= 2048) return uint32_t((uint64_t(n) * table[d]) >> 36);
+    }
+  };
+  static inline const DivMagic div_magic_{};
+  static uint32_t div_q(uint32_t n, uint32_t d) {
+    if (n < (1u << 25) && d <= 2048)
+      return uint32_t((uint64_t(n) * div_magic_.t[d]) >> 36);
     return n / d;
   }
   static uint32_t prob15(const Estimator& e) {
@@ -283,7 +289,10 @@ class PriorModel {
     return p;
   }
   static void update(Estimator& e, int bit, int window) {
-    if (bit) ++e.pos; else ++e.neg;
+    // Branchless counts: `bit` is data-random on the hot path — a predicted
+    // branch here mispredicts ~half the time.
+    e.pos += uint16_t(bit);
+    e.neg += uint16_t(bit ^ 1);
     if (e.pos + e.neg > window) {
       e.pos = (e.pos + 1) >> 1;
       e.neg = (e.neg + 1) >> 1;
@@ -313,7 +322,10 @@ class PriorModel {
     return p;
   }
   static void dual_update(Dual& d, int bit) {
-    if (bit) { ++d.fp; ++d.sp; } else { ++d.fn; ++d.sn; }
+    d.fp += uint16_t(bit);
+    d.fn += uint16_t(bit ^ 1);
+    d.sp += uint16_t(bit);
+    d.sn += uint16_t(bit ^ 1);
     if (d.fp + d.fn > kFastWindow) {
       d.fp = (d.fp + 1) >> 1;
       d.fn = (d.fn + 1) >> 1;
@@ -480,7 +492,8 @@ class PriorModel {
       if (kind == kKindPrior) return;
       if (kind == kKindSig) {
         Estimator& e = sig_est_[key];
-        if (bit) ++e.pos; else ++e.neg;
+        e.pos += uint16_t(bit);
+        e.neg += uint16_t(bit ^ 1);
         if (e.pos + e.neg > kWindowSig) {
           e.pos = (e.pos + 1) >> 1;
           e.neg = (e.neg + 1) >> 1;
@@ -502,10 +515,14 @@ class PriorModel {
     }
     if (kind == kKindSig) {
       Estimator& e = sig_est_[key];
-      if (bit) ++e.pos; else ++e.neg;
+      e.pos += uint16_t(bit);
+      e.neg += uint16_t(bit ^ 1);
     } else {
       Dual& d = dual_[key];
-      if (bit) { ++d.fp; ++d.sp; } else { ++d.fn; ++d.sn; }
+      d.fp += uint16_t(bit);
+      d.fn += uint16_t(bit ^ 1);
+      d.sp += uint16_t(bit);
+      d.sn += uint16_t(bit ^ 1);
     }
     pending_.push_back({uint8_t(bit), kind, key, 0});
     if (pending_.size() >= batch_) flush_updates();

@@ -158,12 +158,18 @@ class ModelEncoder {
 
   void process(const SymbolStream& ss) {
     size_t ev = 0;
+    const size_t n_ev = ss.events.size();
     bits_.reserve(bits_.size() + ss.bins.size() + ss.bins.size() / 8);
     probs_.reserve(probs_.size() + ss.bins.size() + ss.bins.size() / 8);
+    const bool billtab = CtxBillTab::enabled();
+    // Hoisted next-event position: one compare per bin instead of two loads
+    // through the events vector.
+    size_t next_ev_at = ev < n_ev ? ss.events[ev].at : SIZE_MAX;
     for (size_t i = 0; i <= ss.bins.size(); ++i) {
-      while (ev < ss.events.size() && ss.events[ev].at == i) {
+      while (i == next_ev_at) {
         apply(ss, ss.events[ev], ev);
         ++ev;
+        next_ev_at = ev < n_ev ? ss.events[ev].at : SIZE_MAX;
       }
       if (i == ss.bins.size()) break;
       const SymbolStream::Bin& b = ss.bins[i];
@@ -205,11 +211,13 @@ class ModelEncoder {
           } else {
             m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
             uint32_t pa = m_.eob_prob(b.ctx, b.pos);
-            // Price both EOB codings during this (adaptive) pass — feeds the
-            // per-cell tri-mode choice in pick_nz_modes.
-            m_.eobc_adapt_mbits[m_.slice_class()][m_.cur_cat()] += cost_mb(b.bin, pa);
-            m_.eobc_parity_mbits[m_.slice_class()][m_.cur_cat()] +=
-                cost_mb(b.bin, m_.eob_parity_prob(b.ctx));
+            if (discard_) {
+              // Price both EOB codings during the probe's adaptive pass —
+              // feeds the per-cell tri-mode choice in pick_nz_modes.
+              m_.eobc_adapt_mbits[m_.slice_class()][m_.cur_cat()] += cost_mb(b.bin, pa);
+              m_.eobc_parity_mbits[m_.slice_class()][m_.cur_cat()] +=
+                  cost_mb(b.bin, m_.eob_parity_prob(b.ctx));
+            }
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.eob_key(b.pos)),
                                  uint16_t(m_.mirror_prob(b.ctx))});
@@ -242,7 +250,7 @@ class ModelEncoder {
           break;
         }
       }
-      if (CtxBillTab::enabled() && !discard_ && b.ctx < kCtxBypass && last_p_)
+      if (billtab && !discard_ && b.ctx < kCtxBypass && last_p_)
         CtxBillTab::get().add(b.ctx, cost_mb(b.bin, last_p_), b.cabac_mbits);
       last_p_ = 0;
       // Advance the mirrored CABAC state for every context-coded bin (after
@@ -310,18 +318,22 @@ class ModelEncoder {
   }
 
   // Millibit cost via a 4096-entry lookup (billing only; ~0.1% accurate,
-  // avoids a libm call per bin on the hot path).
-  static uint64_t cost_mb(int bit, uint32_t p) {
-    static const auto table = [] {
-      std::array<uint32_t, 4096> t{};
+  // avoids a libm call per bin on the hot path). Namespace-scope table: a
+  // function-local static would pay an atomic init-guard load on each of the
+  // ~40M calls per pass.
+  struct CostTab {
+    std::array<uint32_t, 4096> t{};
+    CostTab() {
       for (int i = 0; i < 4096; ++i) {
         double pp = (i * 8 + 4) / double(kProbScale);
         t[i] = uint32_t(-1000.0 * std::log2(pp));
       }
-      return t;
-    }();
+    }
+  };
+  static inline const CostTab cost_tab_{};
+  static uint64_t cost_mb(int bit, uint32_t p) {
     uint32_t pp = bit ? p : kProbScale - p;
-    return table[pp >> 3];
+    return cost_tab_.t[pp >> 3];
   }
   void push(int bit, uint32_t p, uint8_t klass) {
     if (!discard_) {
@@ -332,7 +344,9 @@ class ModelEncoder {
     uint64_t mb = cost_mb(bit, p);
     m_.bill.mbits[klass] += mb;
     ++m_.bill.count[klass];
-    if (klass == kKlassSig || klass == kKlassEob)
+    // Per-(slice_class, cat) sig pricing: consumed only by pick_nz_modes'
+    // probe passes (discard_), dead weight on the production pass.
+    if (discard_ && (klass == kKlassSig || klass == kKlassEob))
       m_.sigc_mbits[m_.slice_class()][m_.cur_cat()] += mb;
   }
   void push_nz(int bit, uint32_t p) {
@@ -343,7 +357,7 @@ class ModelEncoder {
     uint64_t mb = cost_mb(bit, p);
     m_.bill.nz_mbits += mb;
     ++m_.bill.nz_count;
-    m_.sigc_mbits[m_.slice_class()][m_.cur_cat()] += mb;
+    if (discard_) m_.sigc_mbits[m_.slice_class()][m_.cur_cat()] += mb;
   }
 
   PriorModel& m_;

@@ -187,12 +187,15 @@ inline std::vector<uint8_t> reencode_symbol_stream(const SymbolStream& ss, bool 
   ctxs.init(intra_slice, cabac_init_idc, slice_qp);
   CabacEncoder enc;
   size_t ev = 0;
+  const size_t n_ev = ss.events.size();
+  size_t next_ev_at = ev < n_ev ? ss.events[ev].at : SIZE_MAX;
   for (size_t i = 0; i <= ss.bins.size(); ++i) {
-    while (ev < ss.events.size() && ss.events[ev].at == i) {
+    while (i == next_ev_at) {
       if (ss.events[ev].type == kEvPcm)
         enc.pcm_bytes(ss.pcm.data() + ss.events[ev].a, size_t(ss.events[ev].b),
                       uint32_t(ss.events[ev].c), ss.events[ev].d);
       ++ev;
+      next_ev_at = ev < n_ev ? ss.events[ev].at : SIZE_MAX;
     }
     if (i == ss.bins.size()) break;
     const auto& b = ss.bins[i];
