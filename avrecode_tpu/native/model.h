@@ -199,10 +199,14 @@ class PriorModel {
         dual_[base + i].sp = uint16_t(pos_s);
         dual_[base + i].sn = uint16_t(WS - pos_s);
       }
-      // Bypass/sign bins: genuinely near 0.5 -> damp early noise hard.
-      dual_[base + kCtxBypass] = Dual{128, 128, 256, 256};
-      dual_[base + kNumModelContexts + 0] = Dual{128, 128, 256, 256};
-      dual_[base + kNumModelContexts + 1] = Dual{128, 128, 256, 256};
+      // Bypass/sign bins: genuinely near 0.5 -> damp early noise hard. These
+      // keys are always read slow-only (route() gives them kKindDualSlow), so
+      // only the sp/sn damping matters; the fast voice is seeded WITHIN its
+      // window so the v22 invariant (no estimator starts a batch over-window)
+      // holds — flush halving is detected at window-crossing time.
+      dual_[base + kCtxBypass] = Dual{24, 24, 256, 256};
+      dual_[base + kNumModelContexts + 0] = Dual{24, 24, 256, 256};
+      dual_[base + kNumModelContexts + 1] = Dual{24, 24, 256, 256};
       // Terminate bins are almost always 0.
       dual_[base + kCtxTerminate] = Dual{1, 47, 1, 511};
     }
@@ -510,31 +514,46 @@ class PriorModel {
       // batch becomes one gather + one scatter per table); the serial decoder
       // replays the identical semantics from this same code path.
       pending_.push_back({uint8_t(bit), kind, key, 0});
-      if (pending_.size() >= batch_) flush_updates();
+      if (++fill_ >= batch_) flush_updates();
       return;
     }
+    // Immediate-increment batch path (profile 0, batch > 1). Counts are
+    // monotone within a batch (halving only happens at flush), so an
+    // estimator is over its window at the flush boundary IFF one of its
+    // counts crossed the window during this batch — push the key into
+    // pending_ only at that crossing instead of on every bin (windows 48/
+    // 640/128 make crossings 20-50x rarer than touches; kills most of the
+    // pending_ traffic and the flush-time random table walk). Requires the
+    // v22 invariant: every estimator starts each batch within its window
+    // (seeds are in-window, flush normalizes, snapshots are normalized).
     if (kind == kKindSig) {
       Estimator& e = sig_est_[key];
       e.pos += uint16_t(bit);
       e.neg += uint16_t(bit ^ 1);
+      if (uint32_t(e.pos) + e.neg == kWindowSig + 1)
+        pending_.push_back({uint8_t(bit), kind, key, 0});
     } else {
       Dual& d = dual_[key];
       d.fp += uint16_t(bit);
       d.fn += uint16_t(bit ^ 1);
       d.sp += uint16_t(bit);
       d.sn += uint16_t(bit ^ 1);
+      if (uint32_t(d.fp) + d.fn == kFastWindow + 1 ||
+          uint32_t(d.sp) + d.sn == kSlowWindow + 1)
+        pending_.push_back({uint8_t(bit), kind, key, 0});
     }
-    pending_.push_back({uint8_t(bit), kind, key, 0});
-    if (pending_.size() >= batch_) flush_updates();
+    if (++fill_ >= batch_) flush_updates();
   }
 
   // Prior-passthrough bins (kKindPrior) touch no estimator but still occupy a
-  // stream position: record a no-op pending entry so host batch boundaries
-  // stay aligned with the device's stream-position batches.
+  // stream position: count them toward the batch fill so host batch
+  // boundaries stay aligned with the device's stream-position batches (the
+  // frozen profile additionally records a placeholder pending entry — its
+  // flush replays increments from pending_ in stream order).
   void note_passthrough() {
     if (batch_ == 1 && profile_ == 0) return;  // alignment no-op at batch 1
-    pending_.push_back({0, kKindPrior, 0, 0});
-    if (pending_.size() >= batch_) flush_updates();
+    if (profile_ == 2) pending_.push_back({0, kKindPrior, 0, 0});
+    if (++fill_ >= batch_) flush_updates();
   }
 
   // Batch-boundary normalization: halve every touched estimator while it is
@@ -575,6 +594,7 @@ class PriorModel {
       }
     }
     pending_.clear();
+    fill_ = 0;
   }
 
   uint16_t bin_prior(int ctx, BinKlass klass) const {
@@ -954,6 +974,29 @@ class PriorModel {
   void snapshot_tables(TableSnapshot& s) const {
     s.dual = dual_;
     s.sig = sig_est_;
+    // v22: normalize the snapshot — the capture happens mid-batch (immediate
+    // increments, no flush), so counts can sit over their windows; halving
+    // them here (deterministic, both codec sides) restores the invariant
+    // that every estimator starts a chunk within its window. That invariant
+    // is what lets (a) the host detect flush halvings at window-crossing
+    // time and (b) the device pass halve via a masked elementwise op per
+    // sub-batch without tracking which keys were touched.
+    for (Dual& d : s.dual) {
+      while (uint32_t(d.fp) + d.fn > kFastWindow) {
+        d.fp = (d.fp + 1) >> 1;
+        d.fn = (d.fn + 1) >> 1;
+      }
+      while (uint32_t(d.sp) + d.sn > kSlowWindow) {
+        d.sp = (d.sp + 1) >> 1;
+        d.sn = (d.sn + 1) >> 1;
+      }
+    }
+    for (Estimator& e : s.sig) {
+      while (uint32_t(e.pos) + e.neg > kWindowSig) {
+        e.pos = (e.pos + 1) >> 1;
+        e.neg = (e.neg + 1) >> 1;
+      }
+    }
   }
   void restore_tables(const TableSnapshot& s) {
     dual_ = s.dual;
@@ -1038,6 +1081,7 @@ class PriorModel {
   int sig_hist_ = 0;  // last 3 significance bins (off-mode sig key Markov)
   std::vector<Coded> pending_;
   uint32_t batch_ = 1;
+  uint32_t fill_ = 0;  // stream positions seen since the last flush
   uint64_t nz_modes_ = kAllNzOn;  // default: NZ-first everywhere
   uint32_t alpha_off_ = kSigMixAlphaOff;
   int profile_ = 0;
