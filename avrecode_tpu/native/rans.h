@@ -22,6 +22,23 @@ constexpr int kProbBits = 15;
 constexpr uint32_t kProbScale = 1u << kProbBits;  // M
 constexpr uint32_t kRansL = 1u << 16;             // normalized interval [L, L<<16)
 
+// Exact division by the per-bin frequency via round-up magic multipliers:
+// floor(x/f) == (x * ceil(2^48/f)) >> 48 for x < 2^32, f <= 2^15
+// (excess e < 1 in the magic adds x*e/2^48 < 2^-16 to x/f, which cannot
+// cross the next integer since frac(x/f) <= 1 - 1/f <= 1 - 2^-15). The
+// encoder's x/f sits on the serial state chain — a ~25-cycle divide per
+// bin; the 128-bit multiply is ~5. Table indexed by f (256 KB, L2-resident;
+// the load is off the critical chain since f comes straight from probs[i]).
+struct RansDivMagic {
+  uint64_t m[kProbScale + 1];
+  RansDivMagic() {
+    m[0] = 0;
+    for (uint64_t f = 1; f <= kProbScale; ++f)
+      m[f] = ((uint64_t(1) << 48) + f - 1) / f;
+  }
+};
+inline const RansDivMagic rans_div_magic_{};
+
 // Encodes one lane's (bit, p1) pairs in reverse; produces a forward-decodable
 // word stream (uint16 little-endian on the wire).
 class RansLaneEncoder {
@@ -47,7 +64,9 @@ class RansLaneEncoder {
           words.push_back(uint16_t(x & 0xffff));
           x >>= 16;
         }
-        x = ((x / f) << kProbBits) + (x % f) + c;
+        // q < 2^17 (renorm keeps x < f<<17), so q << 15 fits in 32 bits.
+        uint32_t q = uint32_t((unsigned __int128)x * rans_div_magic_.m[f] >> 48);
+        x = (q << kProbBits) + (x - q * f) + c;
       }
     }
     words.push_back(uint16_t(x & 0xffff));
