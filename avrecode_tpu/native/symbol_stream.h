@@ -56,6 +56,16 @@ struct SymbolStream {
   }
 };
 
+// log2 lookup for the 9-bit CABAC range, in millibits. Namespace scope: a
+// function-local static would pay an atomic init-guard per call.
+struct Log2MbTab {
+  std::array<int32_t, 512> t{};
+  Log2MbTab() {
+    for (int i = 2; i < 512; ++i) t[i] = int32_t(1000.0 * std::log2(double(i)));
+  }
+};
+inline const Log2MbTab log2_mb_tab_{};
+
 // Compress-side IO: spec-decodes original CABAC bins and records them.
 // (Reference analogue: compressor::cabac_decoder, recode.cpp:1134-1268, minus
 // the queueing — stream reordering happens in the model pass instead.)
@@ -70,14 +80,7 @@ class RecordingSource {
   // Fractional CABAC cost of the bin just decoded: delta of the coder's
   // information potential (consumed millibits minus log2 of the range width),
   // via a small lookup over the 9-bit range (billing accuracy only).
-  static int32_t log2_mb(uint32_t range) {
-    static const auto table = [] {
-      std::array<int32_t, 512> t{};
-      for (int i = 2; i < 512; ++i) t[i] = int32_t(1000.0 * std::log2(double(i)));
-      return t;
-    }();
-    return table[range & 511];
-  }
+  static int32_t log2_mb(uint32_t range) { return log2_mb_tab_.t[range & 511]; }
   uint16_t cost_mbits(int64_t pot_before) {
     int64_t pot = int64_t(dec_.bit_pos()) * 1000 - log2_mb(dec_.range());
     int64_t d = pot - pot_before;
