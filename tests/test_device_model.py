@@ -148,6 +148,29 @@ def test_warm_sectioned_roundtrip(corpus_dir, monkeypatch):
         assert np.array_equal(device.device_probs(an, c), c.host_probs)
 
 
+def test_warm_sectioned_profile0_device_differential(corpus_dir, monkeypatch):
+    """Profile-0 (immediate-increment) warm sections: chunk-0's table
+    snapshot is captured mid-batch, so before v22 it could carry
+    over-window counts that the host would halve at first-touch flush but
+    the device pass halves elementwise every sub-batch. The v22 normalized
+    snapshot makes both sides provably coincide — this differential pins
+    that on a real multi-section trace with warm-started chunks."""
+    from avrecode_tpu import device, pipeline
+    with open(os.path.join(corpus_dir, "multislice.264"), "rb") as f:
+        data = f.read()
+    monkeypatch.setenv("ARTC_SECTION_BINS", "150000")
+    monkeypatch.setenv("ARTC_SEED_BINS", "100000")
+    monkeypatch.setenv("ARTC_WARM_BINS", "120000")
+    comp, st = pipeline.compress(data, batch_size=256)
+    assert st.n_chunks > 1
+    dec, _ = pipeline.decompress(comp)
+    assert dec == data
+    an = device.analyze(data, batch_size=256, model_profile=0)
+    assert not an.slim and len(an.chunks) > 1
+    for c in an.chunks:
+        assert np.array_equal(device.device_probs(an, c), c.host_probs)
+
+
 def test_model_pass_mm_impl_bit_exact(small_clip):
     """The sort-free (masked-matmul) prefix formulation must match the
     sort-based one bit-for-bit on real traces."""
