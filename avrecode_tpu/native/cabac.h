@@ -54,8 +54,7 @@ class CabacDecoder {
   CabacDecoder(const uint8_t* rbsp, size_t size_bytes, size_t start_bit)
       : data_(rbsp), size_bits_(size_bytes * 8), pos_(start_bit) {
     cod_i_range_ = 510;
-    cod_i_offset_ = 0;
-    for (int i = 0; i < 9; ++i) cod_i_offset_ = (cod_i_offset_ << 1) | read_bit();
+    cod_i_offset_ = read_bits(9);
   }
 
   // DecodeDecision (9.3.3.2.1) against context state ctx.
@@ -104,10 +103,33 @@ class CabacDecoder {
 
  private:
   void renorm() {
-    while (cod_i_range_ < 256) {
-      cod_i_range_ <<= 1;
-      cod_i_offset_ = (cod_i_offset_ << 1) | read_bit();
+    // Equivalent to the spec's doubling loop (9.3.3.2.2): the iteration
+    // count is 9 - bit_width(range) (range in [2, 255] here), so shift once
+    // and pull all the bits in one read.
+    if (cod_i_range_ >= 256) return;
+    int shift = 9 - (32 - __builtin_clz(cod_i_range_));
+    cod_i_range_ <<= shift;
+    cod_i_offset_ = (cod_i_offset_ << shift) | read_bits(shift);
+  }
+
+  // n in [1, 9]; MSB-first, identical bit order and overread accounting to n
+  // successive read_bit() calls.
+  uint32_t read_bits(int n) {
+    size_t end = pos_ + size_t(n);
+    if (end <= size_bits_) {
+      size_t byte = pos_ >> 3;
+      int off = int(pos_ & 7);
+      uint32_t w = uint32_t(data_[byte]) << 16;
+      if (off + n > 8) {
+        w |= uint32_t(data_[byte + 1]) << 8;
+        if (off + n > 16) w |= data_[byte + 2];
+      }
+      pos_ = end;
+      return (w >> (24 - off - n)) & ((1u << n) - 1);
     }
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | read_bit();
+    return v;
   }
 
   uint32_t read_bit() {
