@@ -165,6 +165,8 @@ class CabacEncoder {
     outstanding_ = 0;
     buf_.clear();
     nbits_ = 0;
+    acc_ = 0;
+    accn_ = 0;
   }
 
   void encode_decision(CabacContexts& c, int ctx_idx, int bin) {
@@ -222,8 +224,9 @@ class CabacEncoder {
   void pcm_bytes(const uint8_t* p, size_t n, uint32_t pad, int npad) {
     for (int b = npad - 1; b >= 0; --b) raw_bit((pad >> b) & 1);
     if (nbits_ & 7) throw std::runtime_error("pcm pad bits do not align");
-    for (size_t i = 0; i < n; ++i)
-      for (int b = 7; b >= 0; --b) raw_bit((p[i] >> b) & 1);
+    flush_acc();  // byte-aligned: the samples append as whole bytes
+    buf_.insert(buf_.end(), p, p + n);
+    nbits_ += n * 8;
     low_ = 0;
     range_ = 510;
     first_bit_ = true;
@@ -235,8 +238,13 @@ class CabacEncoder {
 
   // Finished bitstream, byte-aligned with zero bits (alignment belongs to
   // rbsp_trailing; the flush above already emitted the stop-one bit).
-  std::vector<uint8_t> take_bytes() { return std::move(buf_); }
-  const std::vector<uint8_t>& bytes() const { return buf_; }
+  std::vector<uint8_t> take_bytes() {
+    int pad = int((8 - (accn_ & 7)) & 7);  // zero-pad the partial tail byte
+    acc_ <<= pad;
+    accn_ += pad;
+    flush_acc();
+    return std::move(buf_);
+  }
 
   size_t bit_count() const { return nbits_; }
 
@@ -263,23 +271,42 @@ class CabacEncoder {
     } else {
       raw_bit(b);
     }
-    while (outstanding_ > 0) {
-      raw_bit(1 - b);
-      --outstanding_;
+    if (outstanding_) put_run(1 - b, outstanding_), outstanding_ = 0;
+  }
+
+  // `count` copies of bit b, in accumulator-sized gulps.
+  void put_run(uint32_t b, uint64_t count) {
+    nbits_ += count;
+    while (count > 0) {
+      int k = int(count < uint64_t(64 - accn_) ? count : uint64_t(64 - accn_));
+      uint64_t mask = b ? (k == 64 ? ~uint64_t(0) : ((uint64_t(1) << k) - 1)) : 0;
+      acc_ = (k == 64) ? mask : ((acc_ << k) | mask);
+      accn_ += k;
+      if (accn_ == 64) flush_acc();
+      count -= uint64_t(k);
     }
   }
 
   void raw_bit(uint32_t b) {
-    if ((nbits_ & 7) == 0) buf_.push_back(0);
-    if (b) buf_[nbits_ >> 3] |= uint8_t(1u << (7 - (nbits_ & 7)));
+    acc_ = (acc_ << 1) | b;
     ++nbits_;
+    if (++accn_ == 64) flush_acc();
+  }
+
+  // Emit the accumulator's whole bytes (accn_ must be a multiple of 8).
+  void flush_acc() {
+    for (int s = accn_ - 8; s >= 0; s -= 8) buf_.push_back(uint8_t(acc_ >> s));
+    acc_ = 0;
+    accn_ = 0;
   }
 
   uint32_t low_;
   uint32_t range_;
   bool first_bit_;
   uint64_t outstanding_;
-  std::vector<uint8_t> buf_;  // packed bits
+  std::vector<uint8_t> buf_;  // packed whole bytes
+  uint64_t acc_ = 0;          // pending bits, MSB-first in the low accn_ bits
+  int accn_ = 0;
   size_t nbits_ = 0;
 };
 
