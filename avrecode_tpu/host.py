@@ -16,8 +16,8 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libartc.so")
 
-N_KLASSES = 10
-KLASS_NAMES = ["other", "sig", "eob", "res", "bypass_other", "bypass_res", "terminate", "sign", "cbf", "skip"]
+N_KLASSES = 11
+KLASS_NAMES = ["other", "sig", "eob", "res", "bypass_other", "bypass_res", "terminate", "sign", "cbf", "skip", "mvd_sign"]
 
 
 class ArtcStatsC(ctypes.Structure):

@@ -47,7 +47,8 @@ enum BinKlass : uint8_t {
   kKlassSign = 7,       // coeff_sign_flag
   kKlassCbf = 8,        // coded_block_flag
   kKlassSkip = 9,       // mb_skip_flag
-  kNumBinKlasses = 10,
+  kKlassMvdSign = 10,   // mvd_sign_flag, keyed on the neighbor-mvd sign (v23)
+  kNumBinKlasses = 11,
 };
 
 // Per-macroblock entropy-relevant state (our equivalent of the reference's
@@ -502,8 +503,21 @@ class SliceWalker {
       }
       while (k--) val += io_.bypass(kKlassBypassOther) << k;
     }
-    if (io_.bypass(kKlassBypassOther)) val = -val;
+    // Motion fields are smooth: the mvd sign correlates with the neighbors'
+    // signed mvd (v23). Key the sign bypass bin on (sign of the neighbor
+    // sum, component) — 6 slow estimators per slice class.
+    int ss = mvd_sign_at(list, comp, bx - 1, by) + mvd_sign_at(list, comp, bx, by - 1);
+    int cls = ss < 0 ? 0 : (ss > 0 ? 2 : 1);
+    if (io_.bypass(kKlassMvdSign, comp * 3 + cls)) val = -val;
     return val;
+  }
+
+  int mvd_sign_at(int list, int comp, int gx, int gy) const {
+    NbLoc n = locate_luma(gx < 0 ? -1 : 4 * gx, gy < 0 ? -1 : 4 * gy);
+    const MBInfo* m = n.mb;
+    if (!m || m->intra || m->skip) return 0;
+    int v = m->mvd[list][(n.lx >> 2) + 4 * (n.ly >> 2)][comp];
+    return v > 0 ? 1 : (v < 0 ? -1 : 0);  // unit scaling cannot flip a sign
   }
 
   int abs_mvd_at(int list, int comp, int gx, int gy) const {

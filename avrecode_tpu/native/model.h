@@ -103,7 +103,9 @@ class PriorModel {
   // 1 bit, but the continuation probability decays geometrically (v21).
   static constexpr size_t kBypOtherAuxBase = kIntraRemBase + 3 * 8;
   static constexpr size_t kBypResAuxBase = kBypOtherAuxBase + 3 * 8;
-  static constexpr size_t kNumDualKeys = kBypResAuxBase + 3 * 8;
+  // mvd sign bins keyed on (component, sign of the neighbor mvd sum) — v23.
+  static constexpr size_t kMvdSignBase = kBypResAuxBase + 3 * 8;
+  static constexpr size_t kNumDualKeys = kMvdSignBase + 3 * 6;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -374,6 +376,8 @@ class PriorModel {
         if (aux >= 0)
           return kBypResAuxBase + size_t(sc_) * 8 + size_t(aux > 7 ? 7 : aux);
         return base + kNumModelContexts + 0;
+      case kKlassMvdSign:
+        return kMvdSignBase + size_t(sc_) * 6 + size_t(aux >= 0 && aux < 6 ? aux : 0);
       case kKlassRes:
         if (ctx < kCtxBypass) return res_key(ctx, 0);
         return base + ctx;
@@ -412,7 +416,8 @@ class PriorModel {
 
   static bool slow_only(BinKlass klass) {
     return klass == kKlassSign || klass == kKlassBypassOther ||
-           klass == kKlassBypassRes || klass == kKlassTerminate;
+           klass == kKlassBypassRes || klass == kKlassTerminate ||
+           klass == kKlassMvdSign;
   }
 
   // Coded-bin trace record: the (kind, key, prior) triple fully determines the

@@ -70,7 +70,7 @@ namespace artc {
 // v21: Exp-Golomb suffix exponent bins (mvd UEG3 / level UEG0) keyed on the
 // exponent index — CABAC prices bypass bins at exactly 1 bit while the
 // continuation probability decays geometrically.
-constexpr uint8_t kContainerVersion = 22;
+constexpr uint8_t kContainerVersion = 23;
 
 struct Options {
   int lanes = 16;

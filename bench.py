@@ -139,7 +139,11 @@ def main():
         t0 = time.time()
         comp_host, st = pipeline.compress(data, batch_size=BATCH)
         host_s = min(host_s, time.time() - t0)
-    dec, _ = pipeline.decompress(comp_host)
+    dec_s = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        dec, _ = pipeline.decompress(comp_host)
+        dec_s = min(dec_s, time.time() - t0)
     host_ok = dec == data
     log(f"bench: host path done ({host_s:.1f}s best-of-5, ok={host_ok})")
 
@@ -209,6 +213,7 @@ def main():
         "compression_ratio": round(len(comp_used) / len(data), 5),
         "input_mb": round(mb, 3),
         "host_path_mb_s": round(mb / host_s, 3),
+        "host_decompress_mb_s": round(mb / dec_s, 3),
         "device_e2e_s": round(dev_s, 3) if device_ok else None,
         "device_wire_mb": round(wire_mb, 1),
         "device_wire_s": round(wire_s, 3),
