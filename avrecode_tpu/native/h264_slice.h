@@ -70,8 +70,8 @@ struct MBInfo {
   // bit 16 luma DC; bits 17-18 chroma DC (u,v); bits 19+ chroma AC at
   // 19 + comp*8 + (cx + 2*cy) (cy 0..1 for 4:2:0, 0..3 for 4:2:2).
   uint64_t cbf = 0;
-  // |mvd| per list per 4x4 grid pos per component (entropy ctx only needs the
-  // absolute value; clamped to int16 range).
+  // Signed mvd per list per 4x4 grid pos per component (ctx formation uses
+  // the absolute value via abs_mvd_at; v23 sign keys use the sign).
   int16_t mvd[2][16][2];
   // ref_idx per list per 8x8 (raster); -1 = list unused for that partition.
   int8_t ref[2][4];
@@ -504,11 +504,12 @@ class SliceWalker {
       while (k--) val += io_.bypass(kKlassBypassOther) << k;
     }
     // Motion fields are smooth: the mvd sign correlates with the neighbors'
-    // signed mvd (v23). Key the sign bypass bin on (sign of the neighbor
-    // sum, component) — 6 slow estimators per slice class.
+    // signed mvd (v23/v24). Key the sign bypass bin on (component, sign of
+    // the neighbor sum, |mvd| neighbor strength) — strong neighbors predict
+    // the sign more reliably. 12 slow estimators per slice class.
     int ss = mvd_sign_at(list, comp, bx - 1, by) + mvd_sign_at(list, comp, bx, by - 1);
     int cls = ss < 0 ? 0 : (ss > 0 ? 2 : 1);
-    if (io_.bypass(kKlassMvdSign, comp * 3 + cls)) val = -val;
+    if (io_.bypass(kKlassMvdSign, (comp * 3 + cls) * 2 + (sum >= 4 ? 1 : 0))) val = -val;
     return val;
   }
 

@@ -105,7 +105,7 @@ class PriorModel {
   static constexpr size_t kBypResAuxBase = kBypOtherAuxBase + 3 * 8;
   // mvd sign bins keyed on (component, sign of the neighbor mvd sum) — v23.
   static constexpr size_t kMvdSignBase = kBypResAuxBase + 3 * 8;
-  static constexpr size_t kNumDualKeys = kMvdSignBase + 3 * 6;
+  static constexpr size_t kNumDualKeys = kMvdSignBase + 3 * 12;
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -377,7 +377,7 @@ class PriorModel {
           return kBypResAuxBase + size_t(sc_) * 8 + size_t(aux > 7 ? 7 : aux);
         return base + kNumModelContexts + 0;
       case kKlassMvdSign:
-        return kMvdSignBase + size_t(sc_) * 6 + size_t(aux >= 0 && aux < 6 ? aux : 0);
+        return kMvdSignBase + size_t(sc_) * 12 + size_t(aux >= 0 && aux < 12 ? aux : 0);
       case kKlassRes:
         if (ctx < kCtxBypass) return res_key(ctx, 0);
         return base + ctx;

@@ -70,7 +70,14 @@ namespace artc {
 // v21: Exp-Golomb suffix exponent bins (mvd UEG3 / level UEG0) keyed on the
 // exponent index — CABAC prices bypass bins at exactly 1 bit while the
 // continuation probability decays geometrically.
-constexpr uint8_t kContainerVersion = 23;
+// v22: window-crossing flush semantics — warm-chunk table snapshots are
+// normalized (halve-while-over) at capture and the damped bypass/sign fast
+// seed moves in-window, so every estimator starts each batch within its
+// window (also what the device pass's elementwise halving assumes).
+// v23/v24: mvd sign bins keyed on (component, sign of the neighbor mvd sum,
+// |mvd| neighbor strength) via kKlassMvdSign — CABAC codes the sign as a raw
+// bypass bin, but motion fields are smooth.
+constexpr uint8_t kContainerVersion = 24;
 
 struct Options {
   int lanes = 16;
