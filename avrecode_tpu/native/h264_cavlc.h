@@ -208,6 +208,10 @@ struct CavlcMB {
   uint8_t plane_tc[3][16] = {{0}, {0}, {0}};
   // Chroma AC grids for ChromaArrayType 1/2: 2x2 (4:2:0) or 2x4 (4:2:2).
   uint8_t chroma_tc[2][8] = {{0}, {0}};
+  // Signed mvd sum per component over all of the MB's partitions/lists
+  // (saturated): the v25 neighbor context for mvd value coding — CAVLC has
+  // no per-bin contexts, so this MB-level summary is the whole signal.
+  int16_t mvd_sum[2] = {0, 0};
 };
 
 struct CavlcPicture {
@@ -501,9 +505,33 @@ class CavlcWalker {
       if (nref == 2) io_.u(1, kRRefIdx, ctx | (list << 2));  // te(v), cMax 1
       else io_.ue(kRRefIdx, ctx | (list << 2));
     };
+    // v25: condition mvd values on the neighbors' MB-level signed mvd sums
+    // (motion smoothness; the CABAC side does this per bin since v14/v23 —
+    // CAVLC gets the whole se() tree keyed on (sign, strength) instead).
+    // Raster-space left/up MBs, same slice; any deterministic rule is
+    // format-valid, both codec sides run this identical walker code.
+    int nb_sum[2] = {0, 0};
+    if (const CavlcMB* a = nb_mb(-1, 0)) {
+      nb_sum[0] += a->mvd_sum[0];
+      nb_sum[1] += a->mvd_sum[1];
+    }
+    if (const CavlcMB* b = nb_mb(0, -1)) {
+      nb_sum[0] += b->mvd_sum[0];
+      nb_sum[1] += b->mvd_sum[1];
+    }
+    auto cls6 = [](int s) {
+      // 0 = zero neighbor motion -> the original unconditioned key (cold
+      // regions share the base estimator); 1/2 = negative/positive.
+      return s == 0 ? 0 : (s < 0 ? 1 : 2);
+    };
+    const int aux_cls[2] = {cls6(nb_sum[0]) << 3, cls6(nb_sum[1]) << 3};
+    auto acc = [&](int comp, int v) {
+      int s = cur_->mvd_sum[comp] + (v < -8192 ? -8192 : (v > 8192 ? 8192 : v));
+      cur_->mvd_sum[comp] = int16_t(s < -16384 ? -16384 : (s > 16384 ? 16384 : s));
+    };
     auto mvd = [&](int list) {
-      io_.se(kRMvd, 0 | (list << 2));
-      io_.se(kRMvd, 1 | (list << 2));
+      acc(0, io_.se(kRMvd, 0 | (list << 2) | aux_cls[0]));
+      acc(1, io_.se(kRMvd, 1 | (list << 2) | aux_cls[1]));
     };
     if (!sh_.is_b()) {
       switch (inter_type) {

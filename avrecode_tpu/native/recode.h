@@ -77,7 +77,10 @@ namespace artc {
 // v23/v24: mvd sign bins keyed on (component, sign of the neighbor mvd sum,
 // |mvd| neighbor strength) via kKlassMvdSign — CABAC codes the sign as a raw
 // bypass bin, but motion fields are smooth.
-constexpr uint8_t kContainerVersion = 24;
+// v25: CAVLC mvd values keyed on the neighbors' MB-level signed mvd sums
+// (zero-motion shares the unconditioned key) — the CAVLC analogue of
+// v14/v23; the reference stores CAVLC raw.
+constexpr uint8_t kContainerVersion = 25;
 
 struct Options {
   int lanes = 16;
