@@ -63,7 +63,7 @@ class ChunkAnalysis:
 
 @dataclass
 class SlimChunk:
-    """One chunk of the slim (ANL2) analysis export — the ~3-bytes/bin wire
+    """One chunk of the slim (ANL3) analysis export — the ~3-bytes/bin wire
     format for the frozen-batch (profile 2) device path. See recode.cc
     write_slim_chunk for the layout."""
     n: int
@@ -81,12 +81,15 @@ class SlimChunk:
     dual0: np.ndarray      # uint16[n_dual, 4]
     coo_cnt: np.ndarray    # uint16[ns*sup]
     coo_slot: np.ndarray   # uint16[n_coo]
-    coo_ones: np.ndarray   # uint16[n_coo]
-    coo_tot: np.ndarray    # uint16[n_coo]
+    coo_ones: np.ndarray   # uint8[n_coo] (clamped; exact values in cesc)
+    coo_tot: np.ndarray    # uint8[n_coo]
     host_probs: np.ndarray | None  # uint16[n] (differential testing only)
     # sparse sig start state (v16 warm-started chunks; empty = cold zeros)
     sig0_idx: np.ndarray | None = None  # uint32[k]
     sig0_val: np.ndarray | None = None  # uint16[k, 2]
+    # COO escape list: entries whose (ones, tot) exceeded u8 (ANL3)
+    cesc_idx: np.ndarray | None = None  # uint32[j]
+    cesc_val: np.ndarray | None = None  # uint16[j, 2]
 
 
 @dataclass
@@ -163,8 +166,8 @@ def _parse_analysis(raw: bytes) -> Analysis:
         return v
 
     magic = u32()
-    assert magic in (0x5A4C4E41, 0x324C4E41), hex(magic)  # 'ANLZ' | 'ANL2'
-    slim = magic == 0x324C4E41
+    assert magic in (0x5A4C4E41, 0x334C4E41), hex(magic)  # 'ANLZ' | 'ANL3'
+    slim = magic == 0x334C4E41
     n_chunks = u32()
     lanes_out = u32()
     batch = u32()
@@ -214,14 +217,23 @@ def _parse_analysis(raw: bytes) -> Analysis:
             n_coo = u64()
             coo_cnt = arr(np.uint16, ns * sup_out)
             coo_slot = arr(np.uint16, n_coo)
-            coo_ones = arr(np.uint16, n_coo)
-            coo_tot = arr(np.uint16, n_coo)
+            # ANL3: ones/tot clamped to u8 on the wire (halves the COO bytes);
+            # the rare >255 entries travel exactly in the escape list, which
+            # the device scatter-applies after widening.
+            coo_ones = arr(np.uint8, n_coo)
+            coo_tot = arr(np.uint8, n_coo)
+            n_cesc = u32()
+            cesc_idx = arr(np.uint32, n_cesc)
+            cesc_ones = arr(np.uint16, n_cesc)
+            cesc_tot = arr(np.uint16, n_cesc)
             probs = arr(np.uint16, n) if has_probs else None
             chunks.append(SlimChunk(int(n), ns, ud, us, int(m), pdict, esc_idx,
                                     esc_val, packed, prior_idx, dk_d, dk_s, dual0,
                                     coo_cnt, coo_slot, coo_ones, coo_tot, probs,
                                     sig0_idx=sig0_idx,
-                                    sig0_val=np.stack([sig0_pos, sig0_neg], axis=1)))
+                                    sig0_val=np.stack([sig0_pos, sig0_neg], axis=1),
+                                    cesc_idx=cesc_idx,
+                                    cesc_val=np.stack([cesc_ones, cesc_tot], axis=1)))
         return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
                         sig_w, sig_alpha, profile, sup_out, slim=True)
     for _ in range(n_chunks):
@@ -316,14 +328,23 @@ def _run_v3(an: Analysis, c: SlimChunk):
     nc = _bucket_lin(len(c.coo_slot))
     coo_slot = np.zeros(nc, np.uint16)
     coo_slot[:len(c.coo_slot)] = c.coo_slot
-    coo_vals = np.zeros((nc, 2), np.uint16)
+    coo_vals = np.zeros((nc, 2), np.uint8)
     coo_vals[:len(c.coo_ones), 0] = c.coo_ones
     coo_vals[:len(c.coo_tot), 1] = c.coo_tot
+    cesc_idx_j = cesc_val_j = None
+    if c.cesc_idx is not None and len(c.cesc_idx):
+        ncc = _bucket_pow2(len(c.cesc_idx))
+        ci = np.full(ncc, nc, np.uint32)  # pad rows drop in the scatter
+        ci[:len(c.cesc_idx)] = c.cesc_idx
+        cv = np.zeros((ncc, 2), np.uint16)
+        cv[:len(c.cesc_idx)] = c.cesc_val
+        cesc_idx_j, cesc_val_j = jnp.asarray(ci), jnp.asarray(cv)
     deltas, prior_full = mp.wire_expand(
         jnp.asarray(c.coo_cnt), jnp.asarray(coo_slot), jnp.asarray(coo_vals),
         np.int32(len(c.coo_slot)), jnp.asarray(pidx), jnp.asarray(pdict),
         jnp.asarray(esc_idx), jnp.asarray(esc_val),
-        nsub=int(ns * an.sup), U=int(ud + us))
+        nsub=int(ns * an.sup), U=int(ud + us),
+        cesc_idx=cesc_idx_j, cesc_val=cesc_val_j)
     s_idx, s_val = _sig0_sparse_padded(c, an.n_sig)
     probs, bits = mp.model_pass_v3(
         jnp.asarray(packed), prior_full, jnp.asarray(c.dk_d),
@@ -568,8 +589,13 @@ def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
                             c.coo_cnt.astype(np.int64))
             sl = c.coo_slot.astype(np.int64)
             sl = np.where(sl >= c.ud, sl + (UD - c.ud), sl)
-            deltas[g, sub, sl, 0] = c.coo_ones
-            deltas[g, sub, sl, 1] = c.coo_tot
+            ones = c.coo_ones.astype(np.uint16)
+            tot = c.coo_tot.astype(np.uint16)
+            if c.cesc_idx is not None and len(c.cesc_idx):
+                ones[c.cesc_idx] = c.cesc_val[:, 0]  # exact >255 values
+                tot[c.cesc_idx] = c.cesc_val[:, 1]
+            deltas[g, sub, sl, 0] = ones
+            deltas[g, sub, sl, 1] = tot
             dk_d[g, :c.ns, :c.ud] = c.dk_d
             dk_s[g, :c.ns, :c.us] = c.dk_s
             dual0[g] = c.dual0

@@ -1487,7 +1487,7 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
 
 void artc_session_close(void* h) { delete static_cast<ArtcSession*>(h); }
 
-// Slim per-chunk analysis export (device wire format 2, magic 'ANL2'):
+// Slim per-chunk analysis export (device wire format 3, magic 'ANL3'):
 // designed for the tunnel-attached TPU where transfer bytes are the wall.
 // Requires the frozen-batch model profile (2): probabilities within a batch
 // read tables as of the last flush, so the per-bin prefix counts vanish and
@@ -1503,7 +1503,8 @@ void artc_session_close(void* h) { delete static_cast<ArtcSession*>(h); }
 //   u16 dual0[4*n_dual]
 //   u32 n_sig_nz; u32 sig_idx[]; u16 sig_pos[]; u16 sig_neg[]
 //     (sparse sig start state — nonzero only for v16 warm-started chunks)
-//   u16 coo_cnt[ns*sup]; u16 coo_slot[]; u16 coo_ones[]; u16 coo_tot[]
+//   u16 coo_cnt[ns*sup]; u16 coo_slot[]; u8 coo_ones[]; u8 coo_tot[]
+//   u32 n_cesc; u32 cesc_idx[]; u16 cesc_ones[]; u16 cesc_tot[]  (>255 exact)
 //     (per-sub-batch per-touched-slot (ones, total) update deltas, the sparse
 //      form of the v2 dd/ds tables — reconstructed on device by one scatter)
 //   u16 probs[n] if flags bit0
@@ -1659,8 +1660,29 @@ static void write_slim_chunk(artc::Writer& w,
   w.u64(coo_slot.size());
   w.bytes(reinterpret_cast<const uint8_t*>(coo_cnt.data()), coo_cnt.size() * 2);
   w.bytes(reinterpret_cast<const uint8_t*>(coo_slot.data()), coo_slot.size() * 2);
-  w.bytes(reinterpret_cast<const uint8_t*>(coo_ones.data()), coo_ones.size() * 2);
-  w.bytes(reinterpret_cast<const uint8_t*>(coo_tot.data()), coo_tot.size() * 2);
+  // ones/tot travel as clamped u8 (99.98% fit — sub-batch totals above 255
+  // need a key touched >255 times in one 4096-bin sub-batch) plus an exact
+  // escape list the device scatter-applies after widening (ANL3).
+  {
+    std::vector<uint8_t> ones8(coo_slot.size()), tot8(coo_slot.size());
+    std::vector<uint32_t> cesc_idx;
+    std::vector<uint16_t> cesc_ones, cesc_tot;
+    for (size_t i = 0; i < coo_slot.size(); ++i) {
+      ones8[i] = uint8_t(coo_ones[i] > 255 ? 255 : coo_ones[i]);
+      tot8[i] = uint8_t(coo_tot[i] > 255 ? 255 : coo_tot[i]);
+      if (coo_ones[i] > 255 || coo_tot[i] > 255) {
+        cesc_idx.push_back(uint32_t(i));
+        cesc_ones.push_back(coo_ones[i]);
+        cesc_tot.push_back(coo_tot[i]);
+      }
+    }
+    w.bytes(ones8.data(), ones8.size());
+    w.bytes(tot8.data(), tot8.size());
+    w.u32(uint32_t(cesc_idx.size()));
+    w.bytes(reinterpret_cast<const uint8_t*>(cesc_idx.data()), cesc_idx.size() * 4);
+    w.bytes(reinterpret_cast<const uint8_t*>(cesc_ones.data()), cesc_ones.size() * 2);
+    w.bytes(reinterpret_cast<const uint8_t*>(cesc_tot.data()), cesc_tot.size() * 2);
+  }
   if (has_probs)
     w.bytes(reinterpret_cast<const uint8_t*>(probs.data()), probs.size() * 2);
 }
@@ -1679,7 +1701,7 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
       throw std::runtime_error("slim analysis requires model_profile=2 (frozen batches)");
     uint32_t sup_u = sup > 0 ? uint32_t(sup) : 16;
     Writer w;
-    w.u32(slim ? 0x324c4e41 : 0x5a4c4e41);  // 'ANL2' : 'ANLZ'
+    w.u32(slim ? 0x334c4e41 : 0x5a4c4e41);  // 'ANL3' : 'ANLZ'
     w.u32(uint32_t(st.n_chunks));
     w.u32(uint32_t(opt.lanes));
     w.u32(opt.batch_size ? opt.batch_size : 1);

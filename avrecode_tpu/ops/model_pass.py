@@ -199,7 +199,7 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
 
 @functools.partial(jax.jit, static_argnames=("nsub", "U"))
 def wire_expand(coo_cnt, coo_slot, coo_vals, n_coo, prior_idx, pdict, esc_idx, esc_val,
-                nsub: int, U: int):
+                nsub: int, U: int, cesc_idx=None, cesc_val=None):
     """Wire decompression, run once per chunk (separate program from the model
     scan so its cost amortizes like the transfer it replaces, not like the
     model pass):
@@ -216,8 +216,15 @@ def wire_expand(coo_cnt, coo_slot, coo_vals, n_coo, prior_idx, pdict, esc_idx, e
     coo_sub = jnp.cumsum(mark[:nc]) - 1
     live = jax.lax.iota(jnp.int32, nc) < n_coo
     flat = jnp.where(live, coo_sub * U + coo_slot.astype(jnp.int32), nsub * U)
+    # ANL3: (ones, tot) travel clamped to u8; widen, then scatter the exact
+    # values of the rare >255 entries from the escape list (pad idx >= nc
+    # drops).
+    vals = coo_vals.astype(jnp.uint16)
+    if cesc_idx is not None:
+        vals = vals.at[cesc_idx.astype(jnp.int32)].set(
+            cesc_val.astype(jnp.uint16), mode="drop")
     tbl = jnp.zeros((nsub * U, 2), jnp.uint16)
-    tbl = tbl.at[flat].set(coo_vals, mode="drop", unique_indices=True)
+    tbl = tbl.at[flat].set(vals, mode="drop", unique_indices=True)
     prior = pdict[prior_idx.astype(jnp.int32)]
     prior = prior.at[esc_idx.astype(jnp.int32)].set(esc_val, mode="drop")
     return tbl.reshape(nsub, U, 2), prior

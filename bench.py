@@ -73,17 +73,25 @@ def _device_worker(q, data, batch):
         nc = device._bucket_lin(len(c.coo_slot))
         coo_slot = np.zeros(nc, np.uint16)
         coo_slot[:len(c.coo_slot)] = c.coo_slot
-        coo_vals = np.zeros((nc, 2), np.uint16)
+        coo_vals = np.zeros((nc, 2), np.uint8)
         coo_vals[:len(c.coo_ones), 0] = c.coo_ones
         coo_vals[:len(c.coo_tot), 1] = c.coo_tot
+        ncc = device._bucket_pow2(max(1, 0 if c.cesc_idx is None else len(c.cesc_idx)))
+        cesc_idx = np.full(ncc, nc, np.uint32)
+        cesc_val = np.zeros((ncc, 2), np.uint16)
+        if c.cesc_idx is not None and len(c.cesc_idx):
+            cesc_idx[:len(c.cesc_idx)] = c.cesc_idx
+            cesc_val[:len(c.cesc_idx)] = c.cesc_val
         host_arrays = (packed, pidx, pdict, esc_idx, esc_val, c.dk_d, c.dk_s,
-                       c.coo_cnt, coo_slot, coo_vals)
+                       c.coo_cnt, coo_slot, coo_vals, cesc_idx, cesc_val)
         # Total wire = every chunk's upload bytes (the staged/timed arrays
         # below cover chunk 0 only; sections split the stream across chunks).
         wire_mb = sum(
             cc.m * 3 + cc.dk_d.nbytes + cc.dk_s.nbytes + cc.dual0.nbytes +
-            cc.coo_cnt.nbytes + device._bucket_lin(len(cc.coo_slot)) * 6 +
+            cc.coo_cnt.nbytes + device._bucket_lin(len(cc.coo_slot)) * 4 +
             device._bucket_pow2(len(cc.esc_idx)) * 6 + 512 +
+            (0 if cc.cesc_idx is None else
+             device._bucket_pow2(max(1, len(cc.cesc_idx))) * 8) +
             (0 if cc.sig0_idx is None else cc.sig0_idx.nbytes + cc.sig0_val.nbytes)
             for cc in an.chunks) / 1e6
         # Measured wire time: repeat upload of the exact production arrays.
@@ -97,7 +105,8 @@ def _device_worker(q, data, batch):
         deltas, prior_full = mp.wire_expand(
             args[7], args[8], args[9], np.int32(len(c.coo_slot)),
             args[1], args[2], args[3], args[4],
-            nsub=int(c.ns * an.sup), U=int(c.ud + c.us))
+            nsub=int(c.ns * an.sup), U=int(c.ud + c.us),
+            cesc_idx=args[10], cesc_val=args[11])
         s_idx, s_val = device._sig0_sparse_padded(c, an.n_sig)
         kw = dict(batch=batch, sup=an.sup, fast_w=an.fast_w, slow_w=an.slow_w,
                   sig_w=an.sig_w, sig_alpha=an.sig_alpha, ud=c.ud, us=c.us,
