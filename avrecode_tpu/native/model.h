@@ -932,11 +932,7 @@ class PriorModel {
         note_coded(kKindDual, key, b);
         if (!put) m = (m << 1) | uint32_t(b);
       }
-      if (!put && k > 0) {
-        // m accumulated as 1 followed by k bits
-      }
-      uv = 8 + m - 1;
-      if (put) uv = uint32_t(put_value), uv = 0;  // unused on put
+      if (!put) uv = 8 + m - 1;  // uv is only read on get below
     }
     if (put) return put_value;
     uint32_t out = (val < 8) ? val : uv;

@@ -167,7 +167,10 @@ def _psum_across_processes(x):
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     devices = np.array(jax.devices())
     mesh = Mesh(devices, ("d",))

@@ -18,7 +18,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import model_pass as mp
 from ..ops import lanes as lx
@@ -88,7 +92,7 @@ def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
                   P("gop", None), P("gop", None, None), P("gop")),
         out_specs=(P("gop", "lane"), P("gop", None, "lane"), P("gop", None, "lane"),
                    P("gop", None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -155,7 +159,7 @@ def sharded_recompress_step(mesh: Mesh, batch: int, fast_w: int = 48, slow_w: in
                       P("gop", None, None), P("gop", None, None)),
             out_specs=(P("gop", None), P("gop", "lane"), P("gop", None, "lane"),
                        P("gop", None, "lane"), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(sharded)
 
