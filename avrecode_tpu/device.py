@@ -61,35 +61,106 @@ class ChunkAnalysis:
     sig0_val: np.ndarray | None = None  # int32[k, 2]
 
 
+def _np_unpack(words: np.ndarray, pos: np.ndarray, w: int) -> np.ndarray:
+    """Host-side mirror of ops.model_pass._unpack_dev: w-bit little-endian
+    entries out of a u32 word stream (recode.cc BitPacker layout)."""
+    bitpos = pos.astype(np.int64) * w
+    wi = bitpos >> 5
+    off = (bitpos & 31).astype(np.uint64)
+    wd = words.astype(np.uint64)
+    lo = wd[wi] >> off
+    hi = np.where(off > 0, wd[np.minimum(wi + 1, len(wd) - 1)]
+                  << (np.uint64(32) - off), np.uint64(0))
+    return (lo | hi) & np.uint64((1 << w) - 1)
+
+
 @dataclass
 class SlimChunk:
-    """One chunk of the slim (ANL3) analysis export — the ~3-bytes/bin wire
-    format for the frozen-batch (profile 2) device path. See recode.cc
-    write_slim_chunk for the layout."""
+    """One chunk of the slim (ANL4) analysis export — the bit-packed ~2.6-
+    bytes/bin wire format for the frozen-batch (profile 2) device path. See
+    recode.cc write_slim_chunk for the layout. The packed planes travel to
+    the device verbatim (wire_expand4 unpacks them on chip); `.packed` and
+    `.coo_slot` reconstruct the dense views for host-side consumers (the mesh
+    path, tests)."""
     n: int
     ns: int
     ud: int
     us: int
     m: int
+    batch: int             # sub-batch size (for the .packed reconstruction)
     pdict: np.ndarray      # uint16[<=255] prior dictionary
     esc_idx: np.ndarray    # uint32[n_esc]
     esc_val: np.ndarray    # uint16[n_esc]
-    packed: np.ndarray     # uint16[n]  bit<<15 | kind<<13 | slot
-    prior_idx: np.ndarray  # uint8[n]
+    wa: int                # hot rank width (bits)
+    wb: int                # cold rank width (bits)
+    wcs: int               # COO slot width (bits)
+    hdr_words: np.ndarray  # uint32[] 4-bit nibbles: bit<<3 | kind<<1 | cls
+    a_words: np.ndarray    # uint32[] wa-bit hot ranks (nA entries)
+    b_words: np.ndarray    # uint32[] wb-bit cold ranks (nB entries)
+    nA: int
+    nB: int
+    prior_idx: np.ndarray  # uint8[n]   (255 = escape)
     dk_d: np.ndarray       # uint32[ns, ud]
     dk_s: np.ndarray       # uint32[ns, us]
-    dual0: np.ndarray      # uint16[n_dual, 4]
+    dual0: np.ndarray      # uint16[n_dual, 4] (chunks >= 2 alias chunk 1's)
     coo_cnt: np.ndarray    # uint16[ns*sup]
-    coo_slot: np.ndarray   # uint16[n_coo]
+    n_coo: int
+    cs_words: np.ndarray   # uint32[] wcs-bit COO slots (freq-ordered runs)
     coo_ones: np.ndarray   # uint8[n_coo] (clamped; exact values in cesc)
     coo_tot: np.ndarray    # uint8[n_coo]
     host_probs: np.ndarray | None  # uint16[n] (differential testing only)
     # sparse sig start state (v16 warm-started chunks; empty = cold zeros)
     sig0_idx: np.ndarray | None = None  # uint32[k]
     sig0_val: np.ndarray | None = None  # uint16[k, 2]
-    # COO escape list: entries whose (ones, tot) exceeded u8 (ANL3)
+    # COO escape list: entries whose (ones, tot) exceeded u8
     cesc_idx: np.ndarray | None = None  # uint32[j]
     cesc_val: np.ndarray | None = None  # uint16[j, 2]
+    dual0_inline: bool = True  # False = aliases the previous chunk's tables
+    sig0_inline: bool = True
+
+    @property
+    def coo_slot(self) -> np.ndarray:
+        """Dense uint16[n_coo] COO slots (host-side unpack, cached)."""
+        v = getattr(self, "_coo_slot", None)
+        if v is None:
+            v = _np_unpack(self.cs_words, np.arange(self.n_coo), self.wcs
+                           ).astype(np.uint16)
+            object.__setattr__(self, "_coo_slot", v)
+        return v
+
+    @property
+    def packed(self) -> np.ndarray:
+        """Dense uint16[n] bit<<15 | kind<<13 | slot (host-side unpack of the
+        nibble + rank planes, cached) — the pre-v4 wire word, for host-side
+        consumers."""
+        v = getattr(self, "_packed", None)
+        if v is not None:
+            return v
+        i = np.arange(self.n, dtype=np.int64)
+        hdr = _np_unpack(self.hdr_words, i, 4).astype(np.int64)
+        bit = hdr >> 3
+        kind = (hdr >> 1) & 3
+        cls = hdr & 1
+        live = kind != 3
+        a_sel = live & (cls == 0)
+        b_sel = live & (cls == 1)
+        pos_a = np.cumsum(a_sel) - a_sel
+        pos_b = np.cumsum(b_sel) - b_sel
+        rank = np.where(
+            cls == 1, _np_unpack(self.b_words, pos_b, self.wb).astype(np.int64),
+            _np_unpack(self.a_words, pos_a, self.wa).astype(np.int64))
+        cs = self.coo_slot.astype(np.int64)
+        cnts = self.coo_cnt.astype(np.int64)
+        starts = np.cumsum(cnts) - cnts
+        sub = i // self.batch
+        if len(cs):
+            sidx = np.clip(starts[sub] + rank, 0, len(cs) - 1)
+            slot = np.where(live, cs[sidx], self.ud - 1)
+        else:
+            slot = np.full(self.n, self.ud - 1, np.int64)
+        v = ((bit << 15) | (kind << 13) | slot).astype(np.uint16)
+        object.__setattr__(self, "_packed", v)
+        return v
 
 
 @dataclass
@@ -166,8 +237,8 @@ def _parse_analysis(raw: bytes) -> Analysis:
         return v
 
     magic = u32()
-    assert magic in (0x5A4C4E41, 0x334C4E41), hex(magic)  # 'ANLZ' | 'ANL3'
-    slim = magic == 0x334C4E41
+    assert magic in (0x5A4C4E41, 0x344C4E41), hex(magic)  # 'ANLZ' | 'ANL4'
+    slim = magic == 0x344C4E41
     n_chunks = u32()
     lanes_out = u32()
     batch = u32()
@@ -181,61 +252,16 @@ def _parse_analysis(raw: bytes) -> Analysis:
     sup_out = u32()
     chunks = []
     if slim:
-        def u8():
-            nonlocal pos
-            v = int(buf[pos])
-            pos += 1
-            return v
-
-        def u16():
-            nonlocal pos
-            v = int(buf[pos:pos + 2].view(np.uint16)[0])
-            pos += 2
-            return v
-
-        for _ in range(n_chunks):
-            n = u64()
-            ns = u32()
-            ud = u32()
-            us = u32()
-            m = u64()
-            has_probs = u8()
-            ndict = u16()
-            pdict = arr(np.uint16, ndict)
-            n_esc = u32()
-            esc_idx = arr(np.uint32, n_esc)
-            esc_val = arr(np.uint16, n_esc)
-            packed = arr(np.uint16, n)
-            prior_idx = arr(np.uint8, n)
-            dk_d = arr(np.uint32, ns * ud).reshape(ns, ud)
-            dk_s = arr(np.uint32, ns * us).reshape(ns, us)
-            dual0 = arr(np.uint16, 4 * n_dual).reshape(n_dual, 4)
-            n_sig_nz = u32()
-            sig0_idx = arr(np.uint32, n_sig_nz)
-            sig0_pos = arr(np.uint16, n_sig_nz)
-            sig0_neg = arr(np.uint16, n_sig_nz)
-            n_coo = u64()
-            coo_cnt = arr(np.uint16, ns * sup_out)
-            coo_slot = arr(np.uint16, n_coo)
-            # ANL3: ones/tot clamped to u8 on the wire (halves the COO bytes);
-            # the rare >255 entries travel exactly in the escape list, which
-            # the device scatter-applies after widening.
-            coo_ones = arr(np.uint8, n_coo)
-            coo_tot = arr(np.uint8, n_coo)
-            n_cesc = u32()
-            cesc_idx = arr(np.uint32, n_cesc)
-            cesc_ones = arr(np.uint16, n_cesc)
-            cesc_tot = arr(np.uint16, n_cesc)
-            probs = arr(np.uint16, n) if has_probs else None
-            chunks.append(SlimChunk(int(n), ns, ud, us, int(m), pdict, esc_idx,
-                                    esc_val, packed, prior_idx, dk_d, dk_s, dual0,
-                                    coo_cnt, coo_slot, coo_ones, coo_tot, probs,
-                                    sig0_idx=sig0_idx,
-                                    sig0_val=np.stack([sig0_pos, sig0_neg], axis=1),
-                                    cesc_idx=cesc_idx,
-                                    cesc_val=np.stack([cesc_ones, cesc_tot], axis=1)))
-        return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
-                        sig_w, sig_alpha, profile, sup_out, slim=True)
+        an = Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
+                      sig_w, sig_alpha, profile, sup_out, slim=True)
+        prev = None
+        while pos < len(buf) and len(chunks) < n_chunks:
+            c = _parse_slim_chunk(buf[pos:], an, prev)
+            pos += c._raw_len
+            chunks.append(c)
+            prev = c
+        assert len(chunks) == n_chunks
+        return an
     for _ in range(n_chunks):
         n = u64()
         bit = arr(np.uint8, n)
@@ -266,6 +292,106 @@ def _parse_analysis(raw: bytes) -> Analysis:
                                                       axis=1).astype(np.int32)))
     return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha,
                     profile, sup_out)
+
+
+def _parse_slim_chunk(buf: np.ndarray, an: Analysis, prev: SlimChunk | None) -> SlimChunk:
+    """Parses one ANL4 chunk (recode.cc write_slim_chunk layout). `prev` is
+    the previously parsed chunk — warm chunks >= 2 alias its dual0/sig0
+    instead of carrying their own (flags bits 1/2)."""
+    pos = 0
+
+    def u8():
+        nonlocal pos
+        v = int(buf[pos])
+        pos += 1
+        return v
+
+    def u16():
+        nonlocal pos
+        v = int(buf[pos:pos + 2].view(np.uint16)[0])
+        pos += 2
+        return v
+
+    def u32():
+        nonlocal pos
+        v = int(buf[pos:pos + 4].view(np.uint32)[0])
+        pos += 4
+        return v
+
+    def u64():
+        nonlocal pos
+        v = int(buf[pos:pos + 8].view(np.uint64)[0])
+        pos += 8
+        return v
+
+    def arr(dtype, count):
+        nonlocal pos
+        nbytes = np.dtype(dtype).itemsize * count
+        v = buf[pos:pos + nbytes].view(dtype).copy()
+        pos += nbytes
+        return v
+
+    n = u64()
+    ns = u32()
+    ud = u32()
+    us = u32()
+    m = u64()
+    flags = u8()
+    ndict = u16()
+    pdict = arr(np.uint16, ndict)
+    n_esc = u32()
+    esc_idx = arr(np.uint32, n_esc)
+    esc_val = arr(np.uint16, n_esc)
+    wa = u8()
+    wb = u8()
+    wcs = u8()
+    nw_hdr = u64()
+    hdr_words = arr(np.uint32, nw_hdr)
+    nA = u64()
+    nwA = u64()
+    a_words = arr(np.uint32, nwA)
+    nB = u64()
+    nwB = u64()
+    b_words = arr(np.uint32, nwB)
+    prior_idx = arr(np.uint8, n)
+    dk_d = arr(np.uint32, ns * ud).reshape(ns, ud)
+    dk_s = arr(np.uint32, ns * us).reshape(ns, us)
+    dual0_inline = not (flags & 2)
+    if dual0_inline:
+        dual0 = arr(np.uint16, 4 * an.n_dual).reshape(an.n_dual, 4)
+    else:
+        assert prev is not None, "shared dual0 with no previous chunk"
+        dual0 = prev.dual0
+    sig0_inline = not (flags & 4)
+    if sig0_inline:
+        n_sig_nz = u32()
+        sig0_idx = arr(np.uint32, n_sig_nz)
+        sig0_pos = arr(np.uint16, n_sig_nz)
+        sig0_neg = arr(np.uint16, n_sig_nz)
+        sig0_val = np.stack([sig0_pos, sig0_neg], axis=1)
+    else:
+        assert prev is not None, "shared sig0 with no previous chunk"
+        sig0_idx, sig0_val = prev.sig0_idx, prev.sig0_val
+    n_coo = u64()
+    coo_cnt = arr(np.uint16, ns * an.sup)
+    nw_cs = u64()
+    cs_words = arr(np.uint32, nw_cs)
+    coo_ones = arr(np.uint8, n_coo)
+    coo_tot = arr(np.uint8, n_coo)
+    n_cesc = u32()
+    cesc_idx = arr(np.uint32, n_cesc)
+    cesc_ones = arr(np.uint16, n_cesc)
+    cesc_tot = arr(np.uint16, n_cesc)
+    probs = arr(np.uint16, n) if flags & 1 else None
+    c = SlimChunk(int(n), ns, ud, us, int(m), an.batch, pdict, esc_idx, esc_val,
+                  wa, wb, wcs, hdr_words, a_words, b_words, int(nA), int(nB),
+                  prior_idx, dk_d, dk_s, dual0, coo_cnt, int(n_coo), cs_words,
+                  coo_ones, coo_tot, probs, sig0_idx=sig0_idx, sig0_val=sig0_val,
+                  cesc_idx=cesc_idx,
+                  cesc_val=np.stack([cesc_ones, cesc_tot], axis=1),
+                  dual0_inline=dual0_inline, sig0_inline=sig0_inline)
+    object.__setattr__(c, "_raw_len", pos)
+    return c
 
 
 def _bucket_pow2(x: int, lo: int = 16) -> int:

@@ -6,6 +6,7 @@
 #include <atomic>
 #include <chrono>
 #include <condition_variable>
+#include <memory>
 #include <mutex>
 #include <thread>
 
@@ -1441,6 +1442,27 @@ static uint32_t bucket_steps(uint32_t x) {
   return (x + 1) & ~1u;
 }
 
+// Streaming analyze state: background workers walk + export chunks as they
+// finish; artc_session_analyze_chunk rendezvouses per chunk so the caller can
+// upload chunk i to the device while the host still walks chunk i+1 — the
+// host/device overlap the reference's single fused pass gets for free by
+// being serial (reference recode.cpp:1102-1309).
+struct AnalyzeState {
+  std::vector<uint8_t> header;
+  std::vector<std::vector<uint8_t>> bufs;
+  std::vector<uint8_t> status;  // 0 pending, 1 ready, 2 failed (guarded by mu)
+  std::string err;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<std::thread> workers;
+  artc::WarmCtx warm;
+  std::atomic<size_t> next{0};
+  ~AnalyzeState() {
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+  }
+};
+
 // Session: one pass1 + nz-mode pick shared between analysis export and
 // container packing (the pre-session flow ran both twice).
 struct ArtcSession {
@@ -1452,6 +1474,7 @@ struct ArtcSession {
   std::vector<uint64_t> nz_modes;
   int warm_slices = 0;        // v16 warm-started chunks (0 = cold)
   uint32_t alpha_off = 0;     // v18 per-file off-sig prior weight
+  std::unique_ptr<AnalyzeState> astate;  // live streaming analyze, if any
 };
 
 void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_mode,
@@ -1487,27 +1510,71 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
 
 void artc_session_close(void* h) { delete static_cast<ArtcSession*>(h); }
 
-// Slim per-chunk analysis export (device wire format 3, magic 'ANL3'):
+// Slim per-chunk analysis export (device wire format 4, magic 'ANL4'):
 // designed for the tunnel-attached TPU where transfer bytes are the wall.
 // Requires the frozen-batch model profile (2): probabilities within a batch
-// read tables as of the last flush, so the per-bin prefix counts vanish and
-// each bin needs only (bit, kind, dict slot) = one u16 + a u8 prior index.
+// read tables as of the last flush, so the per-bin prefix counts vanish.
 //
-// Layout per chunk (after the shared ANLZ header fields):
-//   u64 n; u32 ns, ud, us; u64 m; u8 flags(bit0 = probs present)
+// v4 over v3: the per-bin u16 (bit|kind|slot) word is replaced by a 4-bit
+// header nibble plus a rank into the bin's own sub-batch COO run. Every
+// non-ext bin's slot appears in its sub-batch's (ones, total) update run by
+// construction, and those runs are short (~hundreds of entries vs the 8192-
+// wide super-step dict), so the rank needs ~11 bits instead of 13 — and with
+// the run frequency-ordered, the hottest 2^wa slots need only wa (~5) bits.
+// Two packed substreams (hot/cold, selected by a class bit in the nibble)
+// are re-indexed on device with one cumulative sum each. COO slots travel
+// bit-packed at ceil(log2(U)) bits; warm-started chunks >= 2 share chunk 1's
+// dual0/sig0 tables (all warm chunks start from the same v16 snapshot);
+// padding to m is synthesized on device instead of shipped.
+//
+// Layout per chunk (after the shared header fields):
+//   u64 n; u32 ns, ud, us; u64 m
+//   u8 flags (bit0 probs present, bit1 dual0 = previous chunk's,
+//             bit2 sig0 = previous chunk's)
 //   u16 ndict; u16 dict[ndict]            (priors by descending frequency)
 //   u32 n_esc; u32 esc_idx[]; u16 esc_val[]  (bins whose prior is not in dict)
-//   u16 packed[n]   bit<<15 | kind<<13 | slot   (requires ud+us <= 8192)
+//   u8 wa; u8 wb; u8 wcs                  (hot/cold rank widths, COO slot width)
+//   u64 nw_hdr; u32 hdr_words[nw_hdr]     (4-bit nibbles: bit<<3|kind<<1|cls)
+//   u64 nA; u64 nwA; u32 a_words[nwA]     (wa-bit ranks of class-0 bins)
+//   u64 nB; u64 nwB; u32 b_words[nwB]     (wb-bit ranks of class-1 bins)
 //   u8  prior_idx[n]   (255 = escape)
 //   u32 dk_d[ns*ud]; u32 dk_s[ns*us]
-//   u16 dual0[4*n_dual]
-//   u32 n_sig_nz; u32 sig_idx[]; u16 sig_pos[]; u16 sig_neg[]
+//   [u16 dual0[4*n_dual]]                         unless flags bit1
+//   [u32 n_sig_nz; u32 sig_idx[]; u16 sig_pos[]; u16 sig_neg[]]  unless bit2
 //     (sparse sig start state — nonzero only for v16 warm-started chunks)
-//   u16 coo_cnt[ns*sup]; u16 coo_slot[]; u8 coo_ones[]; u8 coo_tot[]
+//   u64 n_coo; u16 coo_cnt[ns*sup]
+//   u64 nw_cs; u32 cs_words[nw_cs]        (wcs-bit COO slots, each sub-batch
+//                                          run ordered by descending total)
+//   u8 coo_ones[n_coo]; u8 coo_tot[n_coo]
 //   u32 n_cesc; u32 cesc_idx[]; u16 cesc_ones[]; u16 cesc_tot[]  (>255 exact)
 //     (per-sub-batch per-touched-slot (ones, total) update deltas, the sparse
 //      form of the v2 dd/ds tables — reconstructed on device by one scatter)
 //   u16 probs[n] if flags bit0
+struct BitPacker {
+  // Little-endian bit order within little-endian u32 words: stream bit k
+  // lands in word k>>5 at position k&31. Always keeps one tail word so the
+  // device's straddle gather (words[wi+1]) stays in bounds.
+  std::vector<uint32_t> words;
+  uint64_t bits = 0;
+  void put(uint32_t v, uint32_t w) {
+    const uint64_t word = bits >> 5, off = bits & 31;
+    if (words.size() < word + 2) words.resize(word + 2, 0);
+    const uint64_t x = uint64_t(v) << off;
+    words[word] |= uint32_t(x);
+    words[word + 1] |= uint32_t(x >> 32);
+    bits += w;
+  }
+  void finish() {
+    if (words.size() < 2) words.resize(2, 0);
+  }
+};
+
+static uint32_t ceil_log2(uint32_t x) {  // bits to hold values in [0, x)
+  uint32_t b = 1;
+  while ((1u << b) < x) ++b;
+  return b;
+}
+
 static void write_sig0_sparse(artc::Writer& w, const std::vector<artc::Estimator>& sig0) {
   // Sparse sig start state (v16 warm-started chunks): nonzero rows only.
   // Cold chunks (and chunk 0) write an empty list.
@@ -1525,7 +1592,7 @@ static void write_slim_chunk(artc::Writer& w,
                              const std::vector<uint16_t>& probs, bool has_probs,
                              const std::vector<artc::Dual>& dual0,
                              const std::vector<artc::Estimator>& sig0, uint32_t batch,
-                             uint32_t sup_u) {
+                             uint32_t sup_u, bool share_dual0, bool share_sig0) {
   using namespace artc;
   using Coded = PriorModel::Coded;
   const uint64_t n = trace.size();
@@ -1575,9 +1642,11 @@ static void write_slim_chunk(artc::Writer& w,
   if (U > 8192)
     throw std::runtime_error("slim analysis: dict width > 8192 (use fat export)");
 
-  // Phase 2: packed stream, prior indices, sparse per-sub-batch deltas.
-  std::vector<uint16_t> packed(n);
+  // Phase 2: per-bin (bit, kind) nibbles + prior indices, frequency-ordered
+  // per-sub-batch COO delta runs, per-bin ranks into those runs.
   std::vector<uint8_t> prior_idx(n);
+  std::vector<uint8_t> bin_kind(n), bin_bit(n);
+  std::vector<uint16_t> bin_rank(n, 0);  // entry index within the run (pass 1)
   std::vector<uint32_t> esc_idx;
   std::vector<uint16_t> esc_val;
   std::vector<uint32_t> dk_d(ns * ud), dk_s(ns * us);
@@ -1587,6 +1656,9 @@ static void write_slim_chunk(artc::Writer& w,
   std::vector<uint32_t> slot_d(PriorModel::kNumDualKeys), slot_s(PriorModel::kNumSigKeys);
   std::vector<uint32_t> cell_ep(U, ~0u);      // last sub-batch touching slot
   std::vector<uint32_t> cell_at(U);           // slot -> index into this sub's COO run
+  std::vector<uint32_t> run_order;
+  std::vector<uint16_t> rank_of, tmp16;
+  uint32_t max_run = 1;
   for (uint64_t s = 0; s < ns; ++s) {
     for (uint32_t j = 0; j < ud; ++j)
       dk_d[s * ud + j] = j < keys_d[s].size() ? keys_d[s][j]
@@ -1604,22 +1676,17 @@ static void write_slim_chunk(artc::Writer& w,
       const uint64_t b1 = std::min<uint64_t>(b0 + batch, hi);
       for (uint64_t i = b0; i < b1; ++i) {
         const Coded& c = trace[i];
-        uint32_t slot;
-        if (c.kind == PriorModel::kKindPrior) {
-          slot = ud - 1;  // pad/ext target; owns no updates
-        } else if (c.kind == PriorModel::kKindSig) {
-          slot = ud + slot_s[c.key];
-        } else {
-          slot = slot_d[c.key];
-        }
-        packed[i] = uint16_t((uint32_t(c.bit) << 15) | (uint32_t(c.kind) << 13) | slot);
+        bin_kind[i] = c.kind;
+        bin_bit[i] = c.bit;
         uint8_t pi = pidx_map[c.prior];
         prior_idx[i] = pi;
         if (pi == 255) {
           esc_idx.push_back(uint32_t(i));
           esc_val.push_back(c.prior);
         }
-        if (c.kind == PriorModel::kKindPrior) continue;
+        if (c.kind == PriorModel::kKindPrior) continue;  // ext: no slot/update
+        const uint32_t slot = c.kind == PriorModel::kKindSig ? ud + slot_s[c.key]
+                                                             : slot_d[c.key];
         if (cell_ep[slot] != subg) {
           cell_ep[slot] = subg;
           cell_at[slot] = uint32_t(coo_slot.size());
@@ -1630,39 +1697,101 @@ static void write_slim_chunk(artc::Writer& w,
         const uint32_t at = cell_at[slot];
         coo_ones[at] = uint16_t(coo_ones[at] + (c.bit ? 1 : 0));
         coo_tot[at] = uint16_t(coo_tot[at] + 1);
+        bin_rank[i] = uint16_t(at - run_base);
       }
-      coo_cnt[subg] = uint16_t(coo_slot.size() - run_base);
+      // Order the run by descending total (stable: ties keep first-touch
+      // order) so hot slots get small ranks; remap bins to ranks.
+      const uint32_t len = uint32_t(coo_slot.size() - run_base);
+      coo_cnt[subg] = uint16_t(len);
+      max_run = std::max(max_run, len);
+      run_order.resize(len);
+      for (uint32_t j = 0; j < len; ++j) run_order[j] = j;
+      std::stable_sort(run_order.begin(), run_order.end(), [&](uint32_t a, uint32_t b) {
+        return coo_tot[run_base + a] > coo_tot[run_base + b];
+      });
+      rank_of.resize(len);
+      for (uint32_t r = 0; r < len; ++r) rank_of[run_order[r]] = uint16_t(r);
+      for (uint64_t i = b0; i < b1; ++i)
+        if (trace[i].kind != PriorModel::kKindPrior) bin_rank[i] = rank_of[bin_rank[i]];
+      for (uint16_t* arr : {coo_slot.data(), coo_ones.data(), coo_tot.data()}) {
+        tmp16.assign(arr + run_base, arr + run_base + len);
+        for (uint32_t r = 0; r < len; ++r) arr[run_base + r] = tmp16[run_order[r]];
+      }
     }
   }
+
+  // Hot-rank width: sweep wa for minimum substream bytes (ranks >= 2^wa pay
+  // the full wb bits via the cold stream).
+  const uint32_t wb = ceil_log2(std::max(max_run, 2u));
+  std::vector<uint64_t> rank_hist(max_run, 0);
+  uint64_t live_total = 0;
+  for (uint64_t i = 0; i < n; ++i)
+    if (bin_kind[i] != PriorModel::kKindPrior) { ++live_total; ++rank_hist[bin_rank[i]]; }
+  for (size_t i = 1; i < rank_hist.size(); ++i) rank_hist[i] += rank_hist[i - 1];
+  uint32_t wa = wb;
+  uint64_t best_cost = ~0ull;
+  for (uint32_t cand = 1; cand <= wb; ++cand) {
+    const uint64_t hot = (1ull << cand) >= max_run ? live_total
+                                                   : rank_hist[(1ull << cand) - 1];
+    const uint64_t cost = cand * hot + wb * (live_total - hot);
+    if (cost < best_cost) { best_cost = cost; wa = cand; }
+  }
+
+  BitPacker hp, ap, bp, cp;
+  uint64_t nA = 0, nB = 0;
+  for (uint64_t i = 0; i < n; ++i) {
+    const uint32_t k = bin_kind[i];
+    const bool cold = k != PriorModel::kKindPrior && bin_rank[i] >= (1u << wa);
+    hp.put((uint32_t(bin_bit[i]) << 3) | (k << 1) | (cold ? 1 : 0), 4);
+    if (k == PriorModel::kKindPrior) continue;
+    if (cold) { bp.put(bin_rank[i], wb); ++nB; } else { ap.put(bin_rank[i], wa); ++nA; }
+  }
+  hp.finish(); ap.finish(); bp.finish();
+  const uint32_t wcs = ceil_log2(std::max(U, 2u));
+  for (uint16_t v : coo_slot) cp.put(v, wcs);
+  cp.finish();
 
   w.u64(n);
   w.u32(uint32_t(ns));
   w.u32(ud);
   w.u32(us);
   w.u64(m);
-  w.u8(has_probs ? 1 : 0);
+  w.u8((has_probs ? 1 : 0) | (share_dual0 ? 2 : 0) | (share_sig0 ? 4 : 0));
   w.u16(uint16_t(dict.size()));
   w.bytes(reinterpret_cast<const uint8_t*>(dict.data()), dict.size() * 2);
   w.u32(uint32_t(esc_idx.size()));
   w.bytes(reinterpret_cast<const uint8_t*>(esc_idx.data()), esc_idx.size() * 4);
   w.bytes(reinterpret_cast<const uint8_t*>(esc_val.data()), esc_val.size() * 2);
-  w.bytes(reinterpret_cast<const uint8_t*>(packed.data()), packed.size() * 2);
+  w.u8(uint8_t(wa));
+  w.u8(uint8_t(wb));
+  w.u8(uint8_t(wcs));
+  w.u64(hp.words.size());
+  w.bytes(reinterpret_cast<const uint8_t*>(hp.words.data()), hp.words.size() * 4);
+  w.u64(nA);
+  w.u64(ap.words.size());
+  w.bytes(reinterpret_cast<const uint8_t*>(ap.words.data()), ap.words.size() * 4);
+  w.u64(nB);
+  w.u64(bp.words.size());
+  w.bytes(reinterpret_cast<const uint8_t*>(bp.words.data()), bp.words.size() * 4);
   w.bytes(prior_idx.data(), prior_idx.size());
   w.bytes(reinterpret_cast<const uint8_t*>(dk_d.data()), dk_d.size() * 4);
   w.bytes(reinterpret_cast<const uint8_t*>(dk_s.data()), dk_s.size() * 4);
-  for (const Dual& d : dual0) {
-    w.u16(d.fp);
-    w.u16(d.fn);
-    w.u16(d.sp);
-    w.u16(d.sn);
+  if (!share_dual0) {
+    for (const Dual& d : dual0) {
+      w.u16(d.fp);
+      w.u16(d.fn);
+      w.u16(d.sp);
+      w.u16(d.sn);
+    }
   }
-  write_sig0_sparse(w, sig0);
+  if (!share_sig0) write_sig0_sparse(w, sig0);
   w.u64(coo_slot.size());
   w.bytes(reinterpret_cast<const uint8_t*>(coo_cnt.data()), coo_cnt.size() * 2);
-  w.bytes(reinterpret_cast<const uint8_t*>(coo_slot.data()), coo_slot.size() * 2);
+  w.u64(cp.words.size());
+  w.bytes(reinterpret_cast<const uint8_t*>(cp.words.data()), cp.words.size() * 4);
   // ones/tot travel as clamped u8 (99.98% fit — sub-batch totals above 255
   // need a key touched >255 times in one 4096-bin sub-batch) plus an exact
-  // escape list the device scatter-applies after widening (ANL3).
+  // escape list the device scatter-applies after widening.
   {
     std::vector<uint8_t> ones8(coo_slot.size()), tot8(coo_slot.size());
     std::vector<uint32_t> cesc_idx;
@@ -1687,79 +1816,178 @@ static void write_slim_chunk(artc::Writer& w,
     w.bytes(reinterpret_cast<const uint8_t*>(probs.data()), probs.size() * 2);
 }
 
-int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* out_len) {
+static void write_analyze_header(artc::Writer& w, const ArtcSession* se, uint32_t sup_u,
+                                 bool slim) {
+  using namespace artc;
+  w.u32(slim ? 0x344c4e41 : 0x5a4c4e41);  // 'ANL4' : 'ANLZ'
+  w.u32(uint32_t(se->st.n_chunks));
+  w.u32(uint32_t(se->opt.lanes));
+  w.u32(se->opt.batch_size ? se->opt.batch_size : 1);
+  w.u32(uint32_t(se->opt.model_profile));
+  w.u32(uint32_t(PriorModel::kNumDualKeys));
+  w.u32(uint32_t(PriorModel::kNumSigKeys));
+  w.u32(uint32_t(PriorModel::kFastWindow));
+  w.u32(uint32_t(PriorModel::kSlowWindow));
+  w.u32(uint32_t(PriorModel::kWindowSig));
+  // low 16 bits: on-mode alpha; high 16: off-mode alpha (prior bit 15
+  // selects per bin — see PriorModel::kPriorOffTag). The off weight is the
+  // session's probe-chosen per-file value (v18).
+  w.u32(uint32_t(PriorModel::kSigMixAlpha) |
+        ((se->alpha_off ? se->alpha_off : PriorModel::kSigMixAlphaOff) << 16));
+  w.u32(sup_u);
+}
+
+// Starts the streaming (slim/ANL4) analyze: spawns background workers that
+// walk + export chunks in parallel. Returns the chunk count, or -1.
+// flags bit1 = also export host-computed probs (differential testing).
+int artc_session_analyze_begin(void* h, int sup, int flags) {
   using namespace artc;
   auto* se = static_cast<ArtcSession*>(h);
   try {
-    const Options& opt = se->opt;
-    const Stats& st = se->st;
-    const Pass1& p1 = se->p1;
-    const auto& ranges = se->ranges;
-    const bool slim = (flags & 1) != 0;
-    const bool want_probs = (flags & 2) != 0 || !slim;
-    if (slim && opt.model_profile != 2)
+    if (se->opt.model_profile != 2)
       throw std::runtime_error("slim analysis requires model_profile=2 (frozen batches)");
-    uint32_t sup_u = sup > 0 ? uint32_t(sup) : 16;
-    Writer w;
-    w.u32(slim ? 0x334c4e41 : 0x5a4c4e41);  // 'ANL3' : 'ANLZ'
-    w.u32(uint32_t(st.n_chunks));
-    w.u32(uint32_t(opt.lanes));
-    w.u32(opt.batch_size ? opt.batch_size : 1);
-    w.u32(uint32_t(opt.model_profile));
-    w.u32(uint32_t(PriorModel::kNumDualKeys));
-    w.u32(uint32_t(PriorModel::kNumSigKeys));
-    w.u32(uint32_t(PriorModel::kFastWindow));
-    w.u32(uint32_t(PriorModel::kSlowWindow));
-    w.u32(uint32_t(PriorModel::kWindowSig));
-    // low 16 bits: on-mode alpha; high 16: off-mode alpha (prior bit 15
-    // selects per bin — see PriorModel::kPriorOffTag). The off weight is the
-    // session's probe-chosen per-file value (v18).
-    w.u32(uint32_t(PriorModel::kSigMixAlpha) |
-          ((se->alpha_off ? se->alpha_off : PriorModel::kSigMixAlphaOff) << 16));
-    w.u32(sup_u);
-    // Slim chunks are independent: walk + export in parallel into per-chunk
-    // buffers (with sectioned chunk_mode-0 files this parallelizes the whole
-    // analyze across cores), then concatenate in order.
-    WarmCtx warm;
-    warm.src_slices = se->warm_slices;
-    if (slim) {
-      std::vector<Writer> cw(ranges.size());
-      std::atomic<size_t> next{0};
-      auto work = [&] {
-        for (size_t ci; (ci = next.fetch_add(1)) < ranges.size();) {
-          auto [b, e] = ranges[ci];
+    const uint32_t sup_u = sup > 0 ? uint32_t(sup) : 16;
+    const bool want_probs = (flags & 2) != 0;
+    se->astate.reset(new AnalyzeState);
+    AnalyzeState* as = se->astate.get();
+    {
+      Writer w;
+      write_analyze_header(w, se, sup_u, /*slim=*/true);
+      as->header = std::move(w.buf);
+    }
+    const size_t n_chunks = se->ranges.size();
+    as->bufs.resize(n_chunks);
+    as->status.assign(n_chunks, 0);
+    as->warm.src_slices = se->warm_slices;
+    auto work = [se, as, sup_u, want_probs] {
+      using namespace artc;
+      for (size_t ci; (ci = as->next.fetch_add(1)) < se->ranges.size();) {
+        try {
+          auto [b, e] = se->ranges[ci];
           std::vector<PriorModel::Coded> trace;
           std::vector<uint16_t> probs;
           std::vector<Dual> dual0;
           std::vector<Estimator> sig0;
           Stats tmp;
           double t0 = timing_enabled() ? now_s() : 0;
-          run_chunk_model(p1.slices, b, e, opt, tmp, &trace, &probs, &dual0,
+          run_chunk_model(se->p1.slices, b, e, se->opt, tmp, &trace, &probs, &dual0,
                           se->nz_modes[ci], /*encode_blob=*/false,
-                          ci == 0 && warm.src_slices ? &warm : nullptr,
-                          ci > 0 && warm.src_slices ? &warm : nullptr, &sig0,
+                          ci == 0 && as->warm.src_slices ? &as->warm : nullptr,
+                          ci > 0 && as->warm.src_slices ? &as->warm : nullptr, &sig0,
                           se->alpha_off);
           if (timing_enabled())
             fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
                     ci, now_s() - t0, trace.size());
           t0 = timing_enabled() ? now_s() : 0;
-          write_slim_chunk(cw[ci], trace, probs, want_probs, dual0, sig0,
-                           opt.batch_size ? opt.batch_size : 1, sup_u);
+          // All warm chunks start from the same v16 snapshot: chunks >= 2
+          // reference chunk 1's dual0/sig0 instead of re-shipping them.
+          const bool share = ci >= 2 && as->warm.src_slices > 0;
+          Writer cw;
+          write_slim_chunk(cw, trace, probs, want_probs, dual0, sig0,
+                           se->opt.batch_size ? se->opt.batch_size : 1, sup_u,
+                           share, share);
           if (timing_enabled())
             fprintf(stderr, "[artc] analyze chunk %zu: slim export %.3fs\n",
                     ci, now_s() - t0);
+          std::lock_guard<std::mutex> lock(as->mu);
+          as->bufs[ci] = std::move(cw.buf);
+          as->status[ci] = 1;
+          as->cv.notify_all();
+        } catch (const std::exception& e) {
+          std::lock_guard<std::mutex> lock(as->mu);
+          as->err = e.what();
+          as->status[ci] = 2;
+          as->cv.notify_all();
         }
-      };
-      unsigned n_workers =
-          std::max(1u, std::min<unsigned>(std::thread::hardware_concurrency(),
-                                          unsigned(ranges.size())));
-      std::vector<std::thread> threads;
-      for (unsigned t = 1; t < n_workers; ++t) threads.emplace_back(work);
-      work();
-      for (auto& t : threads) t.join();
-      for (const auto& cb : cw) w.bytes(cb.buf.data(), cb.buf.size());
+      }
+    };
+    const unsigned n_workers =
+        std::max(1u, std::min<unsigned>(std::thread::hardware_concurrency(),
+                                        unsigned(n_chunks)));
+    for (unsigned t = 0; t < n_workers; ++t) as->workers.emplace_back(work);
+    return int(n_chunks);
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return -1;
+  }
+}
+
+int artc_session_analyze_header(void* h, uint8_t** out, size_t* out_len) {
+  auto* se = static_cast<ArtcSession*>(h);
+  if (!se->astate) {
+    g_error = "artc_session_analyze_begin not called";
+    return -1;
+  }
+  const auto& hdr = se->astate->header;
+  *out = static_cast<uint8_t*>(malloc(hdr.size()));
+  memcpy(*out, hdr.data(), hdr.size());
+  *out_len = hdr.size();
+  return 0;
+}
+
+// Blocks until chunk idx's export is ready, then hands it over (the internal
+// copy is released — each chunk can be fetched once).
+int artc_session_analyze_chunk(void* h, uint32_t idx, uint8_t** out, size_t* out_len) {
+  auto* se = static_cast<ArtcSession*>(h);
+  AnalyzeState* as = se->astate.get();
+  if (!as || idx >= as->bufs.size()) {
+    g_error = "bad analyze chunk index";
+    return -1;
+  }
+  std::vector<uint8_t> buf;
+  {
+    std::unique_lock<std::mutex> lock(as->mu);
+    as->cv.wait(lock, [&] { return as->status[idx] != 0; });
+    if (as->status[idx] == 2) {
+      g_error = as->err;
+      return -1;
     }
-    for (size_t ci = 0; slim ? false : ci < ranges.size(); ++ci) {
+    buf = std::move(as->bufs[idx]);
+  }
+  *out = static_cast<uint8_t*>(malloc(buf.size()));
+  memcpy(*out, buf.data(), buf.size());
+  *out_len = buf.size();
+  return 0;
+}
+
+int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* out_len) {
+  using namespace artc;
+  auto* se = static_cast<ArtcSession*>(h);
+  try {
+    const Options& opt = se->opt;
+    const Pass1& p1 = se->p1;
+    const auto& ranges = se->ranges;
+    const bool slim = (flags & 1) != 0;
+    const bool want_probs = (flags & 2) != 0 || !slim;
+    uint32_t sup_u = sup > 0 ? uint32_t(sup) : 16;
+    if (slim) {
+      // One-shot collection over the streaming machinery (same bytes as the
+      // per-chunk fetch path: header ++ chunk0 ++ chunk1 ++ ...).
+      const int n_chunks = artc_session_analyze_begin(h, sup, want_probs ? 2 : 0);
+      if (n_chunks < 0) return -1;
+      AnalyzeState* as = se->astate.get();
+      Writer w;
+      w.bytes(as->header.data(), as->header.size());
+      for (int ci = 0; ci < n_chunks; ++ci) {
+        std::unique_lock<std::mutex> lock(as->mu);
+        as->cv.wait(lock, [&] { return as->status[ci] != 0; });
+        if (as->status[ci] == 2) {
+          g_error = as->err;
+          return -1;
+        }
+        w.bytes(as->bufs[ci].data(), as->bufs[ci].size());
+        std::vector<uint8_t>().swap(as->bufs[ci]);
+      }
+      *out = static_cast<uint8_t*>(malloc(w.buf.size()));
+      memcpy(*out, w.buf.data(), w.buf.size());
+      *out_len = w.buf.size();
+      return 0;
+    }
+    Writer w;
+    write_analyze_header(w, se, sup_u, /*slim=*/false);
+    WarmCtx warm;
+    warm.src_slices = se->warm_slices;
+    for (size_t ci = 0; ci < ranges.size(); ++ci) {
       auto [b, e] = ranges[ci];
       std::vector<PriorModel::Coded> trace;
       std::vector<uint16_t> probs;

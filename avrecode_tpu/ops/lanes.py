@@ -124,11 +124,13 @@ def assemble_blob(x_final: np.ndarray, words: np.ndarray, emits: np.ndarray,
     return bytes(out)
 
 
-def encode_interleaved_dev(bits_dev, probs_dev, n: int, K: int) -> bytes:
-    """Full chunk encode from device-resident bits/probs; byte-identical to
-    encode_interleaved / the host codec (native/rans.h)."""
+def encode_interleaved_start(bits_dev, probs_dev, n: int, K: int):
+    """Dispatches a chunk's lane scan from device-resident bits/probs and
+    returns an opaque handle WITHOUT any blocking readback — the caller can
+    keep staging the next chunk (host analyze / uploads) while this one
+    computes. encode_interleaved_finish turns the handle into the blob."""
     if n == 0:
-        return encode_interleaved(np.zeros(0, np.uint8), np.zeros(0, np.uint16), K)
+        return (None, None, None, None, n, K)
     T = _bucket(-(-n // K))
     size = T * K
     m = bits_dev.shape[0]
@@ -136,6 +138,15 @@ def encode_interleaved_dev(bits_dev, probs_dev, n: int, K: int) -> bytes:
         bits_dev = jnp.pad(bits_dev, (0, size - m))
         probs_dev = jnp.pad(probs_dev, (0, size - m), constant_values=1)
     x_final, words, emits, counts = _lane_scan_dev(bits_dev, probs_dev, n, T=T, K=K)
+    return (x_final, words, emits, counts, n, K)
+
+
+def encode_interleaved_finish(handle) -> bytes:
+    """Syncs one encode_interleaved_start handle into the RansInterleaved wire
+    blob; byte-identical to encode_interleaved / the host codec (rans.h)."""
+    x_final, words, emits, counts, n, K = handle
+    if n == 0:
+        return encode_interleaved(np.zeros(0, np.uint8), np.zeros(0, np.uint16), K)
     counts_h = np.asarray(counts)
     maxW = _bucket(max(int(counts_h.max()), 1))
     tail = np.asarray(_lane_compact(words, emits, maxW))
@@ -150,6 +161,12 @@ def encode_interleaved_dev(bits_dev, probs_dev, n: int, K: int) -> bytes:
         out += head.astype("<u2").tobytes()
         out += tail[:counts_h[l], l].astype("<u2").tobytes()
     return bytes(out)
+
+
+def encode_interleaved_dev(bits_dev, probs_dev, n: int, K: int) -> bytes:
+    """Full chunk encode from device-resident bits/probs; byte-identical to
+    encode_interleaved / the host codec (native/rans.h)."""
+    return encode_interleaved_finish(encode_interleaved_start(bits_dev, probs_dev, n, K))
 
 
 def encode_interleaved(bits: np.ndarray, probs: np.ndarray, K: int) -> bytes:

@@ -197,6 +197,102 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
     return probs.reshape(-1)
 
 
+def _unpack_dev(words, pos, w):
+    """Gathers w-bit little-endian entries (entry j occupies stream bits
+    [j*w, j*w + w), bit k living in u32 word k>>5 at position k&31) out of a
+    packed word stream. w is a TRACED scalar, so chunks with different pack
+    widths reuse one compiled program; `words` carries >= 1 tail word so the
+    straddle gather stays in bounds (recode.cc BitPacker)."""
+    bitpos = pos * w  # i32: streams stay well under 2^31 bits per chunk
+    wi = bitpos >> 5
+    off = (bitpos & 31).astype(jnp.uint32)
+    w0 = words[wi]
+    w1 = words[wi + 1]
+    lo = w0 >> off
+    hi = jnp.where(off == 0, jnp.uint32(0), w1 << ((jnp.uint32(32) - off) & 31))
+    mask = (jnp.uint32(1) << jnp.uint32(w)) - 1
+    return ((lo | hi) & mask).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "nsub", "U", "ud", "batch"))
+def wire_expand4(hdr_words, a_words, b_words, wa, wb, n, prior_idx, pdict,
+                 esc_idx, esc_val, coo_cnt, cs_words, wcs, coo_vals, n_coo,
+                 cesc_idx, cesc_val, *, m: int, nsub: int, U: int, ud: int,
+                 batch: int):
+    """ANL4 wire decompression (recode.cc write_slim_chunk): one jitted
+    program per shape bucket turns the bit-packed planes into the dense
+    model-pass inputs. Everything here is gathers, shifts and cumulative
+    sums — VPU-dense, no serial decode.
+
+    - 4-bit header nibbles -> (bit, kind, class) per bin;
+    - two cumulative sums re-index the hot (wa-bit) / cold (wb-bit) rank
+      substreams; a bin's slot is its sub-batch COO run entry at that rank
+      (runs are frequency-ordered by the host, so hot slots ride wa bits);
+    - COO slots unpack from wcs-bit entries and double as the update-delta
+      scatter source (same construction as wire_expand);
+    - pack widths (wa, wb, wcs) and true lengths (n, n_coo) arrive traced, so
+      only shape buckets — not widths — create program variants;
+    - bins [n, m) synthesize the pad pattern (kind 3, slot ud-1, prior 1) on
+      device instead of traveling the tunnel.
+
+    Returns (bit, kind, slot, prior) int32[m] + deltas uint16[nsub, U, 2]."""
+    i = jax.lax.iota(jnp.int32, m)
+    live_n = i < n
+    hdr = _unpack_dev(hdr_words, i, jnp.int32(4))
+    bit = jnp.where(live_n, hdr >> 3, 0)
+    kind = jnp.where(live_n, (hdr >> 1) & 3, 3)
+    cls = hdr & 1
+    live = live_n & (kind != 3)
+    a_sel = (live & (cls == 0)).astype(jnp.int32)
+    b_sel = (live & (cls == 1)).astype(jnp.int32)
+    pos_a = jnp.cumsum(a_sel) - a_sel
+    pos_b = jnp.cumsum(b_sel) - b_sel
+    rank = jnp.where(cls == 1, _unpack_dev(b_words, pos_b, wb),
+                     _unpack_dev(a_words, pos_a, wa))
+    nc = coo_vals.shape[0]
+    cs = _unpack_dev(cs_words, jax.lax.iota(jnp.int32, nc), wcs)
+    cnts = coo_cnt.astype(jnp.int32)
+    starts = jnp.cumsum(cnts) - cnts
+    sub = i // batch
+    sidx = jnp.clip(starts[sub] + rank, 0, nc - 1)
+    slot = jnp.where(live, cs[sidx], ud - 1)
+    # Priors: dict gather + escape scatter on the n-domain, padded with the
+    # neutral 1 beyond n.
+    pr = pdict[prior_idx.astype(jnp.int32)].astype(jnp.int32)
+    pr = pr.at[esc_idx.astype(jnp.int32)].set(esc_val.astype(jnp.int32), mode="drop")
+    npi = pr.shape[0]
+    prior = jnp.where(live_n, pr[jnp.clip(i, 0, npi - 1)], 1)
+    # Update-delta table (see wire_expand): per-entry sub-batch index rebuilt
+    # from coo_cnt segment starts, (ones, tot) widened from u8 with the exact
+    # >255 escapes scattered on top.
+    mark = jnp.zeros((nc + 1,), jnp.int32).at[starts].add(1, mode="drop")
+    coo_sub = jnp.cumsum(mark[:nc]) - 1
+    livec = jax.lax.iota(jnp.int32, nc) < n_coo
+    flat = jnp.where(livec, coo_sub * U + cs, nsub * U)
+    vals = coo_vals.astype(jnp.uint16)
+    vals = vals.at[cesc_idx.astype(jnp.int32)].set(cesc_val.astype(jnp.uint16),
+                                                   mode="drop")
+    tbl = jnp.zeros((nsub * U + 1, 2), jnp.uint16)
+    tbl = tbl.at[flat].set(vals, mode="drop", unique_indices=True)
+    return bit, kind, slot, prior, tbl[:nsub * U].reshape(nsub, U, 2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha",
+                                    "ud", "us", "n_sig"))
+def model_pass_v4(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s, deltas, dual0_u16,
+                  batch: int, sup: int, fast_w: int, slow_w: int, sig_w: int,
+                  sig_alpha: int, ud: int, us: int, n_sig: int = 1 << 17,
+                  sig0_idx=None, sig0_val=None):
+    """Frozen-batch pass over wire_expand4's pre-split planes (the ANL4 path);
+    returns (probs uint16[m], bits int32[m]). Same core as model_pass_v3."""
+    probs = v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s, deltas,
+                    dual0_u16, batch=batch, sup=sup, fast_w=fast_w, slow_w=slow_w,
+                    sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us, n_sig=n_sig,
+                    sig0_idx=sig0_idx, sig0_val=sig0_val)
+    return probs, bit_all
+
+
 @functools.partial(jax.jit, static_argnames=("nsub", "U"))
 def wire_expand(coo_cnt, coo_slot, coo_vals, n_coo, prior_idx, pdict, esc_idx, esc_val,
                 nsub: int, U: int, cesc_idx=None, cesc_val=None):
