@@ -213,9 +213,27 @@ def analyze(data: bytes, lanes: int = 16, chunk_mode: int = 0, batch_size: int =
     return _parse_analysis(raw)
 
 
+_HDR_BYTES = 48  # magic + 11 u32 header fields
+
+
+def _parse_header(raw: bytes) -> tuple[Analysis, int]:
+    """Parses the shared analysis header (recode.cc write_analyze_header) into
+    an empty Analysis + the chunk count."""
+    hdr = np.frombuffer(raw[:_HDR_BYTES], dtype=np.uint32)
+    magic = int(hdr[0])
+    assert magic in (0x5A4C4E41, 0x344C4E41), hex(magic)  # 'ANLZ' | 'ANL4'
+    slim = magic == 0x344C4E41
+    (n_chunks, lanes_out, batch, profile, n_dual, n_sig, fast_w, slow_w,
+     sig_w, sig_alpha, sup_out) = (int(x) for x in hdr[1:12])
+    an = Analysis([], lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
+                  sig_w, sig_alpha, profile, sup_out, slim=slim)
+    return an, n_chunks
+
+
 def _parse_analysis(raw: bytes) -> Analysis:
     buf = np.frombuffer(raw, dtype=np.uint8)
-    pos = 0
+    an, n_chunks = _parse_header(raw)
+    pos = _HDR_BYTES
 
     def u32():
         nonlocal pos
@@ -236,24 +254,10 @@ def _parse_analysis(raw: bytes) -> Analysis:
         pos += nbytes
         return v
 
-    magic = u32()
-    assert magic in (0x5A4C4E41, 0x344C4E41), hex(magic)  # 'ANLZ' | 'ANL4'
-    slim = magic == 0x344C4E41
-    n_chunks = u32()
-    lanes_out = u32()
-    batch = u32()
-    profile = u32()
-    n_dual = u32()
-    n_sig = u32()
-    fast_w = u32()
-    slow_w = u32()
-    sig_w = u32()
-    sig_alpha = u32()
-    sup_out = u32()
-    chunks = []
-    if slim:
-        an = Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
-                      sig_w, sig_alpha, profile, sup_out, slim=True)
+    n_dual = an.n_dual
+    sup_out = an.sup
+    chunks = an.chunks
+    if an.slim:
         prev = None
         while pos < len(buf) and len(chunks) < n_chunks:
             c = _parse_slim_chunk(buf[pos:], an, prev)
@@ -290,8 +294,7 @@ def _parse_analysis(raw: bytes) -> Analysis:
                                     sig0_idx=sig0_idx,
                                     sig0_val=np.stack([sig0_pos, sig0_neg],
                                                       axis=1).astype(np.int32)))
-    return Analysis(chunks, lanes_out, batch, n_dual, n_sig, fast_w, slow_w, sig_w, sig_alpha,
-                    profile, sup_out)
+    return an
 
 
 def _parse_slim_chunk(buf: np.ndarray, an: Analysis, prev: SlimChunk | None) -> SlimChunk:
@@ -433,54 +436,94 @@ def _sig0_sparse_padded(chunk, n_sig: int):
     return idx, val
 
 
-def _run_v3(an: Analysis, c: SlimChunk):
-    """Pads/buckets one slim chunk's wire arrays and runs the frozen-batch
-    device pass. Returns device-resident (probs uint16[m], bits int32[m])."""
+def _run_v4(an: Analysis, c: SlimChunk, cache: dict | None = None):
+    """Ships one slim chunk's bit-packed ANL4 planes to the device verbatim
+    and runs wire_expand4 + the frozen-batch pass. Returns device-resident
+    (probs uint16[m], bits int32[m]).
+
+    This is where the ANL4 wire pays off: the per-bin transfer is the 4-bit
+    header nibble + the wa/wb-bit rank + the u8 prior index (~1.7 B/bin)
+    instead of the dense u16 packed word (+1 B prior) the v3 runner uploaded
+    (~3 B/bin); everything dense is reconstructed on chip (cumsum re-indexing,
+    dict gathers — see ops/model_pass.wire_expand4).
+
+    `cache` (id(array) -> device array) dedupes uploads of tables aliased
+    across chunks: warm chunks >= 2 share chunk 1's dual0/sig0, and re-sending
+    ~1.4 MB of dual0 per chunk would forfeit the aliasing the wire format
+    already does."""
     _ensure_jax_cache()
     import jax.numpy as jnp
     from .ops import model_pass as mp
     ns, ud, us, m, n = c.ns, c.ud, c.us, c.m, c.n
-    pad = m - n
-    pad_val = (3 << 13) | (ud - 1)
-    packed = np.concatenate([c.packed, np.full(pad, pad_val, np.uint16)])
-    pidx = np.concatenate([c.prior_idx, np.full(pad, 255, np.uint8)])
+
+    def dev(a, owner=None, tag=""):
+        """Uploads `a` once per identity of `owner` (default: `a` itself).
+        The cache entry HOLDS the owner array: that pins its id() for the
+        cache's lifetime, so a freed chunk's id being recycled by a later
+        chunk's table can never alias a stale device array (the `is` check
+        double-guards)."""
+        if cache is None:
+            return jnp.asarray(a)
+        owner = a if owner is None else owner
+        k = (tag, id(owner))
+        ent = cache.get(k)
+        if ent is not None and ent[0] is owner:
+            return ent[1]
+        v = jnp.asarray(a)
+        cache[k] = (owner, v)
+        return v
+
+    def words(a):
+        k = _bucket_lin(max(len(a), 2), step=1 << 16)
+        out = np.zeros(k, np.uint32)
+        out[:len(a)] = a
+        return jnp.asarray(out)
+
+    npi = _bucket_lin(max(n, 1))
+    pidx = np.full(npi, 255, np.uint8)
+    pidx[:n] = c.prior_idx
     pdict = np.ones(256, np.uint16)  # index 255 stays neutral (pad bins)
     pdict[:len(c.pdict)] = c.pdict
-    ne = _bucket_pow2(len(c.esc_idx))
-    esc_idx = np.full(ne, m, np.uint32)
+    ne = _bucket_pow2(max(len(c.esc_idx), 1))
+    esc_idx = np.full(ne, npi, np.uint32)  # pad entries drop in the scatter
     esc_idx[:len(c.esc_idx)] = c.esc_idx
     esc_val = np.ones(ne, np.uint16)
     esc_val[:len(c.esc_val)] = c.esc_val
-    nc = _bucket_lin(len(c.coo_slot))
-    coo_slot = np.zeros(nc, np.uint16)
-    coo_slot[:len(c.coo_slot)] = c.coo_slot
+    nc = _bucket_lin(max(c.n_coo, 1))
     coo_vals = np.zeros((nc, 2), np.uint8)
-    coo_vals[:len(c.coo_ones), 0] = c.coo_ones
-    coo_vals[:len(c.coo_tot), 1] = c.coo_tot
-    cesc_idx_j = cesc_val_j = None
-    if c.cesc_idx is not None and len(c.cesc_idx):
-        ncc = _bucket_pow2(len(c.cesc_idx))
-        ci = np.full(ncc, nc, np.uint32)  # pad rows drop in the scatter
-        ci[:len(c.cesc_idx)] = c.cesc_idx
-        cv = np.zeros((ncc, 2), np.uint16)
-        cv[:len(c.cesc_idx)] = c.cesc_val
-        cesc_idx_j, cesc_val_j = jnp.asarray(ci), jnp.asarray(cv)
-    deltas, prior_full = mp.wire_expand(
-        jnp.asarray(c.coo_cnt), jnp.asarray(coo_slot), jnp.asarray(coo_vals),
-        np.int32(len(c.coo_slot)), jnp.asarray(pidx), jnp.asarray(pdict),
-        jnp.asarray(esc_idx), jnp.asarray(esc_val),
-        nsub=int(ns * an.sup), U=int(ud + us),
-        cesc_idx=cesc_idx_j, cesc_val=cesc_val_j)
+    coo_vals[:c.n_coo, 0] = c.coo_ones
+    coo_vals[:c.n_coo, 1] = c.coo_tot
+    n_cesc = len(c.cesc_idx) if c.cesc_idx is not None else 0
+    ncc = _bucket_pow2(max(n_cesc, 1))
+    cesc_idx = np.full(ncc, nc, np.uint32)  # pad rows drop
+    cesc_val = np.zeros((ncc, 2), np.uint16)
+    if n_cesc:
+        cesc_idx[:n_cesc] = c.cesc_idx
+        cesc_val[:n_cesc] = c.cesc_val
+    bit, kind, slot, prior, deltas = mp.wire_expand4(
+        words(c.hdr_words), words(c.a_words), words(c.b_words),
+        jnp.int32(c.wa), jnp.int32(c.wb), jnp.int32(n),
+        jnp.asarray(pidx), jnp.asarray(pdict), jnp.asarray(esc_idx),
+        jnp.asarray(esc_val), jnp.asarray(c.coo_cnt), words(c.cs_words),
+        jnp.int32(c.wcs), jnp.asarray(coo_vals), jnp.int32(c.n_coo),
+        jnp.asarray(cesc_idx), jnp.asarray(cesc_val),
+        m=int(m), nsub=int(ns * an.sup), U=int(ud + us), ud=int(ud),
+        batch=int(an.batch))
     s_idx, s_val = _sig0_sparse_padded(c, an.n_sig)
-    probs, bits = mp.model_pass_v3(
-        jnp.asarray(packed), prior_full, jnp.asarray(c.dk_d),
-        jnp.asarray(c.dk_s), deltas, jnp.asarray(c.dual0),
+    if s_idx is not None:
+        s_idx = dev(s_idx, owner=c.sig0_idx, tag="sig0i")
+        s_val = dev(s_val, owner=c.sig0_idx, tag="sig0v")
+    probs, bits = mp.model_pass_v4(
+        bit, kind, slot, prior, jnp.asarray(c.dk_d),
+        jnp.asarray(c.dk_s), deltas, dev(c.dual0),
         batch=int(an.batch), sup=int(an.sup), fast_w=int(an.fast_w),
         slow_w=int(an.slow_w), sig_w=int(an.sig_w), sig_alpha=int(an.sig_alpha),
         ud=int(ud), us=int(us), n_sig=int(an.n_sig),
-        sig0_idx=None if s_idx is None else jnp.asarray(s_idx),
-        sig0_val=None if s_val is None else jnp.asarray(s_val))
+        sig0_idx=s_idx, sig0_val=s_val)
     return probs, bits
+
+
+_run_v3 = _run_v4  # compat name for the pre-ANL4 runner
 
 
 def device_probs(an: Analysis, chunk, impl: str | None = None) -> np.ndarray:
@@ -488,7 +531,7 @@ def device_probs(an: Analysis, chunk, impl: str | None = None) -> np.ndarray:
     _ensure_jax_cache()
     from .ops import model_pass as mp
     if an.slim:
-        probs, _ = _run_v3(an, chunk)
+        probs, _ = _run_v4(an, chunk)
         return np.asarray(probs)[:chunk.n]
     impl = impl or mp.default_impl()
     sig0 = _sig0_dense(chunk, an.n_sig)
@@ -528,7 +571,7 @@ def device_blob(an: Analysis, chunk, probs: np.ndarray | None = None,
     compacted on device before download."""
     from .ops import lanes as lx
     if an.slim:
-        probs_dev, bits_dev = _run_v3(an, chunk)
+        probs_dev, bits_dev = _run_v4(an, chunk)
         return lx.encode_interleaved_dev(bits_dev, probs_dev, chunk.n,
                                          force_lanes or pick_lanes(chunk.n))
     if probs is None:
@@ -550,6 +593,20 @@ def _session_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.artc_session_analyze_begin.restype = ctypes.c_int
+        lib.artc_session_analyze_begin.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.artc_session_analyze_header.restype = ctypes.c_int
+        lib.artc_session_analyze_header.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.artc_session_analyze_chunk.restype = ctypes.c_int
+        lib.artc_session_analyze_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.POINTER(ctypes.c_size_t),
+        ]
         lib.artc_session_pack.restype = ctypes.c_int
         lib.artc_session_pack.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
@@ -569,9 +626,20 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
     session shares pass1/nz-mode state between analysis and packing.
 
     Default model_profile=2 (frozen batches): measured +0.10pp ratio on
-    bench.mp4 vs profile 0, in exchange for a ~6x smaller device wire (the
-    slim ANL2 export) — the right trade on a bandwidth-limited attach and
-    neutral on a co-located one."""
+    bench.mp4 vs profile 0, in exchange for a ~20x smaller device wire (the
+    bit-packed ANL4 export) — the right trade on a bandwidth-limited attach
+    and neutral on a co-located one.
+
+    The slim path is fully pipelined (the reference pays its stages serially
+    — its single fused pass recode.cpp:1102-1309 has nothing to overlap):
+    artc_session_analyze_begin spawns host workers that walk + export chunks
+    concurrently; the loop below fetches chunk i as soon as its export is
+    ready, dispatches its uploads + model pass + lane scan asynchronously
+    (no readback), and immediately blocks on chunk i+1's export — so the
+    host walk, the tunnel transfer, and the TPU compute of different chunks
+    run at the same time. The finish phase then syncs each chunk's lane-scan
+    readback in order."""
+    import time
     from .ops import model_pass as mp
     lib = _session_lib()
     h = lib.artc_session_open(data, len(data), lanes, chunk_mode, batch_size, model_profile)
@@ -580,26 +648,64 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
     try:
         out = ctypes.POINTER(ctypes.c_uint8)()
         out_len = ctypes.c_size_t()
-        rc = lib.artc_session_analyze2(h, mp.default_sup(),
-                                       1 if model_profile == 2 else 0,
-                                       ctypes.byref(out), ctypes.byref(out_len))
-        if rc != 0:
-            raise host.NativeError(lib.artc_last_error().decode())
-        try:
-            raw = ctypes.string_at(out, out_len.value)
-        finally:
-            lib.artc_free(out)
-        an = _parse_analysis(raw)
-        if an.slim:
-            # Two-phase: dispatch every chunk's model pass first (uploads and
-            # compute overlap under async dispatch), then finish the blobs
-            # (each finish syncs on a counts readback).
+        if model_profile == 2:
             from .ops import lanes as lx
-            staged = [(_run_v3(an, c), c) for c in an.chunks]
-            blobs = [lx.encode_interleaved_dev(b, p, c.n,
-                                               force_lanes or pick_lanes(c.n))
-                     for (p, b), c in staged]
+            timing = os.environ.get("ARTC_TIMING", "") not in ("", "0")
+            n_chunks = lib.artc_session_analyze_begin(h, mp.default_sup(), 0)
+            if n_chunks < 0:
+                raise host.NativeError(lib.artc_last_error().decode())
+            rc = lib.artc_session_analyze_header(h, ctypes.byref(out),
+                                                 ctypes.byref(out_len))
+            if rc != 0:
+                raise host.NativeError(lib.artc_last_error().decode())
+            try:
+                an, _ = _parse_header(ctypes.string_at(out, out_len.value))
+            finally:
+                lib.artc_free(out)
+            cache: dict = {}
+            staged = []
+            prev = None
+            wire_bytes = 0
+            for i in range(n_chunks):
+                t0 = time.monotonic() if timing else 0.0
+                rc = lib.artc_session_analyze_chunk(h, i, ctypes.byref(out),
+                                                    ctypes.byref(out_len))
+                if rc != 0:
+                    raise host.NativeError(lib.artc_last_error().decode())
+                try:
+                    raw = ctypes.string_at(out, out_len.value)
+                finally:
+                    lib.artc_free(out)
+                wire_bytes += len(raw)
+                c = _parse_slim_chunk(np.frombuffer(raw, np.uint8), an, prev)
+                prev = c
+                probs, bits = _run_v4(an, c, cache=cache)
+                staged.append((lx.encode_interleaved_start(
+                    bits, probs, c.n, force_lanes or pick_lanes(c.n)), c.n))
+                if timing:
+                    print(f"[artc] device chunk {i}: fetch+dispatch "
+                          f"{time.monotonic() - t0:.3f}s ({len(raw) >> 20} MiB wire)",
+                          flush=True)
+            blobs = []
+            for i, (hd, _) in enumerate(staged):
+                t0 = time.monotonic() if timing else 0.0
+                blobs.append(lx.encode_interleaved_finish(hd))
+                if timing:
+                    print(f"[artc] device chunk {i}: finish "
+                          f"{time.monotonic() - t0:.3f}s", flush=True)
+            if timing:
+                print(f"[artc] device wire total {wire_bytes / 1e6:.1f} MB",
+                      flush=True)
         else:
+            rc = lib.artc_session_analyze2(h, mp.default_sup(), 0,
+                                           ctypes.byref(out), ctypes.byref(out_len))
+            if rc != 0:
+                raise host.NativeError(lib.artc_last_error().decode())
+            try:
+                raw = ctypes.string_at(out, out_len.value)
+            finally:
+                lib.artc_free(out)
+            an = _parse_analysis(raw)
             blobs = [device_blob(an, c, force_lanes=force_lanes) for c in an.chunks]
         return _pack_session(lib, h, blobs)
     finally:
