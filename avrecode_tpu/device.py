@@ -436,16 +436,35 @@ def _sig0_sparse_padded(chunk, n_sig: int):
     return idx, val
 
 
-def _run_v4(an: Analysis, c: SlimChunk, cache: dict | None = None):
-    """Ships one slim chunk's bit-packed ANL4 planes to the device verbatim
-    and runs wire_expand4 + the frozen-batch pass. Returns device-resident
-    (probs uint16[m], bits int32[m]).
+@dataclass
+class StagedChunk:
+    """Device-resident inputs for one slim chunk's v4 pass (the output of
+    _stage_v4): one fused blob + one scalar vector + the (cached) shared
+    tables, plus the static shape parameters the jitted programs key on."""
+    blob: object          # device uint32[total_words]
+    sc: object            # device int32[5] = [wa, wb, wcs, n, n_coo]
+    dual0: object         # device uint16[n_dual, 4]
+    s_idx: object | None  # device uint32[k] (v16 warm sig rows) or None
+    s_val: object | None
+    n: int
+    m: int
+    layout: tuple         # (Lh, La, Lb, Lc, npi, ne, nc, ncc)
+    statics: dict         # static kwargs for wire_expand4_blob/model_pass_v4
+    wire_nbytes: int      # bytes actually uploaded for this chunk (blob + sc
+    #                       + any cache-missed shared tables)
+
+
+def _stage_v4(an: Analysis, c: SlimChunk, cache: dict | None = None) -> StagedChunk:
+    """Packs one slim chunk's bit-packed ANL4 planes into ONE fused u32 blob
+    and uploads it (plus a 5-scalar vector) — a single tunnel transfer where
+    the unfused path paid ~15 round-trips of `jnp.asarray` latency per chunk.
+    Segment order/padding must mirror ops/model_pass._blob_layout_words.
 
     This is where the ANL4 wire pays off: the per-bin transfer is the 4-bit
     header nibble + the wa/wb-bit rank + the u8 prior index (~1.7 B/bin)
     instead of the dense u16 packed word (+1 B prior) the v3 runner uploaded
     (~3 B/bin); everything dense is reconstructed on chip (cumsum re-indexing,
-    dict gathers — see ops/model_pass.wire_expand4).
+    dict gathers — see ops/model_pass.wire_expand4_blob).
 
     `cache` (id(array) -> device array) dedupes uploads of tables aliased
     across chunks: warm chunks >= 2 share chunk 1's dual0/sig0, and re-sending
@@ -455,6 +474,8 @@ def _run_v4(an: Analysis, c: SlimChunk, cache: dict | None = None):
     import jax.numpy as jnp
     from .ops import model_pass as mp
     ns, ud, us, m, n = c.ns, c.ud, c.us, c.m, c.n
+    nsub = ns * an.sup
+    wire_nbytes = 0
 
     def dev(a, owner=None, tag=""):
         """Uploads `a` once per identity of `owner` (default: `a` itself).
@@ -462,7 +483,9 @@ def _run_v4(an: Analysis, c: SlimChunk, cache: dict | None = None):
         cache's lifetime, so a freed chunk's id being recycled by a later
         chunk's table can never alias a stale device array (the `is` check
         double-guards)."""
+        nonlocal wire_nbytes
         if cache is None:
+            wire_nbytes += a.nbytes
             return jnp.asarray(a)
         owner = a if owner is None else owner
         k = (tag, id(owner))
@@ -471,59 +494,87 @@ def _run_v4(an: Analysis, c: SlimChunk, cache: dict | None = None):
             return ent[1]
         v = jnp.asarray(a)
         cache[k] = (owner, v)
+        wire_nbytes += a.nbytes
         return v
 
-    def words(a):
-        k = _bucket_lin(max(len(a), 2), step=1 << 16)
-        out = np.zeros(k, np.uint32)
-        out[:len(a)] = a
-        return jnp.asarray(out)
+    def wlen(a):
+        return _bucket_lin(max(len(a), 2), step=1 << 16)
 
+    Lh, La, Lb, Lc = (wlen(c.hdr_words), wlen(c.a_words), wlen(c.b_words),
+                      wlen(c.cs_words))
     npi = _bucket_lin(max(n, 1))
-    pidx = np.full(npi, 255, np.uint8)
-    pidx[:n] = c.prior_idx
-    pdict = np.ones(256, np.uint16)  # index 255 stays neutral (pad bins)
-    pdict[:len(c.pdict)] = c.pdict
     ne = _bucket_pow2(max(len(c.esc_idx), 1))
-    esc_idx = np.full(ne, npi, np.uint32)  # pad entries drop in the scatter
-    esc_idx[:len(c.esc_idx)] = c.esc_idx
-    esc_val = np.ones(ne, np.uint16)
-    esc_val[:len(c.esc_val)] = c.esc_val
     nc = _bucket_lin(max(c.n_coo, 1))
-    coo_vals = np.zeros((nc, 2), np.uint8)
-    coo_vals[:c.n_coo, 0] = c.coo_ones
-    coo_vals[:c.n_coo, 1] = c.coo_tot
     n_cesc = len(c.cesc_idx) if c.cesc_idx is not None else 0
     ncc = _bucket_pow2(max(n_cesc, 1))
-    cesc_idx = np.full(ncc, nc, np.uint32)  # pad rows drop
-    cesc_val = np.zeros((ncc, 2), np.uint16)
+    layout = (Lh, La, Lb, Lc, npi, ne, nc, ncc)
+    offs = mp._blob_layout_words(layout, nsub, ns, ud, us)
+    blob = np.zeros(offs[-1], np.uint32)
+
+    def put32(k, a):
+        blob[offs[k]:offs[k] + len(a)] = a
+
+    def view(k, dtype):
+        return blob[offs[k]:offs[k + 1]].view(dtype)
+
+    put32(0, c.hdr_words)
+    put32(1, c.a_words)
+    put32(2, c.b_words)
+    put32(3, c.cs_words)
+    view(4, np.uint8)[:n] = c.prior_idx
+    pd = view(5, np.uint16)
+    pd[:] = 1  # unused dict rows stay neutral
+    pd[:len(c.pdict)] = c.pdict
+    ei = view(6, np.uint32)
+    ei[:] = npi  # pad entries drop in the scatter
+    ei[:len(c.esc_idx)] = c.esc_idx
+    view(7, np.uint16)[:len(c.esc_val)] = c.esc_val
+    view(8, np.uint16)[:nsub] = c.coo_cnt
+    cv = view(9, np.uint8).reshape(nc, 2)
+    cv[:c.n_coo, 0] = c.coo_ones
+    cv[:c.n_coo, 1] = c.coo_tot
+    ci = view(10, np.uint32)
+    ci[:] = nc  # pad rows drop
     if n_cesc:
-        cesc_idx[:n_cesc] = c.cesc_idx
-        cesc_val[:n_cesc] = c.cesc_val
-    bit, kind, slot, prior, deltas = mp.wire_expand4(
-        words(c.hdr_words), words(c.a_words), words(c.b_words),
-        jnp.int32(c.wa), jnp.int32(c.wb), jnp.int32(n),
-        jnp.asarray(pidx), jnp.asarray(pdict), jnp.asarray(esc_idx),
-        jnp.asarray(esc_val), jnp.asarray(c.coo_cnt), words(c.cs_words),
-        jnp.int32(c.wcs), jnp.asarray(coo_vals), jnp.int32(c.n_coo),
-        jnp.asarray(cesc_idx), jnp.asarray(cesc_val),
-        m=int(m), nsub=int(ns * an.sup), U=int(ud + us), ud=int(ud),
-        batch=int(an.batch))
+        ci[:n_cesc] = c.cesc_idx
+        view(11, np.uint16).reshape(ncc, 2)[:n_cesc] = c.cesc_val
+    put32(12, c.dk_d.reshape(-1))
+    put32(13, c.dk_s.reshape(-1))
+    sc = np.array([c.wa, c.wb, c.wcs, n, c.n_coo], np.int32)
+
     s_idx, s_val = _sig0_sparse_padded(c, an.n_sig)
     if s_idx is not None:
         s_idx = dev(s_idx, owner=c.sig0_idx, tag="sig0i")
         s_val = dev(s_val, owner=c.sig0_idx, tag="sig0v")
-    probs, bits = mp.model_pass_v4(
-        bit, kind, slot, prior, jnp.asarray(c.dk_d),
-        jnp.asarray(c.dk_s), deltas, dev(c.dual0),
-        batch=int(an.batch), sup=int(an.sup), fast_w=int(an.fast_w),
-        slow_w=int(an.slow_w), sig_w=int(an.sig_w), sig_alpha=int(an.sig_alpha),
-        ud=int(ud), us=int(us), n_sig=int(an.n_sig),
-        sig0_idx=s_idx, sig0_val=s_val)
-    return probs, bits
+    dual0 = dev(c.dual0)
+    blob_dev = jnp.asarray(blob)
+    sc_dev = jnp.asarray(sc)
+    wire_nbytes += blob.nbytes + sc.nbytes
+    statics = dict(
+        expand=dict(m=int(m), nsub=int(nsub), U=int(ud + us), ud=int(ud),
+                    us=int(us), ns=int(ns), batch=int(an.batch), layout=layout),
+        model=dict(batch=int(an.batch), sup=int(an.sup), fast_w=int(an.fast_w),
+                   slow_w=int(an.slow_w), sig_w=int(an.sig_w),
+                   sig_alpha=int(an.sig_alpha), ud=int(ud), us=int(us),
+                   n_sig=int(an.n_sig)))
+    return StagedChunk(blob_dev, sc_dev, dual0, s_idx, s_val, int(n), int(m),
+                       layout, statics, wire_nbytes)
 
 
-_run_v3 = _run_v4  # compat name for the pre-ANL4 runner
+def _exec_v4(st: StagedChunk):
+    """Runs the jitted expand + frozen-batch pass over a staged chunk.
+    Returns device-resident (probs uint16[m], bits int32[m])."""
+    from .ops import model_pass as mp
+    bit, kind, slot, prior, deltas, dk_d, dk_s = mp.wire_expand4_blob(
+        st.blob, st.sc, **st.statics["expand"])
+    return mp.model_pass_v4(bit, kind, slot, prior, dk_d, dk_s, deltas,
+                            st.dual0, sig0_idx=st.s_idx, sig0_val=st.s_val,
+                            **st.statics["model"])
+
+
+def _run_v4(an: Analysis, c: SlimChunk, cache: dict | None = None):
+    """Stage + run one slim chunk; returns (probs uint16[m], bits int32[m])."""
+    return _exec_v4(_stage_v4(an, c, cache))
 
 
 def device_probs(an: Analysis, chunk, impl: str | None = None) -> np.ndarray:
@@ -621,7 +672,8 @@ def _session_lib():
 
 def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
              batch_size: int = 4096, model_profile: int = 2,
-             force_lanes: int | None = None) -> tuple[bytes, host.Stats]:
+             force_lanes: int | None = None,
+             info: dict | None = None) -> tuple[bytes, host.Stats]:
     """Full device-path compression (model + entropy on TPU/JAX). One native
     session shares pass1/nz-mode state between analysis and packing.
 
@@ -634,11 +686,15 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
     — its single fused pass recode.cpp:1102-1309 has nothing to overlap):
     artc_session_analyze_begin spawns host workers that walk + export chunks
     concurrently; the loop below fetches chunk i as soon as its export is
-    ready, dispatches its uploads + model pass + lane scan asynchronously
-    (no readback), and immediately blocks on chunk i+1's export — so the
-    host walk, the tunnel transfer, and the TPU compute of different chunks
-    run at the same time. The finish phase then syncs each chunk's lane-scan
-    readback in order."""
+    ready, dispatches its fused-blob upload + model pass + lane scan
+    asynchronously, then kicks chunk i-1's lane compaction (one tiny counts
+    readback) — so the host walk, the tunnel transfer, and the TPU compute of
+    different chunks run at the same time and the bulk blob downloads at the
+    end find everything already compacted.
+
+    `info`, if given, is filled with measurement ground truth: wire_bytes
+    (actual host->device upload bytes incl. cached shared tables) and
+    per-phase wall times."""
     import time
     from .ops import model_pass as mp
     lib = _session_lib()
@@ -663,9 +719,11 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
             finally:
                 lib.artc_free(out)
             cache: dict = {}
-            staged = []
+            handles: list = []
+            compacted: list = []
             prev = None
             wire_bytes = 0
+            t_start = time.monotonic()
             for i in range(n_chunks):
                 t0 = time.monotonic() if timing else 0.0
                 rc = lib.artc_session_analyze_chunk(h, i, ctypes.byref(out),
@@ -676,26 +734,41 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
                     raw = ctypes.string_at(out, out_len.value)
                 finally:
                     lib.artc_free(out)
-                wire_bytes += len(raw)
                 c = _parse_slim_chunk(np.frombuffer(raw, np.uint8), an, prev)
                 prev = c
-                probs, bits = _run_v4(an, c, cache=cache)
-                staged.append((lx.encode_interleaved_start(
-                    bits, probs, c.n, force_lanes or pick_lanes(c.n)), c.n))
+                st = _stage_v4(an, c, cache=cache)
+                wire_bytes += st.wire_nbytes
+                probs, bits = _exec_v4(st)
+                handles.append(lx.encode_interleaved_start(
+                    bits, probs, c.n, force_lanes or pick_lanes(c.n)))
                 if timing:
                     print(f"[artc] device chunk {i}: fetch+dispatch "
-                          f"{time.monotonic() - t0:.3f}s ({len(raw) >> 20} MiB wire)",
-                          flush=True)
+                          f"{time.monotonic() - t0:.3f}s "
+                          f"({st.wire_nbytes >> 20} MiB wire)", flush=True)
+                if i > 0:
+                    t0 = time.monotonic() if timing else 0.0
+                    compacted.append(lx.encode_interleaved_compact(handles[i - 1]))
+                    if timing:
+                        print(f"[artc] device chunk {i - 1}: compact "
+                              f"{time.monotonic() - t0:.3f}s", flush=True)
+            if handles:
+                compacted.append(lx.encode_interleaved_compact(handles[-1]))
+            t_emit = time.monotonic()
             blobs = []
-            for i, (hd, _) in enumerate(staged):
+            for i, ch in enumerate(compacted):
                 t0 = time.monotonic() if timing else 0.0
-                blobs.append(lx.encode_interleaved_finish(hd))
+                blobs.append(lx.encode_interleaved_emit(ch))
                 if timing:
-                    print(f"[artc] device chunk {i}: finish "
+                    print(f"[artc] device chunk {i}: emit "
                           f"{time.monotonic() - t0:.3f}s", flush=True)
             if timing:
                 print(f"[artc] device wire total {wire_bytes / 1e6:.1f} MB",
                       flush=True)
+            if info is not None:
+                info["wire_bytes"] = wire_bytes
+                info["n_chunks"] = n_chunks
+                info["dispatch_s"] = t_emit - t_start
+                info["emit_s"] = time.monotonic() - t_emit
         else:
             rc = lib.artc_session_analyze2(h, mp.default_sup(), 0,
                                            ctypes.byref(out), ctypes.byref(out_len))

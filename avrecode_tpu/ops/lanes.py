@@ -141,15 +141,30 @@ def encode_interleaved_start(bits_dev, probs_dev, n: int, K: int):
     return (x_final, words, emits, counts, n, K)
 
 
-def encode_interleaved_finish(handle) -> bytes:
-    """Syncs one encode_interleaved_start handle into the RansInterleaved wire
-    blob; byte-identical to encode_interleaved / the host codec (rans.h)."""
+def encode_interleaved_compact(handle):
+    """Phase 2 of the staged encode: reads back the per-lane word COUNTS (K
+    ints — one tiny sync that completes when the lane scan does), then
+    dispatches the on-device compaction asynchronously. Splitting this from
+    the bulk tail download lets the compress pipeline kick chunk i's
+    compaction while chunk i+1 still computes, so the big downloads in
+    encode_interleaved_emit find their data already compacted."""
     x_final, words, emits, counts, n, K = handle
     if n == 0:
-        return encode_interleaved(np.zeros(0, np.uint8), np.zeros(0, np.uint16), K)
+        return (None, None, None, n, K)
     counts_h = np.asarray(counts)
     maxW = _bucket(max(int(counts_h.max()), 1))
-    tail = np.asarray(_lane_compact(words, emits, maxW))
+    tail_dev = _lane_compact(words, emits, maxW)
+    return (x_final, tail_dev, counts_h, n, K)
+
+
+def encode_interleaved_emit(chandle) -> bytes:
+    """Phase 3: downloads the compacted tail + final states and assembles the
+    RansInterleaved wire blob; byte-identical to encode_interleaved / the host
+    codec (rans.h)."""
+    x_final, tail_dev, counts_h, n, K = chandle
+    if n == 0:
+        return encode_interleaved(np.zeros(0, np.uint8), np.zeros(0, np.uint16), K)
+    tail = np.asarray(tail_dev)
     x_final = np.asarray(x_final)
     out = bytearray()
     out += np.uint32(K).tobytes()
@@ -161,6 +176,12 @@ def encode_interleaved_finish(handle) -> bytes:
         out += head.astype("<u2").tobytes()
         out += tail[:counts_h[l], l].astype("<u2").tobytes()
     return bytes(out)
+
+
+def encode_interleaved_finish(handle) -> bytes:
+    """Syncs one encode_interleaved_start handle into the RansInterleaved wire
+    blob; byte-identical to encode_interleaved / the host codec (rans.h)."""
+    return encode_interleaved_emit(encode_interleaved_compact(handle))
 
 
 def encode_interleaved_dev(bits_dev, probs_dev, n: int, K: int) -> bytes:

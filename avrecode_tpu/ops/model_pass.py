@@ -214,22 +214,20 @@ def _unpack_dev(words, pos, w):
     return ((lo | hi) & mask).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "nsub", "U", "ud", "batch"))
-def wire_expand4(hdr_words, a_words, b_words, wa, wb, n, prior_idx, pdict,
-                 esc_idx, esc_val, coo_cnt, cs_words, wcs, coo_vals, n_coo,
-                 cesc_idx, cesc_val, *, m: int, nsub: int, U: int, ud: int,
-                 batch: int):
-    """ANL4 wire decompression (recode.cc write_slim_chunk): one jitted
-    program per shape bucket turns the bit-packed planes into the dense
-    model-pass inputs. Everything here is gathers, shifts and cumulative
-    sums — VPU-dense, no serial decode.
+def _expand4_core(hdr_words, a_words, b_words, wa, wb, n, prior_idx, pdict,
+                  esc_idx, esc_val, coo_cnt, cs_words, wcs, coo_vals, n_coo,
+                  cesc_idx, cesc_val, *, m: int, nsub: int, U: int, ud: int,
+                  batch: int):
+    """ANL4 wire decompression (recode.cc write_slim_chunk): turns the
+    bit-packed planes into the dense model-pass inputs. Everything here is
+    gathers, shifts and cumulative sums — VPU-dense, no serial decode.
 
     - 4-bit header nibbles -> (bit, kind, class) per bin;
     - two cumulative sums re-index the hot (wa-bit) / cold (wb-bit) rank
       substreams; a bin's slot is its sub-batch COO run entry at that rank
       (runs are frequency-ordered by the host, so hot slots ride wa bits);
     - COO slots unpack from wcs-bit entries and double as the update-delta
-      scatter source (same construction as wire_expand);
+      scatter source;
     - pack widths (wa, wb, wcs) and true lengths (n, n_coo) arrive traced, so
       only shape buckets — not widths — create program variants;
     - bins [n, m) synthesize the pad pattern (kind 3, slot ud-1, prior 1) on
@@ -277,6 +275,64 @@ def wire_expand4(hdr_words, a_words, b_words, wa, wb, n, prior_idx, pdict,
     return bit, kind, slot, prior, tbl[:nsub * U].reshape(nsub, U, 2)
 
 
+# Fused-blob segment order (word lengths derived from the element counts in
+# `layout`); device._stage_v4 packs the blob with the identical layout.
+def _blob_layout_words(layout, nsub: int, ns: int, ud: int, us: int):
+    Lh, La, Lb, Lc, npi, ne, nc, ncc = layout
+    sizes = [Lh, La, Lb, Lc,          # u32 word streams (hdr/a/b/cs)
+             npi // 4,                # prior_idx u8[npi]
+             128,                     # pdict u16[256]
+             ne,                      # esc_idx u32[ne]
+             ne // 2,                 # esc_val u16[ne]
+             (nsub + 1) // 2,         # coo_cnt u16[nsub]
+             nc // 2,                 # coo_vals u8[nc, 2]
+             ncc,                     # cesc_idx u32[ncc]
+             ncc,                     # cesc_val u16[ncc, 2]
+             ns * ud,                 # dk_d u32[ns, ud]
+             ns * us]                 # dk_s u32[ns, us]
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
+    return offs
+
+
+@functools.partial(jax.jit, static_argnames=("m", "nsub", "U", "ud", "us",
+                                              "ns", "batch", "layout"))
+def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
+                      us: int, ns: int, batch: int, layout: tuple):
+    """ANL4 wire decompression from ONE fused u32 blob (all per-chunk planes
+    at 4-byte-aligned offsets) + one i32[5] scalar vector [wa, wb, wcs, n,
+    n_coo]. A single host->device transfer per chunk replaces the ~15
+    separate uploads the unfused path paid a tunnel round-trip each for;
+    segment views are static slices + bitcasts, free under XLA.
+
+    `layout` = (Lh, La, Lb, Lc, npi, ne, nc, ncc) element counts (already
+    bucketed by the host so program variants stay bounded). Returns the
+    _expand4_core outputs plus the dk_d/dk_s key tables riding the blob."""
+    offs = _blob_layout_words(layout, nsub, ns, ud, us)
+    Lh, La, Lb, Lc, npi, ne, nc, ncc = layout
+
+    def seg(k):
+        return jax.lax.slice(blob, (offs[k],), (offs[k + 1],))
+
+    def as_u16(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(-1)
+
+    def as_u8(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+    wa, wb, wcs, n, n_coo = sc[0], sc[1], sc[2], sc[3], sc[4]
+    bit, kind, slot, prior, deltas = _expand4_core(
+        seg(0), seg(1), seg(2), wa, wb, n,
+        as_u8(seg(4)), as_u16(seg(5)), seg(6), as_u16(seg(7)),
+        as_u16(seg(8))[:nsub], seg(3), wcs, as_u8(seg(9)).reshape(nc, 2),
+        n_coo, seg(10), as_u16(seg(11)).reshape(ncc, 2),
+        m=m, nsub=nsub, U=U, ud=ud, batch=batch)
+    dk_d = seg(12).reshape(ns, ud)
+    dk_s = seg(13).reshape(ns, us)
+    return bit, kind, slot, prior, deltas, dk_d, dk_s
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha",
                                     "ud", "us", "n_sig"))
@@ -291,39 +347,6 @@ def model_pass_v4(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s, deltas, du
                     sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us, n_sig=n_sig,
                     sig0_idx=sig0_idx, sig0_val=sig0_val)
     return probs, bit_all
-
-
-@functools.partial(jax.jit, static_argnames=("nsub", "U"))
-def wire_expand(coo_cnt, coo_slot, coo_vals, n_coo, prior_idx, pdict, esc_idx, esc_val,
-                nsub: int, U: int, cesc_idx=None, cesc_val=None):
-    """Wire decompression, run once per chunk (separate program from the model
-    scan so its cost amortizes like the transfer it replaces, not like the
-    model pass):
-
-    - sparse per-sub-batch COO deltas -> dense (nsub, U, 2) update table; the
-      per-entry sub-batch index never travels over the wire — it is rebuilt
-      from coo_cnt by marking segment starts and cumsumming;
-    - u8 prior dictionary indices -> full u16 priors (dict gather + escape
-      scatter)."""
-    nc = coo_slot.shape[0]
-    cnts = coo_cnt.astype(jnp.int32)
-    starts = jnp.cumsum(cnts) - cnts
-    mark = jnp.zeros((nc + 1,), jnp.int32).at[starts].add(1, mode="drop")
-    coo_sub = jnp.cumsum(mark[:nc]) - 1
-    live = jax.lax.iota(jnp.int32, nc) < n_coo
-    flat = jnp.where(live, coo_sub * U + coo_slot.astype(jnp.int32), nsub * U)
-    # ANL3: (ones, tot) travel clamped to u8; widen, then scatter the exact
-    # values of the rare >255 entries from the escape list (pad idx >= nc
-    # drops).
-    vals = coo_vals.astype(jnp.uint16)
-    if cesc_idx is not None:
-        vals = vals.at[cesc_idx.astype(jnp.int32)].set(
-            cesc_val.astype(jnp.uint16), mode="drop")
-    tbl = jnp.zeros((nsub * U, 2), jnp.uint16)
-    tbl = tbl.at[flat].set(vals, mode="drop", unique_indices=True)
-    prior = pdict[prior_idx.astype(jnp.int32)]
-    prior = prior.at[esc_idx.astype(jnp.int32)].set(esc_val, mode="drop")
-    return tbl.reshape(nsub, U, 2), prior
 
 
 def v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s,
@@ -433,30 +456,6 @@ def v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s,
         (bit_all.reshape(sh), kind_all.reshape(sh), slot_all.reshape(sh),
          prior_all.reshape(sh), dk_d, dk_s, dd, ds))
     return probs.reshape(-1)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("batch", "sup", "fast_w", "slow_w", "sig_w", "sig_alpha",
-                                    "ud", "us", "n_sig"))
-def model_pass_v3(packed, prior_u16, dk_d, dk_s, deltas, dual0_u16, batch: int, sup: int,
-                  fast_w: int, slow_w: int, sig_w: int, sig_alpha: int, ud: int, us: int,
-                  n_sig: int = 1 << 17, sig0_idx=None, sig0_val=None):
-    """Jitted single-chunk entry over the u16 wire word (bit<<15|kind<<13|slot;
-    everything arrives in the narrowest wire dtype and is widened on device —
-    transfer bytes, not FLOPs, are the scarce resource on a tunnel-attached
-    chip). The traced core stays separate so parallel/pipeline.py can vmap it
-    per mesh shard with mesh-uniform (unpacked) slot widths.
-
-    Returns (probs uint16[m], bits int32[m])."""
-    pk = packed.astype(jnp.int32)
-    bit_all = pk >> 15
-    kind_all = (pk >> 13) & 3
-    slot_all = pk & 0x1FFF
-    probs = v3_core(bit_all, kind_all, slot_all, prior_u16, dk_d, dk_s, deltas,
-                    dual0_u16, batch=batch, sup=sup, fast_w=fast_w, slow_w=slow_w,
-                    sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us, n_sig=n_sig,
-                    sig0_idx=sig0_idx, sig0_val=sig0_val)
-    return probs, bit_all
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "fast_w", "slow_w", "sig_w", "sig_alpha"))
