@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <string>
 #include <vector>
 
@@ -19,6 +20,7 @@ namespace artc {
 struct Mp4Track {
   bool is_avc = false;
   int nal_length_size = 4;
+  uint32_t track_id = 0;
   std::vector<std::vector<uint8_t>> sps;  // RBSP-domain? no: raw EBSP NAL payloads incl header byte
   std::vector<std::vector<uint8_t>> pps;
   std::vector<uint64_t> sample_offsets;
@@ -59,8 +61,13 @@ class Mp4Reader {
 
  public:
   // Full-track parse: returns tracks with resolved per-sample offsets.
+  // Handles both plain MP4 (stbl sample tables) and fragmented MP4
+  // (DASH/CMAF: moof/traf/trun runs with tfhd/trex defaults) — the reference
+  // ingests fMP4 through libavformat (reference recode.cpp:92, 118); here the
+  // fragment walk makes the sample extents explicit.
   static std::vector<Mp4Track> read_tracks(const uint8_t* data, size_t size) {
     std::vector<Mp4Track> out;
+    std::map<uint32_t, uint32_t> trex_size;  // track_id -> default_sample_size
     Ctx c{data, size};
     iterate_boxes(c, 0, size, [&](uint32_t type, size_t body, size_t body_end) {
       if (type == tag("moov")) {
@@ -72,10 +79,36 @@ class Mp4Reader {
               resolve_samples(tb);
               out.push_back(std::move(tb.t));
             }
+          } else if (t2 == tag("mvex")) {
+            iterate_boxes(c, b2, e2, [&](uint32_t t3, size_t b3, size_t e3) {
+              if (t3 == tag("trex") && b3 + 20 <= e3)
+                trex_size[rd32(c.data + b3 + 4)] = rd32(c.data + b3 + 16);
+            });
           }
         });
       }
     });
+    // Fragment pass (no-op on non-fragmented files): top-level moof boxes
+    // append sample runs to the matching track. Manual walk because the
+    // traf offset bookkeeping needs the moof box START, not just its body.
+    std::map<uint32_t, Mp4Track*> by_id;
+    for (auto& t : out) by_id[t.track_id] = &t;
+    size_t p = 0;
+    while (p + 8 <= size) {
+      uint64_t bs = rd32(data + p);
+      size_t hdr = 8;
+      uint32_t bt = rd32(data + p + 4);
+      if (bs == 1) {
+        if (p + 16 > size) break;
+        bs = rd64(data + p + 8);
+        hdr = 16;
+      } else if (bs == 0) {
+        bs = size - p;
+      }
+      if (bs < hdr || p + bs > size) break;
+      if (bt == tag("moof")) parse_moof(c, p, p + hdr, p + bs, by_id, trex_size);
+      p += bs;
+    }
     return out;
   }
 
@@ -100,8 +133,80 @@ class Mp4Reader {
     }
   }
 
+  // One moof box: each traf's tfhd supplies the track + defaults, each trun
+  // enumerates a contiguous sample run. Offset rules (ISO 14496-12 §8.8.7):
+  // base = explicit tfhd base_data_offset when flag 0x1, else the moof start
+  // (the default-base-is-moof case and the first-traf convention coincide
+  // there); a trun's data_offset is relative to base; a trun without one
+  // continues where the previous run ended.
+  static void parse_moof(Ctx& c, size_t moof_start, size_t begin, size_t end,
+                         std::map<uint32_t, Mp4Track*>& by_id,
+                         const std::map<uint32_t, uint32_t>& trex_size) {
+    iterate_boxes(c, begin, end, [&](uint32_t t, size_t b, size_t e) {
+      if (t != tag("traf")) return;
+      const uint8_t* d = c.data;
+      uint64_t base = moof_start;
+      uint32_t track_id = 0, def_size = 0;
+      iterate_boxes(c, b, e, [&](uint32_t t2, size_t b2, size_t e2) {
+        if (t2 != tag("tfhd") || b2 + 8 > e2) return;
+        uint32_t flags = rd32(d + b2) & 0xffffff;
+        track_id = rd32(d + b2 + 4);
+        size_t p = b2 + 8;
+        if (flags & 0x1) {  // base-data-offset-present
+          if (p + 8 <= e2) base = rd64(d + p);
+          p += 8;
+        }
+        if (flags & 0x2) p += 4;  // sample-description-index
+        if (flags & 0x8) p += 4;  // default-sample-duration
+        if (flags & 0x10 && p + 4 <= e2) def_size = rd32(d + p);
+      });
+      auto it = by_id.find(track_id);
+      if (it == by_id.end()) return;
+      Mp4Track* trk = it->second;
+      if (!def_size) {
+        auto tx = trex_size.find(track_id);
+        if (tx != trex_size.end()) def_size = tx->second;
+      }
+      uint64_t run_off = base;
+      iterate_boxes(c, b, e, [&](uint32_t t2, size_t b2, size_t e2) {
+        if (t2 != tag("trun") || b2 + 8 > e2) return;
+        uint32_t flags = rd32(d + b2) & 0xffffff;
+        uint32_t n = rd32(d + b2 + 4);
+        size_t p = b2 + 8;
+        uint64_t off = run_off;
+        if (flags & 0x1) {  // data-offset-present (signed, relative to base)
+          if (p + 4 > e2) return;
+          off = base + int64_t(int32_t(rd32(d + p)));
+          p += 4;
+        }
+        if (flags & 0x4) p += 4;  // first-sample-flags
+        for (uint32_t s = 0; s < n; ++s) {
+          uint32_t sz = def_size;
+          if (flags & 0x100) p += 4;  // sample-duration
+          if (flags & 0x200) {        // sample-size
+            if (p + 4 > e2) return;
+            sz = rd32(d + p);
+            p += 4;
+          }
+          if (flags & 0x400) p += 4;  // sample-flags
+          if (flags & 0x800) p += 4;  // sample-composition-time-offset
+          if (!sz || off + sz > c.size) return;
+          trk->sample_offsets.push_back(off);
+          trk->sample_sizes.push_back(sz);
+          off += sz;
+        }
+        run_off = off;
+      });
+    });
+  }
+
   static void parse_trak(Ctx& c, size_t begin, size_t end, TrackBuild& tb) {
     iterate_boxes(c, begin, end, [&](uint32_t t, size_t b, size_t e) {
+      if (t == tag("tkhd") && b + 4 <= e) {
+        int ver = c.data[b];
+        size_t idoff = b + 4 + (ver == 1 ? 16 : 8);  // skip create/modify times
+        if (idoff + 4 <= e) tb.t.track_id = rd32(c.data + idoff);
+      }
       if (t == tag("mdia")) {
         iterate_boxes(c, b, e, [&](uint32_t t2, size_t b2, size_t e2) {
           if (t2 == tag("minf")) {

@@ -72,6 +72,20 @@ def test_mkv_recompresses_without_fallback(corpus_dir):
     assert rep.ratio < 1.0
 
 
+def test_fmp4_recompresses_without_fallback(corpus_dir):
+    """Fragmented MP4 (DASH/CMAF): sample extents come from moof/traf/trun
+    runs (tfhd/trex defaults, default-base-is-moof offsets) rather than stbl
+    tables — every slice must still recompress with zero fallbacks (parity
+    with the reference's libavformat ingestion, recode.cpp:92, 118)."""
+    with open(os.path.join(corpus_dir, "ipb_frag.mp4"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0
+    assert rep.ratio < 1.0
+
+
 def test_ts_recompresses(corpus_dir):
     """MPEG-TS fragments every slice across 188-byte packets — the v17
     transport reassembles the elementary stream, recompresses it with zero

@@ -76,6 +76,7 @@ int main(int argc, char** argv) {
       {"qp", "26"},      {"preset", "medium"}, {"profile", "high"},
       {"bframes", "2"},  {"slices", "1"},  {"cabac", "1"},   {"seed", "1"},
       {"gop", "10"},     {"raw", ""},    {"noise", "0"},    {"xparams", ""},  {"pixfmt", "420"},
+      {"frag", "0"},  // 1 = fragmented MP4 (DASH/CMAF-style moof/trun runs)
   };
   for (int i = 2; i < argc; ++i) {
     std::string a = argv[i];
@@ -131,7 +132,12 @@ int main(int argc, char** argv) {
   st->time_base = c->time_base;
   avcodec_parameters_from_context(st->codecpar, c);
   if (avio_open(&fmt->pb, outfile, AVIO_FLAG_WRITE) < 0) { fprintf(stderr, "avio open failed\n"); return 1; }
-  if (avformat_write_header(fmt, nullptr) < 0) { fprintf(stderr, "write header failed\n"); return 1; }
+  AVDictionary* muxopts = nullptr;
+  if (kv["frag"] == "1")
+    av_dict_set(&muxopts, "movflags", "frag_keyframe+empty_moov+default_base_moof", 0);
+  int whr = avformat_write_header(fmt, &muxopts);
+  av_dict_free(&muxopts);
+  if (whr < 0) { fprintf(stderr, "write header failed\n"); return 1; }
 
   AVFrame* frame = av_frame_alloc();
   frame->format = c->pix_fmt;
