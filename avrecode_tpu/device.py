@@ -436,6 +436,82 @@ def _sig0_sparse_padded(chunk, n_sig: int):
     return idx, val
 
 
+def _wlen(a) -> int:
+    """Bucketed u32 word length for a bit-packed stream segment."""
+    return _bucket_lin(max(len(a), 2), step=1 << 16)
+
+
+def _chunk_layout(c: SlimChunk) -> tuple:
+    """This chunk's own bucketed blob layout (Lh, La, Lb, Lc, npi, ne, nc,
+    ncc) — see ops/model_pass._blob_layout_words. The mesh path takes the
+    elementwise max over chunks instead (every entry class is closed under
+    max: word lengths stay word lengths, pow2s stay pow2s, npi stays a
+    multiple of 4)."""
+    n_cesc = len(c.cesc_idx) if c.cesc_idx is not None else 0
+    return (_wlen(c.hdr_words), _wlen(c.a_words), _wlen(c.b_words),
+            _wlen(c.cs_words), _bucket_lin(max(c.n, 1)),
+            _bucket_pow2(max(len(c.esc_idx), 1)), _bucket_lin(max(c.n_coo, 1)),
+            _bucket_pow2(max(n_cesc, 1)))
+
+
+def _build_blob4(an: Analysis, c: SlimChunk, layout: tuple,
+                 dk_d: np.ndarray | None = None,
+                 dk_s: np.ndarray | None = None,
+                 ud_mesh: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Packs one slim chunk's ANL4 planes into the fused u32 blob + scalar
+    vector (see ops/model_pass.wire_expand4_blob for the layout contract).
+    `layout` may be wider than the chunk's own buckets (mesh uniformization).
+    dk_d/dk_s override the chunk's key tables (the mesh pads them to uniform
+    shapes with scratch rows); ud_mesh switches to the 6-entry mesh scalar
+    vector carrying the chunk's real dual width."""
+    from .ops import model_pass as mp
+    n = c.n
+    npi, ne, nc, ncc = layout[4:]
+    if dk_d is None:
+        dk_d, dk_s = c.dk_d, c.dk_s
+    ns_l, ud_l = dk_d.shape
+    us_l = dk_s.shape[1]
+    nsub_l = ns_l * an.sup
+    offs = mp._blob_layout_words(layout, nsub_l, ns_l, ud_l, us_l)
+    blob = np.zeros(offs[-1], np.uint32)
+
+    def put32(k, a):
+        blob[offs[k]:offs[k] + len(a)] = a
+
+    def view(k, dtype):
+        return blob[offs[k]:offs[k + 1]].view(dtype)
+
+    put32(0, c.hdr_words)
+    put32(1, c.a_words)
+    put32(2, c.b_words)
+    put32(3, c.cs_words)
+    view(4, np.uint8)[:n] = c.prior_idx
+    pd = view(5, np.uint16)
+    pd[:] = 1  # unused dict rows stay neutral
+    pd[:len(c.pdict)] = c.pdict
+    ei = view(6, np.uint32)
+    ei[:] = npi  # pad entries drop in the scatter
+    ei[:len(c.esc_idx)] = c.esc_idx
+    view(7, np.uint16)[:len(c.esc_val)] = c.esc_val
+    view(8, np.uint16)[:len(c.coo_cnt)] = c.coo_cnt
+    cv = view(9, np.uint8).reshape(nc, 2)
+    cv[:c.n_coo, 0] = c.coo_ones
+    cv[:c.n_coo, 1] = c.coo_tot
+    ci = view(10, np.uint32)
+    ci[:] = nc  # pad rows drop
+    n_cesc = len(c.cesc_idx) if c.cesc_idx is not None else 0
+    if n_cesc:
+        ci[:n_cesc] = c.cesc_idx
+        view(11, np.uint16).reshape(ncc, 2)[:n_cesc] = c.cesc_val
+    put32(12, np.ascontiguousarray(dk_d, dtype=np.uint32).reshape(-1))
+    put32(13, np.ascontiguousarray(dk_s, dtype=np.uint32).reshape(-1))
+    if ud_mesh is not None:
+        sc = np.array([c.wa, c.wb, c.wcs, n, c.n_coo, c.ud], np.int32)
+    else:
+        sc = np.array([c.wa, c.wb, c.wcs, n, c.n_coo], np.int32)
+    return blob, sc
+
+
 @dataclass
 class StagedChunk:
     """Device-resident inputs for one slim chunk's v4 pass (the output of
@@ -497,50 +573,8 @@ def _stage_v4(an: Analysis, c: SlimChunk, cache: dict | None = None) -> StagedCh
         wire_nbytes += a.nbytes
         return v
 
-    def wlen(a):
-        return _bucket_lin(max(len(a), 2), step=1 << 16)
-
-    Lh, La, Lb, Lc = (wlen(c.hdr_words), wlen(c.a_words), wlen(c.b_words),
-                      wlen(c.cs_words))
-    npi = _bucket_lin(max(n, 1))
-    ne = _bucket_pow2(max(len(c.esc_idx), 1))
-    nc = _bucket_lin(max(c.n_coo, 1))
-    n_cesc = len(c.cesc_idx) if c.cesc_idx is not None else 0
-    ncc = _bucket_pow2(max(n_cesc, 1))
-    layout = (Lh, La, Lb, Lc, npi, ne, nc, ncc)
-    offs = mp._blob_layout_words(layout, nsub, ns, ud, us)
-    blob = np.zeros(offs[-1], np.uint32)
-
-    def put32(k, a):
-        blob[offs[k]:offs[k] + len(a)] = a
-
-    def view(k, dtype):
-        return blob[offs[k]:offs[k + 1]].view(dtype)
-
-    put32(0, c.hdr_words)
-    put32(1, c.a_words)
-    put32(2, c.b_words)
-    put32(3, c.cs_words)
-    view(4, np.uint8)[:n] = c.prior_idx
-    pd = view(5, np.uint16)
-    pd[:] = 1  # unused dict rows stay neutral
-    pd[:len(c.pdict)] = c.pdict
-    ei = view(6, np.uint32)
-    ei[:] = npi  # pad entries drop in the scatter
-    ei[:len(c.esc_idx)] = c.esc_idx
-    view(7, np.uint16)[:len(c.esc_val)] = c.esc_val
-    view(8, np.uint16)[:nsub] = c.coo_cnt
-    cv = view(9, np.uint8).reshape(nc, 2)
-    cv[:c.n_coo, 0] = c.coo_ones
-    cv[:c.n_coo, 1] = c.coo_tot
-    ci = view(10, np.uint32)
-    ci[:] = nc  # pad rows drop
-    if n_cesc:
-        ci[:n_cesc] = c.cesc_idx
-        view(11, np.uint16).reshape(ncc, 2)[:n_cesc] = c.cesc_val
-    put32(12, c.dk_d.reshape(-1))
-    put32(13, c.dk_s.reshape(-1))
-    sc = np.array([c.wa, c.wb, c.wcs, n, c.n_coo], np.int32)
+    layout = _chunk_layout(c)
+    blob, sc = _build_blob4(an, c, layout)
 
     s_idx, s_val = _sig0_sparse_padded(c, an.n_sig)
     if s_idx is not None:
@@ -809,19 +843,23 @@ def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
     """Mesh-sharded device compression of a REAL clip into a REAL container.
 
     The host walk exports slim chunks (GOP chunks under chunk_mode=1,
-    picture-boundary sections under 0); every chunk is padded to mesh-uniform
-    shapes and the whole set runs as ONE jitted shard_map step over the
-    (gop, lane) mesh — frozen-batch model scan per chunk on the gop axis,
-    rANS lane scan on the lane axis, stats psum'd over both. The gathered
-    lane outputs reassemble into byte-identical RansInterleaved blobs and the
-    session packs the same ATRC container the single-device path emits; the
-    host serial decoder reads it back bit-exactly.
+    picture-boundary sections under 0), streamed through the analyze_begin/
+    analyze_chunk ABI so the walk workers overlap the fetch loop; every chunk
+    is packed into a fused ANL4 blob with a MESH-UNIFORM layout (the same
+    ~1.7 B/bin wire the single-chip path ships — expansion happens on each
+    device inside the step) and the whole set runs as ONE jitted shard_map
+    step over the (gop, lane) mesh — on-chip wire expand + frozen-batch model
+    scan per chunk on the gop axis, rANS lane scan on the lane axis, stats
+    psum'd over both. The gathered lane outputs reassemble into
+    byte-identical RansInterleaved blobs and the session packs the same ATRC
+    container the single-device path emits; the host serial decoder reads it
+    back bit-exactly.
     (SURVEY.md §2.9 GOP-parallel sharding; the reference has no multi-device
     story at all.)"""
     import jax.numpy as jnp
     from .ops import lanes as lx
     from .ops import model_pass as mp
-    from .parallel.pipeline import sharded_v3_compress_step
+    from .parallel.pipeline import sharded_v4_compress_step
     _ensure_jax_cache()
     if sup <= 0:
         sup = mp.default_sup()
@@ -832,87 +870,84 @@ def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
     try:
         out = ctypes.POINTER(ctypes.c_uint8)()
         out_len = ctypes.c_size_t()
-        rc = lib.artc_session_analyze2(h, sup, 1, ctypes.byref(out), ctypes.byref(out_len))
+        n_chunks = lib.artc_session_analyze_begin(h, sup, 0)
+        if n_chunks < 0:
+            raise host.NativeError(lib.artc_last_error().decode())
+        rc = lib.artc_session_analyze_header(h, ctypes.byref(out),
+                                             ctypes.byref(out_len))
         if rc != 0:
             raise host.NativeError(lib.artc_last_error().decode())
         try:
-            raw = ctypes.string_at(out, out_len.value)
+            an, _ = _parse_header(ctypes.string_at(out, out_len.value))
         finally:
             lib.artc_free(out)
-        an = _parse_analysis(raw)
-        chunks: list[SlimChunk] = an.chunks
+        chunks: list[SlimChunk] = []
+        prev = None
+        for i in range(n_chunks):
+            rc = lib.artc_session_analyze_chunk(h, i, ctypes.byref(out),
+                                                ctypes.byref(out_len))
+            if rc != 0:
+                raise host.NativeError(lib.artc_last_error().decode())
+            try:
+                raw = ctypes.string_at(out, out_len.value)
+            finally:
+                lib.artc_free(out)
+            prev = _parse_slim_chunk(np.frombuffer(raw, np.uint8), an, prev)
+            chunks.append(prev)
         G = len(chunks)
         n_gop = mesh.shape["gop"]
         G_pad = -(-G // n_gop) * n_gop
         UD = max(c.ud for c in chunks)
         US = max(c.us for c in chunks)
         NS = max(c.ns for c in chunks)
-        U = UD + US
         M = NS * sup * an.batch
-        NSUB = NS * sup
         K = force_lanes or pick_lanes(max(c.n for c in chunks))
         n_dual_ext = an.n_dual + 1
+        # Mesh-uniform blob layout: elementwise max over chunks (closed under
+        # max per entry class — see _chunk_layout).
+        layout = tuple(max(col) for col in zip(*(_chunk_layout(c) for c in chunks)))
 
-        bit = np.zeros((G_pad, M), np.uint8)
-        kind = np.full((G_pad, M), 3, np.uint8)
-        slot = np.full((G_pad, M), UD - 1, np.uint16)
-        prior = np.ones((G_pad, M), np.uint16)
-        deltas = np.zeros((G_pad, NSUB, U, 2), np.uint16)
         # Default dict rows = per-column scratch keys (distinct within a row;
         # live rows overwrite below, and a chunk's own pad keys occupy
         # [n_dual_ext, n_dual_ext + ud) so the column-based fill can't collide).
-        dk_d = np.broadcast_to(n_dual_ext + np.arange(UD, dtype=np.int32),
-                               (G_pad, NS, UD)).copy()
-        dk_s = np.broadcast_to(an.n_sig + np.arange(US, dtype=np.int32),
-                               (G_pad, NS, US)).copy()
+        dk_d0 = n_dual_ext + np.arange(UD, dtype=np.uint32)
+        dk_s0 = an.n_sig + np.arange(US, dtype=np.uint32)
+        W = mp._blob_layout_words(layout, NS * sup, NS, UD, US)[-1]
+        blob = np.zeros((G_pad, W), np.uint32)
+        sc = np.zeros((G_pad, 6), np.int32)
+        sc[:, 5] = UD  # pad chunks: no slot shift
         dual0 = np.ones((G_pad, an.n_dual, 4), np.uint16)
         n_arr = np.zeros((G_pad,), np.int32)
         SK = _bucket_pow2(max(max((len(c.sig0_idx) if c.sig0_idx is not None else 0)
                                   for c in chunks), 1))
         sig0_idx = np.full((G_pad, SK), an.n_sig, np.uint32)  # pad rows drop
         sig0_val = np.zeros((G_pad, SK, 2), np.uint16)
+        # Pad chunks still need live scratch dict keys (v3_core's sorted-unique
+        # scatters require distinct rows), so fill every row's dk segments.
+        offs = mp._blob_layout_words(layout, NS * sup, NS, UD, US)
+        blob[:, offs[12]:offs[13]] = np.broadcast_to(dk_d0, (NS, UD)).reshape(-1)
+        blob[:, offs[13]:offs[14]] = np.broadcast_to(dk_s0, (NS, US)).reshape(-1)
         for g, c in enumerate(chunks):
+            dk_d = np.broadcast_to(dk_d0, (NS, UD)).copy()
+            dk_s = np.broadcast_to(dk_s0, (NS, US)).copy()
+            dk_d[:c.ns, :c.ud] = c.dk_d
+            dk_s[:c.ns, :c.us] = c.dk_s
+            bl, s = _build_blob4(an, c, layout, dk_d=dk_d, dk_s=dk_s, ud_mesh=UD)
+            blob[g] = bl
+            sc[g] = s
+            dual0[g] = c.dual0
+            n_arr[g] = c.n
             if c.sig0_idx is not None and len(c.sig0_idx):
                 sig0_idx[g, :len(c.sig0_idx)] = c.sig0_idx
                 sig0_val[g, :len(c.sig0_idx)] = c.sig0_val
-        for g, c in enumerate(chunks):
-            pk = c.packed
-            b = (pk >> 15).astype(np.uint8)
-            k = ((pk >> 13) & 3).astype(np.uint8)
-            s = (pk & 0x1FFF).astype(np.uint16)
-            # sig slots shift when this chunk's dual dict is narrower than UD
-            s = np.where(s >= c.ud, s + (UD - c.ud), s).astype(np.uint16)
-            bit[g, :c.n] = b
-            kind[g, :c.n] = k
-            slot[g, :c.n] = s
-            pd = np.ones(256, np.uint16)
-            pd[:len(c.pdict)] = c.pdict
-            pr = pd[c.prior_idx]
-            pr[c.esc_idx] = c.esc_val
-            prior[g, :c.n] = pr
-            sub = np.repeat(np.arange(len(c.coo_cnt), dtype=np.int64),
-                            c.coo_cnt.astype(np.int64))
-            sl = c.coo_slot.astype(np.int64)
-            sl = np.where(sl >= c.ud, sl + (UD - c.ud), sl)
-            ones = c.coo_ones.astype(np.uint16)
-            tot = c.coo_tot.astype(np.uint16)
-            if c.cesc_idx is not None and len(c.cesc_idx):
-                ones[c.cesc_idx] = c.cesc_val[:, 0]  # exact >255 values
-                tot[c.cesc_idx] = c.cesc_val[:, 1]
-            deltas[g, sub, sl, 0] = ones
-            deltas[g, sub, sl, 1] = tot
-            dk_d[g, :c.ns, :c.ud] = c.dk_d
-            dk_s[g, :c.ns, :c.us] = c.dk_s
-            dual0[g] = c.dual0
-            n_arr[g] = c.n
 
-        step = sharded_v3_compress_step(
+        step = sharded_v4_compress_step(
             mesh, batch=int(an.batch), sup=int(sup), fast_w=int(an.fast_w),
             slow_w=int(an.slow_w), sig_w=int(an.sig_w), sig_alpha=int(an.sig_alpha),
-            ud=int(UD), us=int(US), n_sig=int(an.n_sig), K_total=int(K))
+            ud=int(UD), us=int(US), ns=int(NS), n_sig=int(an.n_sig),
+            K_total=int(K), layout=layout)
         x_final, words, emits, _, total_words = step(
-            *(jnp.asarray(a) for a in (bit, kind, slot, prior, dk_d, dk_s,
-                                       deltas, dual0, sig0_idx, sig0_val, n_arr)))
+            *(jnp.asarray(a) for a in (blob, sc, dual0, sig0_idx, sig0_val, n_arr)))
         x_final = np.asarray(x_final)
         words = np.asarray(words)
         emits = np.asarray(emits)

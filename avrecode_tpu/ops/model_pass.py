@@ -214,69 +214,8 @@ def _unpack_dev(words, pos, w):
     return ((lo | hi) & mask).astype(jnp.int32)
 
 
-def _expand4_core(hdr_words, a_words, b_words, wa, wb, n, prior_idx, pdict,
-                  esc_idx, esc_val, coo_cnt, cs_words, wcs, coo_vals, n_coo,
-                  cesc_idx, cesc_val, *, m: int, nsub: int, U: int, ud: int,
-                  batch: int):
-    """ANL4 wire decompression (recode.cc write_slim_chunk): turns the
-    bit-packed planes into the dense model-pass inputs. Everything here is
-    gathers, shifts and cumulative sums — VPU-dense, no serial decode.
-
-    - 4-bit header nibbles -> (bit, kind, class) per bin;
-    - two cumulative sums re-index the hot (wa-bit) / cold (wb-bit) rank
-      substreams; a bin's slot is its sub-batch COO run entry at that rank
-      (runs are frequency-ordered by the host, so hot slots ride wa bits);
-    - COO slots unpack from wcs-bit entries and double as the update-delta
-      scatter source;
-    - pack widths (wa, wb, wcs) and true lengths (n, n_coo) arrive traced, so
-      only shape buckets — not widths — create program variants;
-    - bins [n, m) synthesize the pad pattern (kind 3, slot ud-1, prior 1) on
-      device instead of traveling the tunnel.
-
-    Returns (bit, kind, slot, prior) int32[m] + deltas uint16[nsub, U, 2]."""
-    i = jax.lax.iota(jnp.int32, m)
-    live_n = i < n
-    hdr = _unpack_dev(hdr_words, i, jnp.int32(4))
-    bit = jnp.where(live_n, hdr >> 3, 0)
-    kind = jnp.where(live_n, (hdr >> 1) & 3, 3)
-    cls = hdr & 1
-    live = live_n & (kind != 3)
-    a_sel = (live & (cls == 0)).astype(jnp.int32)
-    b_sel = (live & (cls == 1)).astype(jnp.int32)
-    pos_a = jnp.cumsum(a_sel) - a_sel
-    pos_b = jnp.cumsum(b_sel) - b_sel
-    rank = jnp.where(cls == 1, _unpack_dev(b_words, pos_b, wb),
-                     _unpack_dev(a_words, pos_a, wa))
-    nc = coo_vals.shape[0]
-    cs = _unpack_dev(cs_words, jax.lax.iota(jnp.int32, nc), wcs)
-    cnts = coo_cnt.astype(jnp.int32)
-    starts = jnp.cumsum(cnts) - cnts
-    sub = i // batch
-    sidx = jnp.clip(starts[sub] + rank, 0, nc - 1)
-    slot = jnp.where(live, cs[sidx], ud - 1)
-    # Priors: dict gather + escape scatter on the n-domain, padded with the
-    # neutral 1 beyond n.
-    pr = pdict[prior_idx.astype(jnp.int32)].astype(jnp.int32)
-    pr = pr.at[esc_idx.astype(jnp.int32)].set(esc_val.astype(jnp.int32), mode="drop")
-    npi = pr.shape[0]
-    prior = jnp.where(live_n, pr[jnp.clip(i, 0, npi - 1)], 1)
-    # Update-delta table (see wire_expand): per-entry sub-batch index rebuilt
-    # from coo_cnt segment starts, (ones, tot) widened from u8 with the exact
-    # >255 escapes scattered on top.
-    mark = jnp.zeros((nc + 1,), jnp.int32).at[starts].add(1, mode="drop")
-    coo_sub = jnp.cumsum(mark[:nc]) - 1
-    livec = jax.lax.iota(jnp.int32, nc) < n_coo
-    flat = jnp.where(livec, coo_sub * U + cs, nsub * U)
-    vals = coo_vals.astype(jnp.uint16)
-    vals = vals.at[cesc_idx.astype(jnp.int32)].set(cesc_val.astype(jnp.uint16),
-                                                   mode="drop")
-    tbl = jnp.zeros((nsub * U + 1, 2), jnp.uint16)
-    tbl = tbl.at[flat].set(vals, mode="drop", unique_indices=True)
-    return bit, kind, slot, prior, tbl[:nsub * U].reshape(nsub, U, 2)
-
-
 # Fused-blob segment order (word lengths derived from the element counts in
-# `layout`); device._stage_v4 packs the blob with the identical layout.
+# `layout`); device._build_blob4 packs the blob with the identical layout.
 def _blob_layout_words(layout, nsub: int, ns: int, ud: int, us: int):
     Lh, La, Lb, Lc, npi, ne, nc, ncc = layout
     sizes = [Lh, La, Lb, Lc,          # u32 word streams (hdr/a/b/cs)
@@ -297,18 +236,45 @@ def _blob_layout_words(layout, nsub: int, ns: int, ud: int, us: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "nsub", "U", "ud", "us",
-                                              "ns", "batch", "layout"))
+                                              "ns", "batch", "layout", "mesh"))
 def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
-                      us: int, ns: int, batch: int, layout: tuple):
+                      us: int, ns: int, batch: int, layout: tuple,
+                      mesh: bool = False):
     """ANL4 wire decompression from ONE fused u32 blob (all per-chunk planes
-    at 4-byte-aligned offsets) + one i32[5] scalar vector [wa, wb, wcs, n,
-    n_coo]. A single host->device transfer per chunk replaces the ~15
-    separate uploads the unfused path paid a tunnel round-trip each for;
-    segment views are static slices + bitcasts, free under XLA.
+    at 4-byte-aligned offsets) + one i32 scalar vector [wa, wb, wcs, n,
+    n_coo] (+ ud_real under mesh=True). A single host->device transfer per
+    chunk replaces the ~15 separate uploads the unfused path paid a tunnel
+    round-trip each for; segment views are static slices + bitcasts, free
+    under XLA.
 
     `layout` = (Lh, La, Lb, Lc, npi, ne, nc, ncc) element counts (already
-    bucketed by the host so program variants stay bounded). Returns the
-    _expand4_core outputs plus the dk_d/dk_s key tables riding the blob."""
+    bucketed by the host so program variants stay bounded). mesh=True runs
+    with mesh-uniform static shapes: `ud` is the mesh-wide dual-dict maximum
+    and the chunk's real width arrives traced in sc[5] (slots shift up into
+    the uniform space). Returns (bit, kind, slot, prior) int32[m] + deltas
+    uint16[nsub, U, 2] + the dk_d/dk_s key tables riding the blob.
+
+    The wire decompression itself (recode.cc write_slim_chunk): 4-bit header
+    nibbles -> (bit, kind, class) per bin; two cumulative sums re-index the
+    hot (wa-bit) / cold (wb-bit) rank substreams; a bin's slot is its
+    sub-batch COO run entry at that rank (runs are frequency-ordered by the
+    host, so hot slots ride wa bits); COO slots double as the update-delta
+    scatter source; bins [n, m) synthesize the pad pattern (kind 3, slot
+    ud-1, prior 1) on device instead of traveling the tunnel. Pack widths
+    (wa, wb, wcs) and true lengths (n, n_coo) arrive traced, so only shape
+    buckets — not widths — create program variants.
+
+    Gathers are the cost model here (~50 ms per 6M random-index gather on
+    v5e vs ~6 ms for the same work done densely — measured, RESULTS.md), so
+    everything with statically-known positions is dense VPU work: the header
+    nibbles expand by broadcast-shift (no gather), the per-bin COO run base
+    broadcasts from the per-sub-batch starts (no gather), and the prior
+    vector pads statically instead of re-gathering itself. The remaining
+    data-dependent gathers (rank substreams) run in PROMISE_IN_BOUNDS mode —
+    pos_a <= nA and pos_b <= nB by construction, the host sizes La/Lb for
+    exactly those entry counts, and a final straddle read lands at worst on
+    the next segment's first word — skipping the clamp compare+select XLA
+    would otherwise apply per element."""
     offs = _blob_layout_words(layout, nsub, ns, ud, us)
     Lh, La, Lb, Lc, npi, ne, nc, ncc = layout
 
@@ -321,13 +287,77 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     def as_u8(x):
         return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
 
+    def unpack_pb(word_off, pos, w):
+        """w-bit entries at data-dependent positions, absolute blob offsets,
+        no bounds clamp (see docstring for the in-bounds argument)."""
+        bitpos = pos * w
+        wi = word_off + (bitpos >> 5)
+        off = (bitpos & 31).astype(jnp.uint32)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
+        pb = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
+        w0 = jax.lax.gather(blob, wi[:, None], dn, slice_sizes=(1,), mode=pb)
+        w1 = jax.lax.gather(blob, (wi + 1)[:, None], dn, slice_sizes=(1,), mode=pb)
+        lo = w0 >> off
+        hi = jnp.where(off == 0, jnp.uint32(0),
+                       w1 << ((jnp.uint32(32) - off) & 31))
+        mask = (jnp.uint32(1) << jnp.uint32(w)) - 1
+        return ((lo | hi) & mask).astype(jnp.int32)
+
     wa, wb, wcs, n, n_coo = sc[0], sc[1], sc[2], sc[3], sc[4]
-    bit, kind, slot, prior, deltas = _expand4_core(
-        seg(0), seg(1), seg(2), wa, wb, n,
-        as_u8(seg(4)), as_u16(seg(5)), seg(6), as_u16(seg(7)),
-        as_u16(seg(8))[:nsub], seg(3), wcs, as_u8(seg(9)).reshape(nc, 2),
-        n_coo, seg(10), as_u16(seg(11)).reshape(ncc, 2),
-        m=m, nsub=nsub, U=U, ud=ud, batch=batch)
+    i = jax.lax.iota(jnp.int32, m)
+    live_n = i < n
+    # Header nibbles: dense broadcast-shift expand (8 nibbles per word).
+    nib = ((seg(0)[:, None] >> (4 * jax.lax.iota(jnp.uint32, 8))[None, :]) & 15)
+    nib = nib.reshape(-1).astype(jnp.int32)
+    hdr = (jax.lax.slice(nib, (0,), (m,)) if Lh * 8 >= m
+           else jnp.pad(nib, (0, m - Lh * 8)))
+    bit = jnp.where(live_n, hdr >> 3, 0)
+    kind = jnp.where(live_n, (hdr >> 1) & 3, 3)
+    cls = hdr & 1
+    live = live_n & (kind != 3)
+    a_sel = (live & (cls == 0)).astype(jnp.int32)
+    b_sel = (live & (cls == 1)).astype(jnp.int32)
+    pos_a = jnp.cumsum(a_sel) - a_sel
+    pos_b = jnp.cumsum(b_sel) - b_sel
+    rank = jnp.where(cls == 1, unpack_pb(offs[2], pos_b, wb),
+                     unpack_pb(offs[1], pos_a, wa))
+    # COO slots: clamped unpack (the bucketed nc can overrun the packed
+    # stream's true bit length, so PROMISE would be unsound here).
+    cs = _unpack_dev(seg(3), jax.lax.iota(jnp.int32, nc), wcs)
+    if mesh:
+        # Mesh-uniform dict space (static ud = UD maximum): this chunk's own
+        # sig slots start at its real (traced) dual width — shift them up so
+        # sig rows land at [UD, UD+us) in the uniform space.
+        ud_real = sc[5]
+        cs = jnp.where(cs >= ud_real, cs + (ud - ud_real), cs)
+    coo_cnt = as_u16(seg(8))[:nsub]
+    cnts = coo_cnt.astype(jnp.int32)
+    starts = jnp.cumsum(cnts) - cnts
+    sbase = jnp.broadcast_to(starts[:, None], (nsub, batch)).reshape(-1)
+    sidx = jnp.clip(sbase + rank, 0, nc - 1)
+    slot = jnp.where(live, cs[sidx], ud - 1)
+    # Priors: dict gather + escape scatter on the npi-domain, padded/sliced
+    # statically to m (never a self-gather), neutral 1 beyond n.
+    pr = as_u16(seg(5))[as_u8(seg(4)).astype(jnp.int32)].astype(jnp.int32)
+    pr = pr.at[seg(6).astype(jnp.int32)].set(as_u16(seg(7)).astype(jnp.int32),
+                                             mode="drop")
+    prf = (jax.lax.slice(pr, (0,), (m,)) if npi >= m
+           else jnp.pad(pr, (0, m - npi)))
+    prior = jnp.where(live_n, prf, 1)
+    # Update-delta table: per-entry sub-batch index rebuilt from coo_cnt
+    # segment starts, (ones, tot) widened from u8 with the exact >255
+    # escapes scattered on top.
+    mark = jnp.zeros((nc + 1,), jnp.int32).at[starts].add(1, mode="drop")
+    coo_sub = jnp.cumsum(mark[:nc]) - 1
+    livec = jax.lax.iota(jnp.int32, nc) < n_coo
+    flat = jnp.where(livec, coo_sub * U + cs, nsub * U)
+    vals = as_u8(seg(9)).reshape(nc, 2).astype(jnp.uint16)
+    vals = vals.at[seg(10).astype(jnp.int32)].set(
+        as_u16(seg(11)).reshape(ncc, 2), mode="drop")
+    tbl = jnp.zeros((nsub * U + 1, 2), jnp.uint16)
+    tbl = tbl.at[flat].set(vals, mode="drop", unique_indices=True)
+    deltas = tbl[:nsub * U].reshape(nsub, U, 2)
     dk_d = seg(12).reshape(ns, ud)
     dk_s = seg(13).reshape(ns, us)
     return bit, kind, slot, prior, deltas, dk_d, dk_s

@@ -28,22 +28,25 @@ from ..ops import model_pass as mp
 from ..ops import lanes as lx
 
 
-def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
+def sharded_v4_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
                              slow_w: int, sig_w: int, sig_alpha: int, ud: int,
-                             us: int, n_sig: int, K_total: int):
-    """Builds the jitted PRODUCT mesh step: real slim-wire chunks shard over
-    'gop' (each device models whole chunks with the frozen-batch v3 core),
-    the rANS lane scan shards over 'lane', and the payload-word total reduces
-    with psum over both axes (ICI collectives). The outputs reassemble into
-    byte-identical RansInterleaved blobs -> a real ATRC container
-    (device.compress_mesh), decodable by the host serial decoder.
+                             us: int, ns: int, n_sig: int, K_total: int,
+                             layout: tuple):
+    """Builds the jitted PRODUCT mesh step over the ANL4 wire: each device
+    receives its chunks' fused bit-packed blobs (device._build_blob4 with a
+    mesh-uniform layout), expands them on chip (wire_expand4_blob — the same
+    ~1.7 B/bin wire the single-chip path ships, instead of the ~6 B/bin dense
+    planes the pre-ANL4 mesh paid), models them with the frozen-batch v3
+    core, lane-scans over 'lane', and psums the payload-word total over both
+    axes (ICI collectives). The outputs reassemble into byte-identical
+    RansInterleaved blobs -> a real ATRC container (device.compress_mesh),
+    decodable by the host serial decoder.
 
-    Inputs (G = chunks, multiple of mesh 'gop'; M = padded bins per chunk,
-    multiple of sup*batch and K_total; NS = M/(sup*batch); U = ud + us):
-      bit/kind/slot/prior: int32|uint16[G, M]  (pad bins: kind 3, slot ud+us-1
-        with a scratch dict row, bit 0, prior 1)
-      dk_d: int32[G, NS, ud]; dk_s: int32[G, NS, us]
-      deltas: uint16[G, NS*sup, U, 2]
+    Inputs (G = chunks, multiple of mesh 'gop'; layout/ud/us/ns are the
+    mesh-uniform maxima; M = ns*sup*batch):
+      blob: uint32[G, W] fused ANL4 planes (pad chunks: zero planes but VALID
+        dk scratch rows — v3_core's sorted-unique scatters need live keys)
+      sc: int32[G, 6] = [wa, wb, wcs, n, n_coo, ud_real] per chunk
       dual0: uint16[G, n_dual, 4]
       sig0_idx: uint32[G, SK]; sig0_val: uint16[G, SK, 2] — sparse sig start
         state (v16 warm-started chunks; pad rows target n_sig and drop)
@@ -53,15 +56,21 @@ def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
     n_lane = mesh.shape["lane"]
     assert K_total % n_lane == 0
     k_local = K_total // n_lane
+    M = ns * sup * batch
 
-    def step(bit, kind, slot, prior, dk_d, dk_s, deltas, dual0, sig0_idx, sig0_val,
-             n_arr):
-        probs = jax.vmap(lambda b, k, s, p, kd, ks, dl, d0, si, sv: mp.v3_core(
-            b, k, s, p, kd, ks, dl, d0, batch=batch, sup=sup, fast_w=fast_w,
-            slow_w=slow_w, sig_w=sig_w, sig_alpha=sig_alpha, ud=ud, us=us,
-            n_sig=n_sig, sig0_idx=si, sig0_val=sv))(
-            bit, kind, slot, prior, dk_d, dk_s, deltas, dual0, sig0_idx, sig0_val)
-        G_l, M = bit.shape
+    def step(blob, sc, dual0, sig0_idx, sig0_val, n_arr):
+        def per_chunk(bl, s, d0, si, sv):
+            bit, kind, slot, prior, deltas, dk_d, dk_s = mp.wire_expand4_blob(
+                bl, s, m=M, nsub=ns * sup, U=ud + us, ud=ud, us=us, ns=ns,
+                batch=batch, layout=layout, mesh=True)
+            probs = mp.v3_core(
+                bit, kind, slot, prior, dk_d, dk_s, deltas, d0, batch=batch,
+                sup=sup, fast_w=fast_w, slow_w=slow_w, sig_w=sig_w,
+                sig_alpha=sig_alpha, ud=ud, us=us, n_sig=n_sig,
+                sig0_idx=si, sig0_val=sv)
+            return probs, bit
+        probs, bits = jax.vmap(per_chunk)(blob, sc, dual0, sig0_idx, sig0_val)
+        G_l = probs.shape[0]
         T = M // K_total
         lane_idx = jax.lax.axis_index("lane")
 
@@ -76,7 +85,7 @@ def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
             return lx._lane_scan(bt_l, pt_l, vt_l)
 
         x_final, words, emits = jax.vmap(lane_encode)(
-            bit, probs.astype(jnp.uint32), n_arr)
+            bits, probs.astype(jnp.uint32), n_arr)
         # Total payload words (incl. 2 state words per lane stream) across the
         # whole mesh: psum over both axes.
         total_words = jax.lax.psum(
@@ -86,9 +95,7 @@ def sharded_v3_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
 
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(P("gop", None), P("gop", None), P("gop", None), P("gop", None),
-                  P("gop", None, None), P("gop", None, None),
-                  P("gop", None, None, None), P("gop", None, None),
+        in_specs=(P("gop", None), P("gop", None), P("gop", None, None),
                   P("gop", None), P("gop", None, None), P("gop")),
         out_specs=(P("gop", "lane"), P("gop", None, "lane"), P("gop", None, "lane"),
                    P("gop", None), P()),

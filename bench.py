@@ -67,12 +67,18 @@ def _device_worker(q, data, batch):
         # ---- measured wire time + per-chunk differential on the production
         # staging path. analyze() re-runs the host walk with probs exported.
         an = device.analyze(data, batch_size=batch, model_profile=2)
-        staged = [device._stage_v4(an, c, cache={}) for c in an.chunks]  # warm
-        cache = {}
+
+        def stage_all():
+            cache = {}
+            staged = [device._stage_v4(an, c, cache=cache) for c in an.chunks]
+            # axon: block_until_ready does not block; force scalar readbacks
+            int(sum(int(jnp.sum(st.blob[:1].astype(jnp.int32)))
+                    for st in staged))
+            return staged
+
+        stage_all()  # warm the transfers AND the tiny sync programs
         t0 = time.time()
-        staged = [device._stage_v4(an, c, cache=cache) for c in an.chunks]
-        # axon: block_until_ready does not block; force scalar readbacks
-        int(sum(int(jnp.sum(st.blob[:1].astype(jnp.int32))) for st in staged))
+        staged = stage_all()
         wire_s = time.time() - t0
 
         # Bin-exact differential: production programs vs the host C++ model,
