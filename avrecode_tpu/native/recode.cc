@@ -698,6 +698,12 @@ static std::vector<uint8_t> pack_container(const uint8_t* data, const Pass1& p1,
   Writer w;
   w.bytes(reinterpret_cast<const uint8_t*>("ATRC"), 4);
   w.u8(kContainerVersion);
+  {  // v26 build provenance (recode.h ARTC_BUILD_ID)
+    const char* bid = ARTC_BUILD_ID;
+    size_t bl = std::min(strlen(bid), size_t(255));
+    w.u8(uint8_t(bl));
+    w.bytes(reinterpret_cast<const uint8_t*>(bid), bl);
+  }
   w.u16(uint16_t(opt.lanes));
   w.u8(uint8_t(opt.chunk_mode));
   w.u32(opt.batch_size);
@@ -900,8 +906,17 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
   const uint8_t* magic = r.bytes(4);
   if (memcmp(magic, "ATRC", 4) != 0) throw std::runtime_error("not an ATRC container");
   uint8_t version = r.u8();
+  std::string file_build = "pre-v26";
+  if (version >= 26) {  // provenance precedes everything version-specific
+    uint8_t bl = r.u8();
+    const uint8_t* bp = r.bytes(bl);
+    file_build.assign(reinterpret_cast<const char*>(bp), bl);
+  }
   if (version != kContainerVersion)
-    throw std::runtime_error("unsupported container version");
+    throw std::runtime_error(
+        "container version " + std::to_string(version) + " (build " +
+        file_build + "); this build (" ARTC_BUILD_ID ") reads version " +
+        std::to_string(kContainerVersion));
   r.u16();  // default lane count (informational; blobs self-describe)
   r.u8();  // chunk_mode
   uint32_t batch_size = r.u32();

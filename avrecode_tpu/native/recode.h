@@ -80,7 +80,21 @@ namespace artc {
 // v25: CAVLC mvd values keyed on the neighbors' MB-level signed mvd sums
 // (zero-motion shares the unconditioned key) — the CAVLC analogue of
 // v14/v23; the reference stores CAVLC raw.
-constexpr uint8_t kContainerVersion = 25;
+// v26: build provenance in the header (u8 len + build-id bytes after the
+// version byte; populated from the git revision at build-configure time) —
+// parity with the reference's recode.proto:2-7 Metadata fields, which it
+// defines but never populates; version-skew rejections now name both
+// versions and the writing build. (Per-partition CAVLC mvd keys were
+// measured here and REJECTED: both adjacent-block and edge-sum variants
+// lose 0.02-0.10pp vs the v25 MB-level sum on natural and synthetic CAVLC —
+// partition-local classes dilute the estimators; see RESULTS.md.)
+constexpr uint8_t kContainerVersion = 26;
+
+// Build id injected by CMake (git revision at configure time; build_native
+// re-runs configure on every source-triggered rebuild so it tracks HEAD).
+#ifndef ARTC_BUILD_ID
+#define ARTC_BUILD_ID "unknown"
+#endif
 
 struct Options {
   int lanes = 16;
@@ -552,7 +566,9 @@ class ModelSource {
 // ARTC container (byte-oriented, little-endian).
 //
 // Layout:
-//   magic "ATRC" | u8 version=1 | u8 lanes | u8 chunk_mode | u8 reserved
+//   magic "ATRC" | u8 version | u8 build_id_len, build_id bytes (v26+,
+//   git revision of the writing build) | u16 lanes | u8 chunk_mode |
+//   u32 batch | u8 model_profile | u8 transport [ts run map] | u32 crc32
 //   u32 n_paramsets | per paramset: u8 nal_type, u32 len, bytes (EBSP payload
 //                     incl. NAL header byte)
 //   u32 n_chunks
