@@ -15,7 +15,8 @@ from . import pipeline
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="avrecode-tpu", description=__doc__)
-    p.add_argument("command", choices=["compress", "decompress", "roundtrip", "corpus"])
+    p.add_argument("command", choices=["compress", "decompress", "roundtrip", "corpus",
+                                       "info"])
     p.add_argument("input", help="file; for corpus: a directory or glob of files")
     p.add_argument("output", nargs="?")
     p.add_argument("--lanes", type=int, default=16, help="rANS entropy lanes per chunk")
@@ -67,6 +68,28 @@ def main(argv=None) -> int:
 
     with open(args.input, "rb") as f:
         data = f.read()
+
+    if args.command == "info":
+        # ATRC header provenance dump (v26: version + writing build id; the
+        # reference's recode.proto Metadata defined these but never wrote
+        # them). Pure header parse — no decode.
+        from . import host
+        if data[:4] != b"ATRC" or len(data) < 6:
+            print(json.dumps({"error": "not an ATRC container"}))
+            return 1
+        version = data[4]
+        build_id = "pre-v26"
+        if version >= 26:
+            bl = data[5]
+            build_id = data[6:6 + bl].decode("ascii", "replace")
+        print(json.dumps({
+            "container_version": version,
+            "build_id": build_id,
+            "reader_version": host.container_version(),
+            "readable": version == host.container_version(),
+            "bytes": len(data),
+        }))
+        return 0
 
     if args.command == "compress":
         out, st = pipeline.compress(data, lanes=args.lanes, chunk_mode=args.chunk_mode)

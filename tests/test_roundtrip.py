@@ -191,6 +191,31 @@ def test_cavlc_recompression(corpus_dir):
     assert rep.ratio < 0.98, f"CAVLC should compress, got {rep.ratio}"  # tiny test clip: modest win
 
 
+def test_container_provenance(corpus_dir, capsys):
+    """v26 header provenance: the container records the writing build id, the
+    CLI `info` command dumps it, and a version-skew rejection names both
+    versions (parity with recode.proto:2-7 Metadata, which the reference
+    never populated)."""
+    import json
+    from avrecode_tpu import cli, host
+    with open(os.path.join(corpus_dir, "ipb_high.264"), "rb") as f:
+        data = f.read()
+    comp, _ = pipeline.compress(data)
+    assert comp[:4] == b"ATRC" and comp[4] == host.container_version()
+    path = os.path.join(corpus_dir, "prov.atrc")
+    with open(path, "wb") as f:
+        f.write(comp)
+    assert cli.main(["info", path]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["readable"] and rep["container_version"] == host.container_version()
+    assert rep["build_id"] and rep["build_id"] != "pre-v26"
+    # version skew rejects with a message naming both versions
+    bad = bytearray(comp)
+    bad[4] = 250
+    with pytest.raises(Exception, match="250"):
+        pipeline.decompress(bytes(bad))
+
+
 def test_decompress_fuzz_safety(corpus_dir):
     """Truncated/corrupted/garbage containers must raise clean errors or be
     caught by the integrity CRC — never crash or return wrong bytes
