@@ -76,12 +76,12 @@ def _np_unpack(words: np.ndarray, pos: np.ndarray, w: int) -> np.ndarray:
 
 @dataclass
 class SlimChunk:
-    """One chunk of the slim (ANL4) analysis export — the bit-packed ~2.6-
+    """One chunk of the slim (ANL5) analysis export — the bit-packed ~2.3-
     bytes/bin wire format for the frozen-batch (profile 2) device path. See
     recode.cc write_slim_chunk for the layout. The packed planes travel to
-    the device verbatim (wire_expand4 unpacks them on chip); `.packed` and
-    `.coo_slot` reconstruct the dense views for host-side consumers (the mesh
-    path, tests)."""
+    the device verbatim (wire_expand4_blob unpacks them on chip); `.packed`,
+    `.coo_slot` and `.dual0` reconstruct the dense views for host-side
+    consumers (tests, the mesh dual0 input)."""
     n: int
     ns: int
     ud: int
@@ -102,21 +102,37 @@ class SlimChunk:
     prior_idx: np.ndarray  # uint8[n]   (255 = escape)
     dk_d: np.ndarray       # uint32[ns, ud]
     dk_s: np.ndarray       # uint32[ns, us]
-    dual0: np.ndarray      # uint16[n_dual, 4] (chunks >= 2 alias chunk 1's)
+    # dual0 row dictionary (ANL5): rows u16[nd, 4], u8 index per table row
+    # (255 = escape), exact escape rows. Chunks >= 2 alias chunk 1's.
+    d0_rows: np.ndarray    # uint16[nd, 4]
+    d0_idx: np.ndarray     # uint8[n_dual]
+    d0_esc_idx: np.ndarray  # uint32[j]
+    d0_esc_val: np.ndarray  # uint16[j, 4]
     coo_cnt: np.ndarray    # uint16[ns*sup]
     n_coo: int
     cs_words: np.ndarray   # uint32[] wcs-bit COO slots (freq-ordered runs)
-    coo_ones: np.ndarray   # uint8[n_coo] (clamped; exact values in cesc)
-    coo_tot: np.ndarray    # uint8[n_coo]
+    coo_nib: np.ndarray    # uint8[n_coo]: min(ones,15) | min(tot,15)<<4
     host_probs: np.ndarray | None  # uint16[n] (differential testing only)
     # sparse sig start state (v16 warm-started chunks; empty = cold zeros)
     sig0_idx: np.ndarray | None = None  # uint32[k]
     sig0_val: np.ndarray | None = None  # uint16[k, 2]
-    # COO escape list: entries whose (ones, tot) exceeded u8
+    # COO escape list: entries whose (ones, tot) exceeded the nibble
     cesc_idx: np.ndarray | None = None  # uint32[j]
     cesc_val: np.ndarray | None = None  # uint16[j, 2]
     dual0_inline: bool = True  # False = aliases the previous chunk's tables
     sig0_inline: bool = True
+
+    @property
+    def dual0(self) -> np.ndarray:
+        """Dense uint16[n_dual, 4] dual table (host-side dict expand, cached;
+        the device path expands the dict form on chip instead)."""
+        v = getattr(self, "_dual0", None)
+        if v is None:
+            v = self.d0_rows[np.minimum(self.d0_idx, len(self.d0_rows) - 1)]
+            if len(self.d0_esc_idx):
+                v[self.d0_esc_idx.astype(np.int64)] = self.d0_esc_val
+            object.__setattr__(self, "_dual0", v)
+        return v
 
     @property
     def coo_slot(self) -> np.ndarray:
@@ -221,8 +237,8 @@ def _parse_header(raw: bytes) -> tuple[Analysis, int]:
     an empty Analysis + the chunk count."""
     hdr = np.frombuffer(raw[:_HDR_BYTES], dtype=np.uint32)
     magic = int(hdr[0])
-    assert magic in (0x5A4C4E41, 0x344C4E41), hex(magic)  # 'ANLZ' | 'ANL4'
-    slim = magic == 0x344C4E41
+    assert magic in (0x5A4C4E41, 0x354C4E41), hex(magic)  # 'ANLZ' | 'ANL5'
+    slim = magic == 0x354C4E41
     (n_chunks, lanes_out, batch, profile, n_dual, n_sig, fast_w, slow_w,
      sig_w, sig_alpha, sup_out) = (int(x) for x in hdr[1:12])
     an = Analysis([], lanes_out, batch, n_dual, n_sig, fast_w, slow_w,
@@ -361,10 +377,16 @@ def _parse_slim_chunk(buf: np.ndarray, an: Analysis, prev: SlimChunk | None) -> 
     dk_s = arr(np.uint32, ns * us).reshape(ns, us)
     dual0_inline = not (flags & 2)
     if dual0_inline:
-        dual0 = arr(np.uint16, 4 * an.n_dual).reshape(an.n_dual, 4)
+        nd = u16()
+        d0_rows = arr(np.uint16, 4 * nd).reshape(nd, 4)
+        d0_idx = arr(np.uint8, an.n_dual)
+        ndesc = u32()
+        d0_esc_idx = arr(np.uint32, ndesc)
+        d0_esc_val = arr(np.uint16, 4 * ndesc).reshape(ndesc, 4)
     else:
         assert prev is not None, "shared dual0 with no previous chunk"
-        dual0 = prev.dual0
+        d0_rows, d0_idx = prev.d0_rows, prev.d0_idx
+        d0_esc_idx, d0_esc_val = prev.d0_esc_idx, prev.d0_esc_val
     sig0_inline = not (flags & 4)
     if sig0_inline:
         n_sig_nz = u32()
@@ -379,8 +401,7 @@ def _parse_slim_chunk(buf: np.ndarray, an: Analysis, prev: SlimChunk | None) -> 
     coo_cnt = arr(np.uint16, ns * an.sup)
     nw_cs = u64()
     cs_words = arr(np.uint32, nw_cs)
-    coo_ones = arr(np.uint8, n_coo)
-    coo_tot = arr(np.uint8, n_coo)
+    coo_nib = arr(np.uint8, n_coo)
     n_cesc = u32()
     cesc_idx = arr(np.uint32, n_cesc)
     cesc_ones = arr(np.uint16, n_cesc)
@@ -388,8 +409,9 @@ def _parse_slim_chunk(buf: np.ndarray, an: Analysis, prev: SlimChunk | None) -> 
     probs = arr(np.uint16, n) if flags & 1 else None
     c = SlimChunk(int(n), ns, ud, us, int(m), an.batch, pdict, esc_idx, esc_val,
                   wa, wb, wcs, hdr_words, a_words, b_words, int(nA), int(nB),
-                  prior_idx, dk_d, dk_s, dual0, coo_cnt, int(n_coo), cs_words,
-                  coo_ones, coo_tot, probs, sig0_idx=sig0_idx, sig0_val=sig0_val,
+                  prior_idx, dk_d, dk_s, d0_rows, d0_idx, d0_esc_idx, d0_esc_val,
+                  coo_cnt, int(n_coo), cs_words, coo_nib, probs,
+                  sig0_idx=sig0_idx, sig0_val=sig0_val,
                   cesc_idx=cesc_idx,
                   cesc_val=np.stack([cesc_ones, cesc_tot], axis=1),
                   dual0_inline=dual0_inline, sig0_inline=sig0_inline)
@@ -494,9 +516,7 @@ def _build_blob4(an: Analysis, c: SlimChunk, layout: tuple,
     ei[:len(c.esc_idx)] = c.esc_idx
     view(7, np.uint16)[:len(c.esc_val)] = c.esc_val
     view(8, np.uint16)[:len(c.coo_cnt)] = c.coo_cnt
-    cv = view(9, np.uint8).reshape(nc, 2)
-    cv[:c.n_coo, 0] = c.coo_ones
-    cv[:c.n_coo, 1] = c.coo_tot
+    view(9, np.uint8)[:c.n_coo] = c.coo_nib
     ci = view(10, np.uint32)
     ci[:] = nc  # pad rows drop
     n_cesc = len(c.cesc_idx) if c.cesc_idx is not None else 0
@@ -580,7 +600,32 @@ def _stage_v4(an: Analysis, c: SlimChunk, cache: dict | None = None) -> StagedCh
     if s_idx is not None:
         s_idx = dev(s_idx, owner=c.sig0_idx, tag="sig0i")
         s_val = dev(s_val, owner=c.sig0_idx, tag="sig0v")
-    dual0 = dev(c.dual0)
+
+    def dual0_dev():
+        """Ships the ANL5 dual0 row-dict (~0.2 MB) and expands it on device;
+        the expanded table is cached per distinct source table (chunks >= 2
+        alias chunk 1's)."""
+        nonlocal wire_nbytes
+        owner = c.d0_idx
+        if cache is not None:
+            ent = cache.get(("dual0x", id(owner)))
+            if ent is not None and ent[0] is owner:
+                return ent[1]
+        ned = _bucket_pow2(max(len(c.d0_esc_idx), 1))
+        ei = np.full(ned, len(c.d0_idx), np.uint32)  # pad rows drop
+        ei[:len(c.d0_esc_idx)] = c.d0_esc_idx
+        ev = np.zeros((ned, 4), np.uint16)
+        ev[:len(c.d0_esc_idx)] = c.d0_esc_val
+        rows = np.zeros((256, 4), np.uint16)
+        rows[:len(c.d0_rows)] = c.d0_rows
+        v = mp.dual0_expand(jnp.asarray(rows), jnp.asarray(c.d0_idx),
+                            jnp.asarray(ei), jnp.asarray(ev))
+        wire_nbytes += rows.nbytes + c.d0_idx.nbytes + ei.nbytes + ev.nbytes
+        if cache is not None:
+            cache[("dual0x", id(owner))] = (owner, v)
+        return v
+
+    dual0 = dual0_dev()
     blob_dev = jnp.asarray(blob)
     sc_dev = jnp.asarray(sc)
     wire_nbytes += blob.nbytes + sc.nbytes

@@ -4,6 +4,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <unordered_map>
 #include <chrono>
 #include <condition_variable>
 #include <memory>
@@ -1525,7 +1526,7 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
 
 void artc_session_close(void* h) { delete static_cast<ArtcSession*>(h); }
 
-// Slim per-chunk analysis export (device wire format 4, magic 'ANL4'):
+// Slim per-chunk analysis export (device wire format 5, magic 'ANL5'):
 // designed for the tunnel-attached TPU where transfer bytes are the wall.
 // Requires the frozen-batch model profile (2): probabilities within a batch
 // read tables as of the last flush, so the per-bin prefix counts vanish.
@@ -1792,11 +1793,48 @@ static void write_slim_chunk(artc::Writer& w,
   w.bytes(reinterpret_cast<const uint8_t*>(dk_d.data()), dk_d.size() * 4);
   w.bytes(reinterpret_cast<const uint8_t*>(dk_s.data()), dk_s.size() * 4);
   if (!share_dual0) {
-    for (const Dual& d : dual0) {
-      w.u16(d.fp);
-      w.u16(d.fn);
-      w.u16(d.sp);
-      w.u16(d.sn);
+    // ANL5: the dual table rows are massively redundant (the CABAC-init seed
+    // has ~90 distinct (fp,fn,sp,sn) patterns; even a warm snapshot's top 255
+    // rows cover ~99%) — ship a u8 row-dictionary + exact escape rows
+    // instead of 8 dense bytes per row (1.42 MB -> ~0.2 MB per table).
+    std::vector<uint64_t> rowv(dual0.size());
+    for (size_t i = 0; i < dual0.size(); ++i) {
+      const Dual& d = dual0[i];
+      rowv[i] = uint64_t(d.fp) | (uint64_t(d.fn) << 16) | (uint64_t(d.sp) << 32) |
+                (uint64_t(d.sn) << 48);
+    }
+    std::unordered_map<uint64_t, uint32_t> cnt;
+    cnt.reserve(dual0.size() / 16);
+    for (uint64_t v : rowv) ++cnt[v];
+    std::vector<std::pair<uint32_t, uint64_t>> by_freq;
+    by_freq.reserve(cnt.size());
+    for (const auto& kv : cnt) by_freq.push_back({kv.second, kv.first});
+    size_t nd = std::min<size_t>(by_freq.size(), 255);
+    std::partial_sort(by_freq.begin(), by_freq.begin() + nd, by_freq.end(),
+                      [](const auto& a, const auto& b) { return a.first > b.first; });
+    std::unordered_map<uint64_t, uint8_t> ridx;
+    w.u16(uint16_t(nd));
+    for (size_t j = 0; j < nd; ++j) {
+      ridx[by_freq[j].second] = uint8_t(j);
+      uint64_t v = by_freq[j].second;
+      w.u16(uint16_t(v));
+      w.u16(uint16_t(v >> 16));
+      w.u16(uint16_t(v >> 32));
+      w.u16(uint16_t(v >> 48));
+    }
+    std::vector<uint32_t> desc_idx;
+    for (size_t i = 0; i < rowv.size(); ++i) {
+      auto it = ridx.find(rowv[i]);
+      w.u8(it != ridx.end() ? it->second : 255);
+      if (it == ridx.end()) desc_idx.push_back(uint32_t(i));
+    }
+    w.u32(uint32_t(desc_idx.size()));
+    for (uint32_t i : desc_idx) w.u32(i);
+    for (uint32_t i : desc_idx) {
+      w.u16(dual0[i].fp);
+      w.u16(dual0[i].fn);
+      w.u16(dual0[i].sp);
+      w.u16(dual0[i].sn);
     }
   }
   if (!share_sig0) write_sig0_sparse(w, sig0);
@@ -1804,24 +1842,23 @@ static void write_slim_chunk(artc::Writer& w,
   w.bytes(reinterpret_cast<const uint8_t*>(coo_cnt.data()), coo_cnt.size() * 2);
   w.u64(cp.words.size());
   w.bytes(reinterpret_cast<const uint8_t*>(cp.words.data()), cp.words.size() * 4);
-  // ones/tot travel as clamped u8 (99.98% fit — sub-batch totals above 255
-  // need a key touched >255 times in one 4096-bin sub-batch) plus an exact
-  // escape list the device scatter-applies after widening.
+  // ANL5: (ones, tot) travel as a 4+4-bit nibble pair (97% of sub-batch cell
+  // counts are < 15) plus an exact escape list the device scatter-applies
+  // after widening; anything >= 15 in either half escapes.
   {
-    std::vector<uint8_t> ones8(coo_slot.size()), tot8(coo_slot.size());
+    std::vector<uint8_t> nib(coo_slot.size());
     std::vector<uint32_t> cesc_idx;
     std::vector<uint16_t> cesc_ones, cesc_tot;
     for (size_t i = 0; i < coo_slot.size(); ++i) {
-      ones8[i] = uint8_t(coo_ones[i] > 255 ? 255 : coo_ones[i]);
-      tot8[i] = uint8_t(coo_tot[i] > 255 ? 255 : coo_tot[i]);
-      if (coo_ones[i] > 255 || coo_tot[i] > 255) {
+      uint16_t o = coo_ones[i], t = coo_tot[i];
+      nib[i] = uint8_t((o > 15 ? 15 : o) | ((t > 15 ? 15 : t) << 4));
+      if (o > 15 || t > 15) {
         cesc_idx.push_back(uint32_t(i));
-        cesc_ones.push_back(coo_ones[i]);
-        cesc_tot.push_back(coo_tot[i]);
+        cesc_ones.push_back(o);
+        cesc_tot.push_back(t);
       }
     }
-    w.bytes(ones8.data(), ones8.size());
-    w.bytes(tot8.data(), tot8.size());
+    w.bytes(nib.data(), nib.size());
     w.u32(uint32_t(cesc_idx.size()));
     w.bytes(reinterpret_cast<const uint8_t*>(cesc_idx.data()), cesc_idx.size() * 4);
     w.bytes(reinterpret_cast<const uint8_t*>(cesc_ones.data()), cesc_ones.size() * 2);
@@ -1834,7 +1871,7 @@ static void write_slim_chunk(artc::Writer& w,
 static void write_analyze_header(artc::Writer& w, const ArtcSession* se, uint32_t sup_u,
                                  bool slim) {
   using namespace artc;
-  w.u32(slim ? 0x344c4e41 : 0x5a4c4e41);  // 'ANL4' : 'ANLZ'
+  w.u32(slim ? 0x354c4e41 : 0x5a4c4e41);  // 'ANL5' : 'ANLZ'
   w.u32(uint32_t(se->st.n_chunks));
   w.u32(uint32_t(se->opt.lanes));
   w.u32(se->opt.batch_size ? se->opt.batch_size : 1);
@@ -1852,7 +1889,7 @@ static void write_analyze_header(artc::Writer& w, const ArtcSession* se, uint32_
   w.u32(sup_u);
 }
 
-// Starts the streaming (slim/ANL4) analyze: spawns background workers that
+// Starts the streaming (slim/ANL5) analyze: spawns background workers that
 // walk + export chunks in parallel. Returns the chunk count, or -1.
 // flags bit1 = also export host-computed probs (differential testing).
 int artc_session_analyze_begin(void* h, int sup, int flags) {

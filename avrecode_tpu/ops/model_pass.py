@@ -214,6 +214,16 @@ def _unpack_dev(words, pos, w):
     return ((lo | hi) & mask).astype(jnp.int32)
 
 
+@jax.jit
+def dual0_expand(rows, idx, esc_idx, esc_val):
+    """ANL5 dual0 row-dictionary -> dense uint16[n_dual, 4] on device. The
+    dual table rows are massively redundant (recode.cc write_slim_chunk dual0
+    dict: ~0.2 MB wire instead of 1.42 MB dense); this tiny gather + escape
+    scatter runs once per distinct table per compress."""
+    d = rows[jnp.minimum(idx.astype(jnp.int32), rows.shape[0] - 1)]
+    return d.at[esc_idx.astype(jnp.int32)].set(esc_val, mode="drop")
+
+
 # Fused-blob segment order (word lengths derived from the element counts in
 # `layout`); device._build_blob4 packs the blob with the identical layout.
 def _blob_layout_words(layout, nsub: int, ns: int, ud: int, us: int):
@@ -224,7 +234,7 @@ def _blob_layout_words(layout, nsub: int, ns: int, ud: int, us: int):
              ne,                      # esc_idx u32[ne]
              ne // 2,                 # esc_val u16[ne]
              (nsub + 1) // 2,         # coo_cnt u16[nsub]
-             nc // 2,                 # coo_vals u8[nc, 2]
+             nc // 4,                 # coo_nib u8[nc] (ones | tot<<4)
              ncc,                     # cesc_idx u32[ncc]
              ncc,                     # cesc_val u16[ncc, 2]
              ns * ud,                 # dk_d u32[ns, ud]
@@ -352,7 +362,8 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     coo_sub = jnp.cumsum(mark[:nc]) - 1
     livec = jax.lax.iota(jnp.int32, nc) < n_coo
     flat = jnp.where(livec, coo_sub * U + cs, nsub * U)
-    vals = as_u8(seg(9)).reshape(nc, 2).astype(jnp.uint16)
+    nib = as_u8(seg(9)).astype(jnp.uint16)
+    vals = jnp.stack([nib & 15, nib >> 4], axis=1)  # (ones, tot) nibbles
     vals = vals.at[seg(10).astype(jnp.int32)].set(
         as_u16(seg(11)).reshape(ncc, 2), mode="drop")
     tbl = jnp.zeros((nsub * U + 1, 2), jnp.uint16)
