@@ -171,6 +171,23 @@ def test_warm_sectioned_profile0_device_differential(corpus_dir, monkeypatch):
         assert np.array_equal(device.device_probs(an, c), c.host_probs)
 
 
+def test_cavlc_device_differential(corpus_dir):
+    """CAVLC slices ride the same trace/bin transport as CABAC: the slim wire
+    + device pass must reproduce the host probs bit-exactly on a CAVLC clip
+    (incl. the kKindPrior I_PCM-style passthrough bins), and the device
+    container must decode on the host."""
+    from avrecode_tpu import device, pipeline
+    with open(os.path.join(corpus_dir, "cavlc_b8.264"), "rb") as f:
+        data = f.read()
+    an = device.analyze(data, batch_size=512, model_profile=2)
+    assert an.slim and an.chunks
+    for c in an.chunks:
+        assert np.array_equal(device.device_probs(an, c), c.host_probs)
+    comp, _ = device.compress(data, batch_size=512)
+    dec, _ = pipeline.decompress(comp)
+    assert dec == data
+
+
 def test_model_pass_mm_impl_bit_exact(small_clip):
     """The sort-free (masked-matmul) prefix formulation must match the
     sort-based one bit-for-bit on real traces."""
