@@ -307,6 +307,38 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
         nals.push_back(nu);
       }
     }
+  } else if (FlvReader::looks_like_flv(data, size)) {
+    // FLV: avcC record from the AVCPacketType-0 video tag, AVCC-framed
+    // samples from the AVCPacketType-1 tag payloads (contiguous in-file,
+    // same invariants as mp4/mkv).
+    FlvReader::Video v;
+    if (FlvReader::read(data, size, &v)) {
+      Mp4Track t;
+      Mp4Reader::parse_avcc(v.avcc.data(), v.avcc.size(), t);
+      for (const auto& s : t.sps) {
+        paramsets.push_back({7, s});
+        try {
+          auto rbsp = ebsp_to_rbsp(s.data() + 1, s.size() - 1);
+          SPS sps = parse_sps(rbsp.data(), rbsp.size());
+          sps_map[sps.sps_id] = sps;
+        } catch (...) {}
+      }
+      for (const auto& s : t.pps) {
+        paramsets.push_back({8, s});
+        try {
+          auto rbsp = ebsp_to_rbsp(s.data() + 1, s.size() - 1);
+          PPS pps = parse_pps(rbsp.data(), rbsp.size());
+          pps_map[pps.pps_id] = pps;
+        } catch (...) {}
+      }
+      for (auto [off, len] : v.samples) {
+        auto sn = find_nals_avcc(data + off, len, t.nal_length_size);
+        for (auto nu : sn) {
+          nu.offset += off;
+          nals.push_back(nu);
+        }
+      }
+    }
   } else {
     nals = find_nals_annexb(data, size);
   }

@@ -29,6 +29,7 @@
 #include "h264_params.h"
 #include "h264_slice.h"
 #include "avi.h"
+#include "flv.h"
 #include "model.h"
 #include "mkv.h"
 #include "mp4.h"

@@ -86,6 +86,19 @@ def test_fmp4_recompresses_without_fallback(corpus_dir):
     assert rep.ratio < 1.0
 
 
+def test_flv_recompresses_without_fallback(corpus_dir):
+    """H.264-in-FLV demuxes natively (flv.h): avcC from the sequence-header
+    video tag, AVCC samples from NALU tags — every slice recompresses with
+    zero fallbacks (parity with the reference's libavformat ingestion)."""
+    with open(os.path.join(corpus_dir, "ipb_high.flv"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0
+    assert rep.ratio < 1.0
+
+
 def test_ts_recompresses(corpus_dir):
     """MPEG-TS fragments every slice across 188-byte packets — the v17
     transport reassembles the elementary stream, recompresses it with zero

@@ -121,6 +121,7 @@ int main(int argc, char** argv) {
                      : strstr(outfile, ".ts") ? "mpegts"
                      : strstr(outfile, ".avi") ? "avi"
                      : strstr(outfile, ".mov") ? "mov"
+                     : strstr(outfile, ".flv") ? "flv"
                                                : "mp4";
   AVFormatContext* fmt = nullptr;
   avformat_alloc_output_context2(&fmt, nullptr, ofmt, outfile);
