@@ -297,11 +297,13 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     def as_u8(x):
         return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
 
-    def unpack_pb(word_off, pos, w):
-        """w-bit entries at data-dependent positions, absolute blob offsets,
-        no bounds clamp (see docstring for the in-bounds argument)."""
-        bitpos = pos * w
-        wi = word_off + (bitpos >> 5)
+    def unpack_routed(bitpos, base, w):
+        """w-bit entries at per-element (stream base, bit position) —
+        absolute blob offsets, no bounds clamp (see docstring for the
+        in-bounds argument). Routing the hot/cold streams through ONE unpack
+        halves the gather count vs unpacking both streams and selecting
+        (225 -> 108 ms measured on the 6.3M-bin bench chunk)."""
+        wi = base + (bitpos >> 5)
         off = (bitpos & 31).astype(jnp.uint32)
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
@@ -330,8 +332,9 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     b_sel = (live & (cls == 1)).astype(jnp.int32)
     pos_a = jnp.cumsum(a_sel) - a_sel
     pos_b = jnp.cumsum(b_sel) - b_sel
-    rank = jnp.where(cls == 1, unpack_pb(offs[2], pos_b, wb),
-                     unpack_pb(offs[1], pos_a, wa))
+    rank = unpack_routed(jnp.where(cls == 1, pos_b * wb, pos_a * wa),
+                         jnp.where(cls == 1, offs[2], offs[1]),
+                         jnp.where(cls == 1, wb, wa))
     # COO slots: clamped unpack (the bucketed nc can overrun the packed
     # stream's true bit length, so PROMISE would be unsound here).
     cs = _unpack_dev(seg(3), jax.lax.iota(jnp.int32, nc), wcs)
