@@ -217,6 +217,13 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
     is_ts = true;
     data = ts_es.data();
     size = ts_es.size();
+  } else if (PsReader::looks_like_ps(data, size) &&
+             PsReader::extract(data, size, &ts_es, &ts_runs)) {
+    // MPEG-PS rides the identical run-map transport (the map is
+    // packetization-agnostic — see ps.h).
+    is_ts = true;
+    data = ts_es.data();
+    size = ts_es.size();
   }
 
   // ---- enumerate NAL units (file order) ----------------------------------

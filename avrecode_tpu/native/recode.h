@@ -34,6 +34,7 @@
 #include "mkv.h"
 #include "mp4.h"
 #include "nal.h"
+#include "ps.h"
 #include "ts.h"
 #include "rans.h"
 #include "cavlc_stream.h"

@@ -53,6 +53,8 @@ def corpus_dir(tmp_path_factory):
         "ipb_frag.mp4": ("w=160 h=128 frames=12 gop=6 bframes=2 profile=high "
                          "qp=26 frag=1"),
         "ipb_high.flv": "w=160 h=128 frames=12 gop=6 bframes=2 profile=high qp=26",
+        # MPEG-PS (VOB-style MPEG-2 packs; PES-fragmented like TS).
+        "ipb_high.mpg": "w=160 h=128 frames=12 gop=6 bframes=2 profile=high qp=26",
         "multislice.264": "w=320 h=240 frames=6 gop=3 bframes=1 profile=high qp=24 slices=3",
         "cavlc.mp4": "w=128 h=96 frames=4 profile=baseline cabac=0 bframes=0",
         # Stress configs: multi-ref, weighted P+B pred, all partitions,

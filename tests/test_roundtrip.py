@@ -99,6 +99,21 @@ def test_flv_recompresses_without_fallback(corpus_dir):
     assert rep.ratio < 1.0
 
 
+def test_ps_recompresses_without_fallback(corpus_dir):
+    """MPEG-PS (program stream): PES packets fragment slices like TS; the
+    extractor (ps.h) reassembles the video ES and rides the same run-map
+    transport, recompressing with zero fallbacks. (The reference stored PS
+    essentially raw — its memmem segmentation cannot locate PES-fragmented
+    slices.)"""
+    with open(os.path.join(corpus_dir, "ipb_high.mpg"), "rb") as f:
+        data = f.read()
+    rep = pipeline.roundtrip(data)
+    assert rep.ok
+    assert rep.stats.n_slices > 0
+    assert rep.stats.n_fallback == 0
+    assert rep.ratio < 1.0
+
+
 def test_ts_recompresses(corpus_dir):
     """MPEG-TS fragments every slice across 188-byte packets — the v17
     transport reassembles the elementary stream, recompresses it with zero

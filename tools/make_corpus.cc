@@ -122,6 +122,7 @@ int main(int argc, char** argv) {
                      : strstr(outfile, ".avi") ? "avi"
                      : strstr(outfile, ".mov") ? "mov"
                      : strstr(outfile, ".flv") ? "flv"
+                     : strstr(outfile, ".mpg") ? "vob"
                                                : "mp4";
   AVFormatContext* fmt = nullptr;
   avformat_alloc_output_context2(&fmt, nullptr, ofmt, outfile);

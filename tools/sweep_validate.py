@@ -66,7 +66,7 @@ def main():
         cabac = 0 if profile == "baseline" else rng.choice([0, 1])
         if profile in ("high422", "high444") and cabac == 0:
             cabac = rng.choice([0, 1])
-        container = rng.choice([".264", ".mp4", ".mkv", ".ts", ".avi", ".mov", ".flv"])
+        container = rng.choice([".264", ".mp4", ".mkv", ".ts", ".avi", ".mov", ".flv", ".mpg"])
         kv = {
             "w": rng.choice([128, 160, 320]), "h": rng.choice([96, 128, 240]),
             "frames": rng.randint(4, 14), "gop": rng.choice([4, 8, 250]),
