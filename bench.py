@@ -144,11 +144,12 @@ def main():
 
     # ---- device path in a watchdogged subprocess (a wedged TPU must not
     # hang the benchmark; fall back to the host number, flagged) ----
-    # The tunnel's throughput varies ~10x on this shared rig; first-run
-    # compiles + the wire can exceed 7 minutes on a bad day. The watchdog
-    # guards against a WEDGED chip, not a slow tunnel — keep it generous so a
-    # degraded link still produces device numbers.
-    timeout_s = int(os.environ.get("ARTC_BENCH_DEVICE_TIMEOUT", "1200"))
+    # The tunnel's throughput varies ~10x on this shared rig and each fresh
+    # XLA program compile costs 60-370 s on the axon backend (measured r4;
+    # the warm pass compiles ~12 programs, so first runs take 15-25 min).
+    # The watchdog guards against a WEDGED chip, not slow compiles — keep it
+    # generous so a cold cache still produces device numbers.
+    timeout_s = int(os.environ.get("ARTC_BENCH_DEVICE_TIMEOUT", "2400"))
     ctx = mp_proc.get_context("spawn")
     q = ctx.Queue()
     proc = ctx.Process(target=_device_worker, args=(q, data, BATCH))
