@@ -314,7 +314,7 @@ def _parse_analysis(raw: bytes) -> Analysis:
 
 
 def _parse_slim_chunk(buf: np.ndarray, an: Analysis, prev: SlimChunk | None) -> SlimChunk:
-    """Parses one ANL4 chunk (recode.cc write_slim_chunk layout). `prev` is
+    """Parses one ANL5 chunk (recode.cc write_slim_chunk layout). `prev` is
     the previously parsed chunk — warm chunks >= 2 alias its dual0/sig0
     instead of carrying their own (flags bits 1/2)."""
     pos = 0
@@ -480,7 +480,7 @@ def _build_blob4(an: Analysis, c: SlimChunk, layout: tuple,
                  dk_d: np.ndarray | None = None,
                  dk_s: np.ndarray | None = None,
                  ud_mesh: int | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Packs one slim chunk's ANL4 planes into the fused u32 blob + scalar
+    """Packs one slim chunk's ANL5 planes into the fused u32 blob + scalar
     vector (see ops/model_pass.wire_expand4_blob for the layout contract).
     `layout` may be wider than the chunk's own buckets (mesh uniformization).
     dk_d/dk_s override the chunk's key tables (the mesh pads them to uniform
@@ -551,12 +551,12 @@ class StagedChunk:
 
 
 def _stage_v4(an: Analysis, c: SlimChunk, cache: dict | None = None) -> StagedChunk:
-    """Packs one slim chunk's bit-packed ANL4 planes into ONE fused u32 blob
+    """Packs one slim chunk's bit-packed ANL5 planes into ONE fused u32 blob
     and uploads it (plus a 5-scalar vector) — a single tunnel transfer where
     the unfused path paid ~15 round-trips of `jnp.asarray` latency per chunk.
     Segment order/padding must mirror ops/model_pass._blob_layout_words.
 
-    This is where the ANL4 wire pays off: the per-bin transfer is the 4-bit
+    This is where the ANL5 wire pays off: the per-bin transfer is the 4-bit
     header nibble + the wa/wb-bit rank + the u8 prior index (~1.7 B/bin)
     instead of the dense u16 packed word (+1 B prior) the v3 runner uploaded
     (~3 B/bin); everything dense is reconstructed on chip (cumsum re-indexing,
@@ -758,7 +758,7 @@ def compress(data: bytes, lanes: int = 16, chunk_mode: int = 0,
 
     Default model_profile=2 (frozen batches): measured +0.10pp ratio on
     bench.mp4 vs profile 0, in exchange for a ~20x smaller device wire (the
-    bit-packed ANL4 export) — the right trade on a bandwidth-limited attach
+    bit-packed ANL5 export) — the right trade on a bandwidth-limited attach
     and neutral on a co-located one.
 
     The slim path is fully pipelined (the reference pays its stages serially
@@ -890,7 +890,7 @@ def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
     The host walk exports slim chunks (GOP chunks under chunk_mode=1,
     picture-boundary sections under 0), streamed through the analyze_begin/
     analyze_chunk ABI so the walk workers overlap the fetch loop; every chunk
-    is packed into a fused ANL4 blob with a MESH-UNIFORM layout (the same
+    is packed into a fused ANL5 blob with a MESH-UNIFORM layout (the same
     ~1.7 B/bin wire the single-chip path ships — expansion happens on each
     device inside the step) and the whole set runs as ONE jitted shard_map
     step over the (gop, lane) mesh — on-chip wire expand + frozen-batch model

@@ -250,7 +250,7 @@ def _blob_layout_words(layout, nsub: int, ns: int, ud: int, us: int):
 def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
                       us: int, ns: int, batch: int, layout: tuple,
                       mesh: bool = False):
-    """ANL4 wire decompression from ONE fused u32 blob (all per-chunk planes
+    """ANL5 wire decompression from ONE fused u32 blob (all per-chunk planes
     at 4-byte-aligned offsets) + one i32 scalar vector [wa, wb, wcs, n,
     n_coo] (+ ud_real under mesh=True). A single host->device transfer per
     chunk replaces the ~15 separate uploads the unfused path paid a tunnel
@@ -384,7 +384,7 @@ def model_pass_v4(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s, deltas, du
                   batch: int, sup: int, fast_w: int, slow_w: int, sig_w: int,
                   sig_alpha: int, ud: int, us: int, n_sig: int = 1 << 17,
                   sig0_idx=None, sig0_val=None):
-    """Frozen-batch pass over wire_expand4's pre-split planes (the ANL4 path);
+    """Frozen-batch pass over wire_expand4's pre-split planes (the ANL5 path);
     returns (probs uint16[m], bits int32[m]). Same core as model_pass_v3."""
     probs = v3_core(bit_all, kind_all, slot_all, prior_all, dk_d, dk_s, deltas,
                     dual0_u16, batch=batch, sup=sup, fast_w=fast_w, slow_w=slow_w,

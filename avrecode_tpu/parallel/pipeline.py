@@ -32,11 +32,11 @@ def sharded_v4_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
                              slow_w: int, sig_w: int, sig_alpha: int, ud: int,
                              us: int, ns: int, n_sig: int, K_total: int,
                              layout: tuple):
-    """Builds the jitted PRODUCT mesh step over the ANL4 wire: each device
+    """Builds the jitted PRODUCT mesh step over the ANL5 wire: each device
     receives its chunks' fused bit-packed blobs (device._build_blob4 with a
     mesh-uniform layout), expands them on chip (wire_expand4_blob — the same
-    ~1.7 B/bin wire the single-chip path ships, instead of the ~6 B/bin dense
-    planes the pre-ANL4 mesh paid), models them with the frozen-batch v3
+    ~2.3 B/bin wire the single-chip path ships, instead of the ~6 B/bin dense
+    planes the pre-blob mesh paid), models them with the frozen-batch v3
     core, lane-scans over 'lane', and psums the payload-word total over both
     axes (ICI collectives). The outputs reassemble into byte-identical
     RansInterleaved blobs -> a real ATRC container (device.compress_mesh),
@@ -44,7 +44,7 @@ def sharded_v4_compress_step(mesh: Mesh, *, batch: int, sup: int, fast_w: int,
 
     Inputs (G = chunks, multiple of mesh 'gop'; layout/ud/us/ns are the
     mesh-uniform maxima; M = ns*sup*batch):
-      blob: uint32[G, W] fused ANL4 planes (pad chunks: zero planes but VALID
+      blob: uint32[G, W] fused ANL5 planes (pad chunks: zero planes but VALID
         dk scratch rows — v3_core's sorted-unique scatters need live keys)
       sc: int32[G, 6] = [wa, wb, wcs, n, n_coo, ud_real] per chunk
       dual0: uint16[G, n_dual, 4]

@@ -2,7 +2,7 @@
 """Benchmark: H.264 recompression on the attached TPU chip.
 
 Runs the PRODUCTION device compression path (host syntax analysis -> fused
-ANL4 blob upload -> JAX wire expand + model pass + rANS lane encode on TPU ->
+ANL5 blob upload -> JAX wire expand + model pass + rANS lane encode on TPU ->
 container pack) over benchdata/bench.mp4, verifies the bit-exact roundtrip
 gate, and prints ONE JSON line.
 
