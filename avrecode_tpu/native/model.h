@@ -608,7 +608,8 @@ class PriorModel {
   uint32_t bin_prob(int ctx, BinKlass klass, int aux = -1) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
     cached_dual_key_ = uint32_t(route(ctx, klass, aux));
-    return prob_for(kind, cached_dual_key_, bin_prior(ctx, klass));
+    cached_prior_ = bin_prior(ctx, klass);
+    return prob_for(kind, cached_dual_key_, cached_prior_);
   }
   void bin_update(int ctx, BinKlass klass, int bit) {
     (void)ctx;
@@ -678,12 +679,20 @@ class PriorModel {
   // NOTE on the cached_*_key_ members: every *_prob call is immediately
   // followed by its *_update twin with identical model state (both pipeline
   // directions, audited) — the update reuses the key computed by the prob
-  // call instead of re-deriving it. Pure micro-optimization; bit-exact.
+  // call instead of re-deriving it, and the device-trace recorder reuses the
+  // cached (key, prior) pair instead of re-deriving both per bin (the trace
+  // walk is the device e2e critical path). Pure micro-optimization; bit-exact.
   uint32_t sig_prob(int ctx, int pos) {
     assert(!nz_on() || nnz_total_ >= 1);
     cached_sig_key_ = uint32_t(sig_key(pos));
-    return prob_for(kKindSig, cached_sig_key_, sig_prior(ctx, pos));
+    cached_prior_ = sig_prior(ctx, pos);
+    return prob_for(kKindSig, cached_sig_key_, cached_prior_);
   }
+  // Cached (key, prior) of the last *_prob call — the trace recorder's view
+  // (avoids a second key derivation per traced bin; see sig_prob NOTE).
+  uint32_t cached_sig_key() const { return cached_sig_key_; }
+  uint32_t cached_dual_key() const { return cached_dual_key_; }
+  uint16_t cached_prior() const { return cached_prior_; }
   // Probe-only alternative-alpha pricing of the bin sig_prob just computed
   // (reuses cached_sig_key_; pre-update state, like sig_prob itself).
   uint32_t sig_prob_alpha_probe(uint16_t prior, uint32_t alpha) const {
@@ -745,7 +754,8 @@ class PriorModel {
   }
   uint32_t eob_prob(int ctx, int pos) {
     cached_sig_key_ = uint32_t(eob_key(pos));
-    return prob_for(kKindSig, cached_sig_key_, uint16_t(mirror_prob(ctx)));
+    cached_prior_ = uint16_t(mirror_prob(ctx));
+    return prob_for(kKindSig, cached_sig_key_, cached_prior_);
   }
   void eob_update(int pos, int bit) {
     (void)pos;
@@ -759,7 +769,8 @@ class PriorModel {
   }
   uint32_t res_prob(int ctx, int pos) {
     cached_dual_key_ = uint32_t(res_key(ctx, pos));
-    return prob_for(kKindDual, cached_dual_key_, res_prior(ctx));
+    cached_prior_ = res_prior(ctx);
+    return prob_for(kKindDual, cached_dual_key_, cached_prior_);
   }
   void res_update(int ctx, int pos, int bit) {
     (void)ctx;
@@ -1078,6 +1089,7 @@ class PriorModel {
   std::vector<Estimator> sig_est_;
   // prob->update key reuse (see sig_prob NOTE).
   uint32_t cached_sig_key_ = 0, cached_dual_key_ = 0;
+  uint16_t cached_prior_ = 0;  // prior of the last *_prob call (trace reuse)
   const uint16_t* state_prob_;  // cached state_prob_q15() (see mirror_prob)
   int sig_hist_ = 0;  // last 3 significance bins (off-mode sig key Markov)
   std::vector<Coded> pending_;

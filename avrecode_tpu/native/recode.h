@@ -204,14 +204,17 @@ class ModelEncoder {
           if (m_.nz_on()) ensure_nnz();
           else if (m_.needs_nnz()) m_.mark_in_sig();
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+          uint32_t sp = m_.sig_prob(b.ctx, b.pos);
+          // Trace from the cached (key, prior) the prob call derived — the
+          // second derivation per bin was the device-walk hot spot.
           if (trace_)
-            trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.sig_key(b.pos)),
-                               m_.sig_prior(b.ctx, b.pos)});
-          push(b.bin, m_.sig_prob(b.ctx, b.pos), b.klass);
+            trace_->push_back({b.bin, PriorModel::kKindSig, m_.cached_sig_key(),
+                               m_.cached_prior()});
+          push(b.bin, sp, b.klass);
           if (discard_) {
             // Probe pass: also price the off-mode sig bin under every
             // candidate alpha (drives the per-file alpha_off choice).
-            uint16_t pr = m_.sig_prior(b.ctx, b.pos);
+            uint16_t pr = m_.cached_prior();
             if (pr & PriorModel::kPriorOffTag)
               for (int c = 0; c < 4; ++c)
                 m_.sigc_alpha_mbits[c][m_.slice_class()][m_.cur_cat()] += cost_mb(
@@ -245,8 +248,8 @@ class ModelEncoder {
                   cost_mb(b.bin, m_.eob_parity_prob(b.ctx));
             }
             if (trace_)
-              trace_->push_back({b.bin, PriorModel::kKindSig, uint32_t(m_.eob_key(b.pos)),
-                                 uint16_t(m_.mirror_prob(b.ctx))});
+              trace_->push_back({b.bin, PriorModel::kKindSig, m_.cached_sig_key(),
+                                 m_.cached_prior()});
             push(b.bin, pa, kKlassEob);
             m_.eob_update(b.pos, b.bin);
           }
@@ -255,11 +258,11 @@ class ModelEncoder {
         case kKlassRes: {
           if (b.ctx < kCtxBypass && b.pos >= 0) {
             m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            uint32_t rp = m_.res_prob(b.ctx, b.pos);
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindDual,
-                                 uint32_t(m_.res_key(b.ctx, b.pos)),
-                                 m_.res_prior(b.ctx)});
-            push(b.bin, m_.res_prob(b.ctx, b.pos), b.klass);
+                                 m_.cached_dual_key(), m_.cached_prior()});
+            push(b.bin, rp, b.klass);
             m_.res_update(b.ctx, b.pos, b.bin);
             break;
           }
@@ -267,11 +270,11 @@ class ModelEncoder {
         }
         default: {
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+          uint32_t bp = m_.bin_prob(b.ctx, BinKlass(b.klass), b.pos);
           if (trace_)
             trace_->push_back({b.bin, m_.last_kind(BinKlass(b.klass)),
-                               uint32_t(m_.route(b.ctx, BinKlass(b.klass), b.pos)),
-                               m_.bin_prior(b.ctx, BinKlass(b.klass))});
-          push(b.bin, m_.bin_prob(b.ctx, BinKlass(b.klass), b.pos), b.klass);
+                               m_.cached_dual_key(), m_.cached_prior()});
+          push(b.bin, bp, b.klass);
           m_.bin_update(b.ctx, BinKlass(b.klass), b.bin);
           break;
         }
