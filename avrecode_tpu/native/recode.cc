@@ -642,6 +642,7 @@ static uint64_t pick_nz_modes(const std::vector<SliceRecord>& slices, size_t beg
     std::vector<uint16_t> probs;
     ModelEncoder enc(m, bits, probs);
     enc.set_discard_output(true);  // probes only need the billing counters
+    enc.set_sig_only(true);        // bit-identical sig statistics, ~60% less work
     uint64_t seen = 0;
     for (size_t si = begin; si < end && seen < kProbeBinCap; ++si) {
       if (slices[si].coding != 0) continue;

@@ -181,6 +181,18 @@ class ModelEncoder {
   void set_trace(std::vector<PriorModel::Coded>* t) { trace_ = t; }
   // Billing-only mode (nz-mode probes): skip storing the (bit, prob) pairs.
   void set_discard_output(bool d) { discard_ = d; }
+  // Probe fast path: model only the significance complex (sig/eob/nz bins +
+  // events). Everything the nz-mode probes read — sigc_mbits, eobc_*,
+  // sigc_alpha_mbits — is BIT-IDENTICAL to a full pass because no sig-complex
+  // state depends on non-sig bins: sig/eob keys read cat/pos/observed/
+  // nnz_total/sig_hist/slice class (events + sig bins only), their mirrored-
+  // CABAC priors read ctx indices only sig/eob bins themselves update (spec
+  // ctxIdx spaces are disjoint), and skipped bins advance the batch position
+  // via note_passthrough so flush epochs land on the same stream offsets.
+  // Skipped-bin estimator tables (res/mvd/mb) drift, but probes never read
+  // them. Cuts ~60% of the probe's per-bin work (it was two extra full model
+  // passes per file).
+  void set_sig_only(bool s) { sig_only_ = s; }
 
   void process(const SymbolStream& ss) {
     size_t ev = 0;
@@ -199,6 +211,10 @@ class ModelEncoder {
       }
       if (i == ss.bins.size()) break;
       const SymbolStream::Bin& b = ss.bins[i];
+      if (sig_only_ && b.klass != kKlassSig && b.klass != kKlassEob) {
+        m_.note_passthrough();  // keep flush epochs stream-aligned
+        continue;
+      }
       switch (b.klass) {
         case kKlassSig: {
           if (m_.nz_on()) ensure_nnz();
@@ -395,6 +411,7 @@ class ModelEncoder {
   std::vector<PriorModel::Coded>* trace_ = nullptr;
   int cur_block_nnz_ = 0;
   bool discard_ = false;
+  bool sig_only_ = false;
   uint32_t last_p_ = 0;  // last pushed prob (ARTC_BILL_CTX diagnostics)
 
  public:
