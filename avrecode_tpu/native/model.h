@@ -456,6 +456,9 @@ class PriorModel {
   static constexpr uint32_t kSigAlphaCands[4] = {48, 32, 64, 96};
   void set_alpha_off(uint32_t a) { alpha_off_ = a; }
   uint32_t alpha_off() const { return alpha_off_; }
+  // Frozen-batch flush replay source (analyze path): a recorded trace with
+  // one entry per stream position, in order — see flush_updates.
+  void set_flush_replay(const std::vector<Coded>* t) { replay_ = t; }
   uint32_t prob_for(uint8_t kind, uint32_t key, uint16_t prior) const {
     if (kind == kKindSig) {
       uint32_t alpha = (prior & kPriorOffTag) ? alpha_off_ : kSigMixAlpha;
@@ -517,8 +520,11 @@ class PriorModel {
       // probabilities read the table as of the last flush. This removes the
       // within-batch per-key prefix machinery from the device pass (the whole
       // batch becomes one gather + one scatter per table); the serial decoder
-      // replays the identical semantics from this same code path.
-      pending_.push_back({uint8_t(bit), kind, key, 0});
+      // replays the identical semantics from this same code path. When a
+      // trace is being recorded (analyze path), it already holds one entry
+      // per stream position in order — flush replays its tail instead of
+      // duplicating every bin into pending_.
+      if (!replay_) pending_.push_back({uint8_t(bit), kind, key, 0});
       if (++fill_ >= batch_) flush_updates();
       return;
     }
@@ -557,7 +563,7 @@ class PriorModel {
   // flush replays increments from pending_ in stream order).
   void note_passthrough() {
     if (batch_ == 1 && profile_ == 0) return;  // alignment no-op at batch 1
-    if (profile_ == 2) pending_.push_back({0, kKindPrior, 0, 0});
+    if (profile_ == 2 && !replay_) pending_.push_back({0, kKindPrior, 0, 0});
     if (++fill_ >= batch_) flush_updates();
   }
 
@@ -565,29 +571,41 @@ class PriorModel {
   // over its window (commutative; device equivalent is a masked elementwise
   // pass over the tables).
   void flush_updates() {
+    // Frozen-batch replay source: the recorded trace's last fill_ entries are
+    // exactly this batch, in stream order (the recorder pushes each bin's
+    // trace entry before its note_coded/note_passthrough) — same content
+    // pending_ would hold, without the per-bin duplicate push.
+    const Coded* batch_begin = pending_.data();
+    const Coded* batch_end = batch_begin + pending_.size();
+    if (profile_ == 2 && replay_) {
+      if (replay_->size() < fill_)
+        throw std::logic_error("flush replay: trace shorter than batch fill");
+      batch_end = replay_->data() + replay_->size();
+      batch_begin = batch_end - fill_;
+    }
     if (profile_ == 2) {
       // Apply the deferred increments first (frozen-batch profile).
-      for (const Coded& c : pending_) {
-        if (c.kind == kKindPrior) continue;
-        if (c.kind == kKindSig) {
-          Estimator& e = sig_est_[c.key];
-          if (c.bit) ++e.pos; else ++e.neg;
+      for (const Coded* c = batch_begin; c != batch_end; ++c) {
+        if (c->kind == kKindPrior) continue;
+        if (c->kind == kKindSig) {
+          Estimator& e = sig_est_[c->key];
+          if (c->bit) ++e.pos; else ++e.neg;
         } else {
-          Dual& d = dual_[c.key];
-          if (c.bit) { ++d.fp; ++d.sp; } else { ++d.fn; ++d.sn; }
+          Dual& d = dual_[c->key];
+          if (c->bit) { ++d.fp; ++d.sp; } else { ++d.fn; ++d.sn; }
         }
       }
     }
-    for (const Coded& c : pending_) {
-      if (c.kind == kKindPrior) continue;  // no-op placeholder (alignment)
-      if (c.kind == kKindSig) {
-        Estimator& e = sig_est_[c.key];
+    for (const Coded* c = batch_begin; c != batch_end; ++c) {
+      if (c->kind == kKindPrior) continue;  // no-op placeholder (alignment)
+      if (c->kind == kKindSig) {
+        Estimator& e = sig_est_[c->key];
         while (e.pos + e.neg > kWindowSig) {
           e.pos = (e.pos + 1) >> 1;
           e.neg = (e.neg + 1) >> 1;
         }
       } else {
-        Dual& d = dual_[c.key];
+        Dual& d = dual_[c->key];
         while (d.fp + d.fn > kFastWindow) {
           d.fp = (d.fp + 1) >> 1;
           d.fn = (d.fn + 1) >> 1;
@@ -1093,6 +1111,7 @@ class PriorModel {
   const uint16_t* state_prob_;  // cached state_prob_q15() (see mirror_prob)
   int sig_hist_ = 0;  // last 3 significance bins (off-mode sig key Markov)
   std::vector<Coded> pending_;
+  const std::vector<Coded>* replay_ = nullptr;  // see set_flush_replay
   uint32_t batch_ = 1;
   uint32_t fill_ = 0;  // stream positions seen since the last flush
   uint64_t nz_modes_ = kAllNzOn;  // default: NZ-first everywhere

@@ -568,7 +568,10 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
   std::vector<uint8_t> bits;
   std::vector<uint16_t> probs;
   ModelEncoder enc(model, bits, probs);
-  if (trace) enc.set_trace(trace);
+  if (trace) {
+    enc.set_trace(trace);
+    model.set_flush_replay(trace);  // flush replays the trace tail (no pending_ dup)
+  }
   for (size_t si = begin; si < end; ++si) {
     if (slices[si].coding == 1) {
       enc.process_cavlc(slices[si].cstream);
@@ -1712,7 +1715,7 @@ static void write_slim_chunk(artc::Writer& w,
   std::vector<uint32_t> slot_d(PriorModel::kNumDualKeys), slot_s(PriorModel::kNumSigKeys);
   std::vector<uint32_t> cell_ep(U, ~0u);      // last sub-batch touching slot
   std::vector<uint32_t> cell_at(U);           // slot -> index into this sub's COO run
-  std::vector<uint32_t> run_order;
+  std::vector<uint32_t> cnt;                  // counting-sort histogram by tot
   std::vector<uint16_t> rank_of, tmp16;
   uint32_t max_run = 1;
   for (uint64_t s = 0; s < ns; ++s) {
@@ -1756,22 +1759,32 @@ static void write_slim_chunk(artc::Writer& w,
         bin_rank[i] = uint16_t(at - run_base);
       }
       // Order the run by descending total (stable: ties keep first-touch
-      // order) so hot slots get small ranks; remap bins to ranks.
+      // order) so hot slots get small ranks; remap bins to ranks. Counting
+      // sort: totals are <= batch, so an O(len) histogram pass replaces the
+      // comparison sort that dominated the export (measured ~30% of the
+      // whole analyze path at batch 4096).
       const uint32_t len = uint32_t(coo_slot.size() - run_base);
       coo_cnt[subg] = uint16_t(len);
       max_run = std::max(max_run, len);
-      run_order.resize(len);
-      for (uint32_t j = 0; j < len; ++j) run_order[j] = j;
-      std::stable_sort(run_order.begin(), run_order.end(), [&](uint32_t a, uint32_t b) {
-        return coo_tot[run_base + a] > coo_tot[run_base + b];
-      });
+      uint32_t max_tot = 0;
+      for (uint32_t j = 0; j < len; ++j)
+        max_tot = std::max<uint32_t>(max_tot, coo_tot[run_base + j]);
+      cnt.assign(max_tot + 1, 0);
+      for (uint32_t j = 0; j < len; ++j) ++cnt[coo_tot[run_base + j]];
+      uint32_t acc = 0;  // cnt[t] -> first rank for totals == t (descending)
+      for (uint32_t t = max_tot; t > 0; --t) {
+        uint32_t c = cnt[t];
+        cnt[t] = acc;
+        acc += c;
+      }
       rank_of.resize(len);
-      for (uint32_t r = 0; r < len; ++r) rank_of[run_order[r]] = uint16_t(r);
+      for (uint32_t j = 0; j < len; ++j)
+        rank_of[j] = uint16_t(cnt[coo_tot[run_base + j]]++);
       for (uint64_t i = b0; i < b1; ++i)
         if (trace[i].kind != PriorModel::kKindPrior) bin_rank[i] = rank_of[bin_rank[i]];
       for (uint16_t* arr : {coo_slot.data(), coo_ones.data(), coo_tot.data()}) {
         tmp16.assign(arr + run_base, arr + run_base + len);
-        for (uint32_t r = 0; r < len; ++r) arr[run_base + r] = tmp16[run_order[r]];
+        for (uint32_t j = 0; j < len; ++j) arr[run_base + rank_of[j]] = tmp16[j];
       }
     }
   }
