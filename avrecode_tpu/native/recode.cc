@@ -62,6 +62,26 @@ static double now_s() {
 }
 
 namespace {
+// Streaming pass-1 progress: run_pass1 assembles the ordered slice list
+// incrementally as the parallel walk's contiguous frontier extends, and
+// signals consumers (the nz-mode probe and chunk 0's model pass) so they can
+// start while later slices are still walking. `slices` points at the final
+// Pass1 vector; it is capacity-reserved up front, so elements [0, n_ready)
+// are stable while the tail still grows. Purely a scheduling device: every
+// decision (sectioning, probes, modes) sees identical inputs, so the output
+// container is byte-identical to the phase-sequential formulation.
+struct Pass1Progress {
+  std::mutex mu;
+  std::condition_variable cv;
+  const std::vector<SliceRecord>* slices = nullptr;
+  size_t n_ready = 0;        // assembled slice count
+  uint64_t bins_ready = 0;   // bins across assembled slices
+  bool chunk0_final = false; // chunk 0 extent decided early (mode-0 sectioned)
+  size_t chunk0_end = 0;     // slice index one past chunk 0 when chunk0_final
+  bool done = false;         // pass1 complete (slices/chunking final)
+  int n_chunks = 0;          // valid once done
+};
+
 struct Pass1 {
   std::vector<SliceRecord> slices;
   std::vector<Segment> segments;
@@ -203,7 +223,10 @@ static void walk_cabac_job(SliceJob& j) {
   j.ok = true;
 }
 
-static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Stats& st) {
+// Fills *outp in place (callers own the Pass1 so `prog` readers keep a stable
+// view of the slices vector across the return — no move of the vector object).
+static void run_pass1(const uint8_t* data, size_t size, const Options& opt, Stats& st,
+                      Pass1* outp, Pass1Progress* prog = nullptr) {
   st.input_bytes = size;
 
   // MPEG-TS: reassemble the H.264 elementary stream from the packet payloads
@@ -388,7 +411,76 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
     }
   }
 
-  // ---- phase B: walk slices in parallel ----------------------------------
+  // Sectioning policy knobs, read up front: the incremental assembly's early
+  // chunk-0 decision and the final sectioning pass must agree.
+  uint64_t sec_bins = opt.section_bins ? opt.section_bins : 8'000'000;
+  {
+    const char* env = getenv("ARTC_SECTION_BINS");
+    if (env && *env) sec_bins = strtoull(env, nullptr, 10);
+  }
+  uint64_t seed_bins = 4'000'000;
+  if (const char* se = getenv("ARTC_SEED_BINS")) seed_bins = strtoull(se, nullptr, 10);
+
+  // ---- phase B+C: walk slices in parallel; assemble the ordered segment /
+  // chunk structure incrementally as the walked contiguous prefix extends.
+  // Identical decisions and output to the walk-everything-then-assemble
+  // formulation (assembly consumes jobs strictly in file order); the
+  // incremental form exists so `prog` consumers can overlap with the walk.
+  Pass1& out = *outp;
+  std::vector<SliceRecord>& slices = out.slices;
+  std::vector<Segment>& segments = out.segments;
+  slices.reserve(jobs.size());  // keeps [0, n_ready) stable for prog readers
+  if (prog) {
+    std::lock_guard<std::mutex> lock(prog->mu);
+    prog->slices = &slices;
+  }
+
+  std::mutex asm_mu;  // guards everything below until the walks join
+  std::vector<uint8_t> walked(jobs.size(), 0);
+  size_t frontier = 0;   // jobs [0, frontier) walked
+  size_t assembled = 0;  // jobs [0, assembled) assembled
+  uint32_t chunk_idx = 0;
+  bool chunk_started = false;
+  size_t lit_start = 0;
+  uint64_t bins_acc = 0;          // bins across assembled slices
+  bool c0_cand = false;           // early chunk-0 boundary candidate found
+  size_t c0_end_cand = 0;
+
+  auto flush_literal = [&](size_t upto) {
+    if (upto > lit_start) {
+      segments.push_back({0, lit_start, upto - lit_start, 0});
+      st.literal_bytes += upto - lit_start;
+    }
+  };
+
+  auto assemble = [&](SliceJob& j) {
+    if (j.nal.offset < lit_start) return;  // overlap guard
+    if (!j.ok) {
+      ++st.n_fallback;  // stays in the literal run
+      return;
+    }
+    bool idr_picture_start = j.sh.is_idr && j.sh.first_mb_in_slice == 0;
+    if (opt.chunk_mode == 1 && idr_picture_start && chunk_started) ++chunk_idx;
+    chunk_started = true;
+    j.rec.chunk_idx = chunk_idx;
+    // Early chunk-0 boundary (mode 0): mirrors the final sectioning pass's
+    // greedy rule — the first new-picture slice with >= seed_bins assembled
+    // before it starts section 1.
+    if (opt.chunk_mode == 0 && !c0_cand && j.rec.new_picture && bins_acc >= seed_bins) {
+      c0_cand = true;
+      c0_end_cand = slices.size();
+    }
+    flush_literal(j.nal.offset);
+    segments.push_back({1, 0, 0, slices.size()});
+    size_t hdr_bytes = j.rec.header_rbsp.size() - 1;
+    st.cabac_in_bytes += j.rec.coding == 1 ? j.rbsp.size() - hdr_bytes
+                                           : j.rec.cabac_rbsp_len;
+    bins_acc += j.rec.coding == 1 ? j.rec.cstream.values.size() : j.rec.ss.bins.size();
+    slices.push_back(std::move(j.rec));
+    lit_start = j.nal.offset + j.nal.size;
+    ++st.n_slices;
+  };
+
   unsigned n_workers = std::max(1u, std::thread::hardware_concurrency());
   if (const char* e = getenv("ARTC_PASS1_THREADS")) n_workers = std::max(1, atoi(e));
   n_workers = std::min<size_t>(n_workers, jobs.size() ? jobs.size() : 1);
@@ -401,6 +493,24 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
       } catch (const std::exception&) {
         jobs[i].ok = false;
       }
+      std::lock_guard<std::mutex> lock(asm_mu);
+      walked[i] = 1;
+      while (frontier < jobs.size() && walked[frontier]) ++frontier;
+      while (assembled < frontier) assemble(jobs[assembled++]);
+      if (prog) {
+        std::lock_guard<std::mutex> pl(prog->mu);
+        prog->n_ready = slices.size();
+        prog->bins_ready = bins_acc;
+        // Sectioning is confirmed (total > sec_bins) as soon as the
+        // assembled prefix alone exceeds it; with a boundary candidate in
+        // hand, chunk 0's extent is final mid-walk.
+        if (!prog->chunk0_final && opt.chunk_mode == 0 && c0_cand &&
+            bins_acc > sec_bins) {
+          prog->chunk0_final = true;
+          prog->chunk0_end = c0_end_cand;
+        }
+        prog->cv.notify_all();
+      }
     }
   };
   if (n_workers <= 1 || jobs.size() <= 1) {
@@ -411,40 +521,7 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
     worker();
     for (auto& t : threads) t.join();
   }
-
-  // ---- phase C: ordered segment / chunk assembly -------------------------
-  std::vector<SliceRecord> slices;
-  std::vector<Segment> segments;
-  uint32_t chunk_idx = 0;
-  bool chunk_started = false;
-  size_t lit_start = 0;
-
-  auto flush_literal = [&](size_t upto) {
-    if (upto > lit_start) {
-      segments.push_back({0, lit_start, upto - lit_start, 0});
-      st.literal_bytes += upto - lit_start;
-    }
-  };
-
-  for (auto& j : jobs) {
-    if (j.nal.offset < lit_start) continue;  // overlap guard
-    if (!j.ok) {
-      ++st.n_fallback;  // stays in the literal run
-      continue;
-    }
-    bool idr_picture_start = j.sh.is_idr && j.sh.first_mb_in_slice == 0;
-    if (opt.chunk_mode == 1 && idr_picture_start && chunk_started) ++chunk_idx;
-    chunk_started = true;
-    j.rec.chunk_idx = chunk_idx;
-    flush_literal(j.nal.offset);
-    segments.push_back({1, 0, 0, slices.size()});
-    size_t hdr_bytes = j.rec.header_rbsp.size() - 1;
-    st.cabac_in_bytes += j.rec.coding == 1 ? j.rbsp.size() - hdr_bytes
-                                           : j.rec.cabac_rbsp_len;
-    slices.push_back(std::move(j.rec));
-    lit_start = j.nal.offset + j.nal.size;
-    ++st.n_slices;
-  }
+  while (assembled < jobs.size()) assemble(jobs[assembled++]);  // jobs.empty() case
   flush_literal(size);
   st.n_chunks = chunk_started ? int(chunk_idx) + 1 : 0;
 
@@ -456,14 +533,7 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
   // measured < 0.05pp. (The reference is strictly serial end-to-end,
   // recode.cpp:122.)
   if (opt.chunk_mode == 0 && !slices.empty()) {
-    uint64_t sec_bins = opt.section_bins ? opt.section_bins : 8'000'000;
-    const char* env = getenv("ARTC_SECTION_BINS");
-    if (env && *env) sec_bins = strtoull(env, nullptr, 10);
-    uint64_t seed_bins = 4'000'000;
-    if (const char* se = getenv("ARTC_SEED_BINS")) seed_bins = strtoull(se, nullptr, 10);
-    uint64_t total = 0;
-    for (const auto& s : slices)
-      total += s.coding == 1 ? s.cstream.values.size() : s.ss.bins.size();
+    uint64_t total = bins_acc;
     if (total > sec_bins) {
       // Sectioned file: a short "seed" section 0 (its tables warm-start every
       // later section — see pick_warm_slices / WarmCtx) followed by balanced
@@ -484,14 +554,18 @@ static Pass1 run_pass1(const uint8_t* data, size_t size, const Options& opt, Sta
       st.n_chunks = int(sec) + 1;
     }
   }
-  Pass1 out;
-  out.slices = std::move(slices);
-  out.segments = std::move(segments);
   out.paramsets = std::move(paramsets);
   out.ts = is_ts;
   out.ts_es = std::move(ts_es);
   out.ts_runs = std::move(ts_runs);
-  return out;
+  if (prog) {
+    std::lock_guard<std::mutex> lock(prog->mu);
+    prog->n_ready = out.slices.size();
+    prog->bins_ready = bins_acc;
+    prog->n_chunks = st.n_chunks;
+    prog->done = true;
+    prog->cv.notify_all();
+  }
 }
 
 // Warm-start rendezvous (container v16): chunk 0's worker publishes a table
@@ -503,6 +577,7 @@ struct WarmCtx {
   std::mutex mu;
   std::condition_variable cv;
   bool ready = false;
+  bool failed = false;
   void publish(const PriorModel& m) {
     std::lock_guard<std::mutex> lock(mu);
     if (ready) return;
@@ -510,9 +585,19 @@ struct WarmCtx {
     ready = true;
     cv.notify_all();
   }
+  // Chunk 0's pass died before publishing: wake waiters into an error
+  // instead of letting them hang (pipelined compress error path).
+  void fail() {
+    std::lock_guard<std::mutex> lock(mu);
+    if (ready) return;
+    failed = true;
+    ready = true;
+    cv.notify_all();
+  }
   const PriorModel::TableSnapshot& wait() {
     std::unique_lock<std::mutex> lock(mu);
     cv.wait(lock, [&] { return ready; });
+    if (failed) throw std::runtime_error("warm snapshot unavailable (chunk 0 failed)");
     return snap;
   }
 };
@@ -521,13 +606,11 @@ struct WarmCtx {
 // container): all of chunk 0 up to ~the seed-section size (with the seeded
 // section split, chunk 0 IS the seed, so this is the whole chunk and later
 // sections wait only on the short seed). Deterministic from pass-1 data.
-static int pick_warm_slices(const std::vector<SliceRecord>& slices,
-                            const std::vector<std::pair<size_t, size_t>>& ranges) {
-  if (ranges.size() < 2) return 0;
+static int pick_warm_slices_range(const std::vector<SliceRecord>& slices, size_t b,
+                                  size_t e) {
   uint64_t target = 4'500'000;
-  if (const char* e = getenv("ARTC_WARM_BINS")) target = strtoull(e, nullptr, 10);
+  if (const char* env = getenv("ARTC_WARM_BINS")) target = strtoull(env, nullptr, 10);
   if (target == 0) return 0;
-  auto [b, e] = ranges[0];
   uint64_t acc = 0;
   for (size_t si = b; si < e; ++si) {
     acc += slices[si].coding == 1 ? slices[si].cstream.values.size()
@@ -535,6 +618,12 @@ static int pick_warm_slices(const std::vector<SliceRecord>& slices,
     if (acc >= target) return int(si - b) + 1;
   }
   return int(e - b);
+}
+
+static int pick_warm_slices(const std::vector<SliceRecord>& slices,
+                            const std::vector<std::pair<size_t, size_t>>& ranges) {
+  if (ranges.size() < 2) return 0;
+  return pick_warm_slices_range(slices, ranges[0].first, ranges[0].second);
 }
 
 // Runs the model+entropy pass over one chunk's slices. If trace/probs_out are
@@ -853,7 +942,83 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
     throw std::runtime_error("unsupported model profile (0 = immediate, 2 = frozen-batch)");
   Stats st;
   double t0 = timing_enabled() ? now_s() : 0;
-  Pass1 p1 = run_pass1(data, size, opt, st);
+  // Pipelined chunk 0: the nz-mode probe and chunk 0's model+encode start as
+  // soon as pass1's incremental assembly fixes chunk 0's extent (mid-walk on
+  // sectioned files), overlapping the remaining slice walks — and the v16
+  // warm snapshot publishes correspondingly earlier for the other chunks.
+  // Byte-identical output; only the schedule changes. (The reference's
+  // single fused pass has nothing to overlap, recode.cpp:1102-1309.)
+  Pass1 p1;
+  Pass1Progress prog;
+  WarmCtx warm;
+  uint32_t alpha_off = PriorModel::kSigMixAlphaOff;
+  uint64_t modes0 = 0;
+  std::vector<uint8_t> blob0;
+  Stats st0;
+  std::exception_ptr pipe_err;
+  std::mutex pm;
+  std::condition_variable pcv;
+  bool probe_ready = false;  // alpha_off / modes0 / warm.src_slices valid
+  size_t pipe_e0 = SIZE_MAX;  // chunk 0 extent the pipe worked on (audited)
+  std::thread pipe([&] {
+    try {
+      size_t e0 = 0;
+      bool multi = false, any = false;
+      {
+        std::unique_lock<std::mutex> l(prog.mu);
+        prog.cv.wait(l, [&] { return prog.done || prog.chunk0_final; });
+        if (prog.chunk0_final) {
+          e0 = prog.chunk0_end;
+          multi = any = true;
+        } else if (prog.n_chunks > 0) {
+          any = true;
+          const auto& sl = *prog.slices;
+          while (e0 < sl.size() && sl[e0].chunk_idx == 0) ++e0;
+          multi = prog.n_chunks > 1;
+        }
+      }
+      if (any) {
+        const auto& sl = *prog.slices;
+        double tp = timing_enabled() ? now_s() : 0;
+        modes0 = pick_nz_modes(sl, 0, e0, opt, 0, &alpha_off);
+        if (timing_enabled())
+          fprintf(stderr, "[artc]   nz-mode probe %.3fs (chunk 0, alpha_off %u)\n",
+                  now_s() - tp, alpha_off);
+        warm.src_slices = multi ? pick_warm_slices_range(sl, 0, e0) : 0;
+        {
+          std::lock_guard<std::mutex> l(pm);
+          pipe_e0 = e0;
+          probe_ready = true;
+          pcv.notify_all();
+        }
+        blob0 = run_chunk_model(sl, 0, e0, opt, st0, nullptr, nullptr, nullptr,
+                                modes0, true, warm.src_slices ? &warm : nullptr,
+                                nullptr, nullptr, alpha_off);
+      } else {
+        std::lock_guard<std::mutex> l(pm);
+        probe_ready = true;
+        pcv.notify_all();
+      }
+    } catch (...) {
+      pipe_err = std::current_exception();
+      warm.fail();
+      std::lock_guard<std::mutex> l(pm);
+      probe_ready = true;
+      pcv.notify_all();
+    }
+  });
+  try {
+    run_pass1(data, size, opt, st, &p1, &prog);
+  } catch (...) {
+    // Unblock and reap the pipe thread before propagating.
+    {
+      std::lock_guard<std::mutex> lock(prog.mu);
+      prog.done = true;
+      prog.cv.notify_all();
+    }
+    pipe.join();
+    throw;
+  }
   if (timing_enabled())
     fprintf(stderr, "[artc] pass1 %.3fs (%zu slices)\n", now_s() - t0, p1.slices.size());
   double t1 = timing_enabled() ? now_s() : 0;
@@ -861,75 +1026,83 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   chunk_ranges(p1.slices, st.n_chunks, &ranges);
   std::vector<std::vector<uint8_t>> blobs(ranges.size());
   std::vector<uint64_t> nz_modes(ranges.size());
-  // Chunks are independent by format design — model pass + entropy encode
-  // parallelize across a thread pool (the reference is strictly single-
-  // threaded, recode.cpp:122).
-  unsigned n_workers = std::min<size_t>(std::thread::hardware_concurrency(), ranges.size());
   // chunk_mode 0 sections are statistically homogeneous (balanced splits of
   // one stream): one probe on the first section serves all of them. GOP
   // chunks (mode 1) keep per-chunk probes.
   bool share_modes = opt.chunk_mode == 0 && ranges.size() > 1;
-  // Chunk 0's probe always runs first: it both picks chunk 0's modes and the
-  // per-file alpha_off (v18) that every later probe/pass prices with.
-  uint32_t alpha_off = PriorModel::kSigMixAlphaOff;
-  uint64_t modes0 = 0;
-  if (!ranges.empty()) {
-    double tp = timing_enabled() ? now_s() : 0;
-    modes0 = pick_nz_modes(p1.slices, ranges[0].first, ranges[0].second, opt, 0,
-                           &alpha_off);
-    if (timing_enabled())
-      fprintf(stderr, "[artc]   nz-mode probe %.3fs (%s, alpha_off %u)\n",
-              now_s() - tp, share_modes ? "shared" : "chunk 0", alpha_off);
+  // alpha_off / modes0 / warm policy (all produced by the pipe's probe) feed
+  // every other chunk.
+  {
+    std::unique_lock<std::mutex> l(pm);
+    pcv.wait(l, [&] { return probe_ready; });
   }
-  WarmCtx warm;
-  warm.src_slices = pick_warm_slices(p1.slices, ranges);
-  if (n_workers <= 1) {
-    for (size_t c = 0; c < ranges.size(); ++c) {
-      auto [b, e] = ranges[c];
-      nz_modes[c] = (share_modes || c == 0)
-                        ? modes0
-                        : pick_nz_modes(p1.slices, b, e, opt, alpha_off, nullptr);
-      blobs[c] = run_chunk_model(p1.slices, b, e, opt, st, nullptr, nullptr, nullptr,
-                                 nz_modes[c], true,
-                                 c == 0 && warm.src_slices ? &warm : nullptr,
-                                 c > 0 && warm.src_slices ? &warm : nullptr, nullptr,
-                                 alpha_off);
-      st.recoded_bytes += blobs[c].size();
-    }
-  } else {
-    std::atomic<size_t> next{0};
+  if (pipe_err) {
+    pipe.join();
+    std::rethrow_exception(pipe_err);
+  }
+  if (!ranges.empty() && pipe_e0 != ranges[0].second) {
+    // Early chunk-0 decision must equal the final sectioning (same greedy
+    // rule on the same ordered data) — a divergence means corrupt output.
+    pipe.join();
+    throw std::logic_error("pipelined chunk-0 extent != final sectioning");
+  }
+  // Chunks 1..n-1 in parallel with the pipe's chunk 0 (chunks are
+  // independent by format design; the reference is strictly single-threaded,
+  // recode.cpp:122).
+  if (ranges.size() > 1) {
+    std::atomic<size_t> next{1};
     std::mutex mu;
-    std::vector<std::thread> workers;
-    for (unsigned w = 0; w < n_workers; ++w)
-      workers.emplace_back([&] {
-        for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
-          auto [b, e] = ranges[c];
-          Stats local;
-          uint64_t modes = (share_modes || c == 0)
-                               ? modes0
-                               : pick_nz_modes(p1.slices, b, e, opt, alpha_off, nullptr);
-          auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr, nullptr,
-                                      modes, true,
-                                      c == 0 && warm.src_slices ? &warm : nullptr,
-                                      c > 0 && warm.src_slices ? &warm : nullptr, nullptr,
-                                      alpha_off);
-          std::lock_guard<std::mutex> lock(mu);
-          nz_modes[c] = modes;
-          st.recoded_bytes += blob.size();
-          st.total_bins += local.total_bins;
-          for (int k = 0; k < kNumBinKlasses; ++k) {
-            st.bill.mbits[k] += local.bill.mbits[k];
-            st.bill.count[k] += local.bill.count[k];
-            st.bill.cabac_mbits[k] += local.bill.cabac_mbits[k];
-          }
-          st.bill.eob_cabac_mbits += local.bill.eob_cabac_mbits;
-          st.bill.nz_mbits += local.bill.nz_mbits;
-          st.bill.nz_count += local.bill.nz_count;
-          st.bill.eob_count += local.bill.eob_count;
-          blobs[c] = std::move(blob);
+    auto worker = [&] {
+      for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
+        auto [b, e] = ranges[c];
+        Stats local;
+        uint64_t modes = share_modes
+                             ? modes0
+                             : pick_nz_modes(p1.slices, b, e, opt, alpha_off, nullptr);
+        auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr,
+                                    nullptr, modes, true, nullptr,
+                                    warm.src_slices ? &warm : nullptr, nullptr,
+                                    alpha_off);
+        std::lock_guard<std::mutex> lock(mu);
+        nz_modes[c] = modes;
+        st.recoded_bytes += blob.size();
+        st.total_bins += local.total_bins;
+        for (int k = 0; k < kNumBinKlasses; ++k) {
+          st.bill.mbits[k] += local.bill.mbits[k];
+          st.bill.count[k] += local.bill.count[k];
+          st.bill.cabac_mbits[k] += local.bill.cabac_mbits[k];
         }
-      });
+        st.bill.eob_cabac_mbits += local.bill.eob_cabac_mbits;
+        st.bill.nz_mbits += local.bill.nz_mbits;
+        st.bill.nz_count += local.bill.nz_count;
+        st.bill.eob_count += local.bill.eob_count;
+        blobs[c] = std::move(blob);
+      }
+    };
+    unsigned n_workers =
+        std::max(1u, std::min<unsigned>(std::thread::hardware_concurrency(),
+                                        unsigned(ranges.size() - 1)));
+    std::vector<std::thread> workers;
+    for (unsigned w = 1; w < n_workers; ++w) workers.emplace_back(worker);
+    worker();
     for (auto& t : workers) t.join();
+  }
+  pipe.join();
+  if (pipe_err) std::rethrow_exception(pipe_err);
+  if (!ranges.empty()) {
+    nz_modes[0] = modes0;
+    st.recoded_bytes += blob0.size();
+    st.total_bins += st0.total_bins;
+    for (int k = 0; k < kNumBinKlasses; ++k) {
+      st.bill.mbits[k] += st0.bill.mbits[k];
+      st.bill.count[k] += st0.bill.count[k];
+      st.bill.cabac_mbits[k] += st0.bill.cabac_mbits[k];
+    }
+    st.bill.eob_cabac_mbits += st0.bill.eob_cabac_mbits;
+    st.bill.nz_mbits += st0.bill.nz_mbits;
+    st.bill.nz_count += st0.bill.nz_count;
+    st.bill.eob_count += st0.bill.eob_count;
+    blobs[0] = std::move(blob0);
   }
   if (timing_enabled())
     fprintf(stderr, "[artc] model+encode %.3fs (%zu chunks)\n", now_s() - t1,
@@ -1548,7 +1721,7 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
     s->opt.chunk_mode = chunk_mode;
     s->opt.batch_size = batch_size;
     s->opt.model_profile = model_profile;
-    s->p1 = run_pass1(s->data.data(), size, s->opt, s->st);
+    run_pass1(s->data.data(), size, s->opt, s->st, &s->p1);
     chunk_ranges(s->p1.slices, s->st.n_chunks, &s->ranges);
     bool share = s->opt.chunk_mode == 0 && s->ranges.size() > 1;
     s->alpha_off = PriorModel::kSigMixAlphaOff;
@@ -2309,7 +2482,8 @@ int artc_compress_external(const uint8_t* data, size_t size, int lanes, int chun
     opt.batch_size = batch_size;
     opt.model_profile = model_profile;
     Stats st;
-    Pass1 p1 = run_pass1(data, size, opt, st);
+    Pass1 p1;
+    run_pass1(data, size, opt, st, &p1);
     if (n_blobs != st.n_chunks) {
       g_error = "blob count != chunk count";
       return -1;
