@@ -1687,7 +1687,6 @@ struct AnalyzeState {
   std::mutex mu;
   std::condition_variable cv;
   std::vector<std::thread> workers;
-  artc::WarmCtx warm;
   std::atomic<size_t> next{0};
   ~AnalyzeState() {
     for (auto& t : workers)
@@ -1697,17 +1696,66 @@ struct AnalyzeState {
 
 // Session: one pass1 + nz-mode pick shared between analysis export and
 // container packing (the pre-session flow ran both twice).
+//
+// artc_session_open returns immediately: pass1 runs on a background opener
+// thread, with a pipe thread that (as soon as the incremental assembly fixes
+// chunk 0's extent, mid-walk) runs the nz-mode probe and then pre-produces
+// chunk 0's trace walk + slim export with the product defaults — so by the
+// time the caller's analyze loop asks for chunk 0, its export is already
+// done or underway, and the v16 warm snapshot published early for the other
+// chunks' walks. Every other ABI entry waits for the opener via
+// session_ready(). Byte-identical outputs; only the schedule changes.
+static void write_slim_chunk(artc::Writer& w,
+                             const std::vector<artc::PriorModel::Coded>& trace,
+                             const std::vector<uint16_t>& probs, bool has_probs,
+                             const std::vector<artc::Dual>& dual0,
+                             const std::vector<artc::Estimator>& sig0, uint32_t batch,
+                             uint32_t sup_u, bool share_dual0, bool share_sig0);
+
 struct ArtcSession {
   std::vector<uint8_t> data;
   artc::Options opt;
   artc::Stats st;
   artc::Pass1 p1;
+  artc::Pass1Progress prog;
   std::vector<std::pair<size_t, size_t>> ranges;
   std::vector<uint64_t> nz_modes;
   int warm_slices = 0;        // v16 warm-started chunks (0 = cold)
   uint32_t alpha_off = 0;     // v18 per-file off-sig prior weight
+  artc::WarmCtx warm;         // shared by the pre-analyze and analyze workers
+  std::mutex smu;             // guards the open/probe/c0 state below
+  std::condition_variable scv;
+  bool open_done = false;     // opener finished (ranges/nz_modes/... final)
+  std::string open_err;       // nonempty = pass1/probe failed
+  bool probe_done = false;    // pipe finished its probe phase
+  bool pipe_probed = false;   // probe ran (file has chunks)
+  size_t pipe_e0 = SIZE_MAX;  // chunk 0 extent the pipe worked on
+  uint64_t pipe_modes0 = 0;
+  uint32_t pipe_alpha = 0;
+  // Pre-produced chunk 0 slim export (product defaults: no probs).
+  int c0_state = 0;           // 0 none, 1 in progress, 2 ready, 3 failed
+  uint32_t c0_sup = 0;
+  std::vector<uint8_t> c0_buf;
   std::unique_ptr<AnalyzeState> astate;  // live streaming analyze, if any
+  std::thread pipe;    // probe + chunk-0 pre-analyze (outlives the opener)
+  std::thread opener;  // pass1 + session field finalization
+  ~ArtcSession() {
+    if (opener.joinable()) opener.join();
+    if (pipe.joinable()) pipe.join();
+  }
 };
+
+// Blocks until the background opener finished; false (with g_error set) if
+// the session failed to open.
+static bool session_ready(ArtcSession* s) {
+  std::unique_lock<std::mutex> l(s->smu);
+  s->scv.wait(l, [&] { return s->open_done; });
+  if (!s->open_err.empty()) {
+    g_error = s->open_err;
+    return false;
+  }
+  return true;
+}
 
 void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_mode,
                         uint32_t batch_size, int model_profile) {
@@ -1721,18 +1769,144 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
     s->opt.chunk_mode = chunk_mode;
     s->opt.batch_size = batch_size;
     s->opt.model_profile = model_profile;
-    run_pass1(s->data.data(), size, s->opt, s->st, &s->p1);
-    chunk_ranges(s->p1.slices, s->st.n_chunks, &s->ranges);
-    bool share = s->opt.chunk_mode == 0 && s->ranges.size() > 1;
+    s->opt.collect_streams = false;
     s->alpha_off = PriorModel::kSigMixAlphaOff;
-    for (auto [b, e] : s->ranges)
-      s->nz_modes.push_back(
-          s->nz_modes.empty()
-              ? pick_nz_modes(s->p1.slices, b, e, s->opt, 0, &s->alpha_off)
-              : (share ? s->nz_modes[0]
-                       : pick_nz_modes(s->p1.slices, b, e, s->opt, s->alpha_off,
-                                       nullptr)));
-    s->warm_slices = pick_warm_slices(s->p1.slices, s->ranges);
+    // Pipe: probe as soon as chunk 0's extent is known (mid-pass1 on
+    // sectioned files), signal probe_done, then keep going with chunk 0's
+    // trace walk + slim export in the background (the opener does NOT wait
+    // for that part — analyze_begin must not serialize behind it).
+    s->pipe = std::thread([s] {
+      uint64_t modes0 = 0;
+      uint32_t alpha0 = PriorModel::kSigMixAlphaOff;
+      size_t e0 = 0;
+      bool multi = false, any = false;
+      std::string perr;
+      try {
+        {
+          std::unique_lock<std::mutex> l(s->prog.mu);
+          s->prog.cv.wait(l, [&] { return s->prog.done || s->prog.chunk0_final; });
+          if (s->prog.chunk0_final) {
+            e0 = s->prog.chunk0_end;
+            multi = any = true;
+          } else if (s->prog.n_chunks > 0) {
+            any = true;
+            const auto& sl = *s->prog.slices;
+            while (e0 < sl.size() && sl[e0].chunk_idx == 0) ++e0;
+            multi = s->prog.n_chunks > 1;
+          }
+        }
+        if (any) {
+          const auto& sl = *s->prog.slices;
+          modes0 = pick_nz_modes(sl, 0, e0, s->opt, 0, &alpha0);
+          s->warm.src_slices = multi ? pick_warm_slices_range(sl, 0, e0) : 0;
+        }
+      } catch (const std::exception& e) {
+        perr = e.what();
+        any = false;
+      }
+      {
+        std::lock_guard<std::mutex> l(s->smu);
+        s->pipe_probed = any && perr.empty();
+        s->pipe_e0 = e0;
+        s->pipe_modes0 = modes0;
+        s->pipe_alpha = alpha0;
+        if (!perr.empty() && s->open_err.empty()) s->open_err = perr;
+        s->probe_done = true;
+        if (any && perr.empty() && s->opt.model_profile == 2) {
+          s->c0_state = 1;  // pre-produce below
+          s->c0_sup = 16;
+        }
+        s->scv.notify_all();
+      }
+      if (!(any && perr.empty() && s->opt.model_profile == 2)) return;
+      // Pre-produce chunk 0's analyze export (sup = 16, no probs — the
+      // product defaults; analyze_begin re-runs chunk 0 itself on a
+      // mismatch). Publishes the v16 warm snapshot for the other chunks'
+      // walks as a side effect, well before chunk 0's export finishes.
+      try {
+        const auto& sl = *s->prog.slices;
+        std::vector<PriorModel::Coded> trace;
+        std::vector<uint16_t> probs;
+        std::vector<Dual> dual0;
+        std::vector<Estimator> sig0;
+        Stats tmp;
+        double t0 = timing_enabled() ? now_s() : 0;
+        run_chunk_model(sl, 0, e0, s->opt, tmp, &trace, &probs, &dual0, modes0,
+                        /*encode_blob=*/false,
+                        s->warm.src_slices ? &s->warm : nullptr, nullptr, &sig0,
+                        alpha0);
+        if (timing_enabled())
+          fprintf(stderr, "[artc] analyze chunk 0: trace walk %.3fs (%zu bins, pre)\n",
+                  now_s() - t0, trace.size());
+        t0 = timing_enabled() ? now_s() : 0;
+        Writer cw;
+        write_slim_chunk(cw, trace, probs, /*has_probs=*/false, dual0, sig0,
+                         s->opt.batch_size ? s->opt.batch_size : 1, s->c0_sup,
+                         false, false);
+        if (timing_enabled())
+          fprintf(stderr, "[artc] analyze chunk 0: slim export %.3fs (pre)\n",
+                  now_s() - t0);
+        std::lock_guard<std::mutex> l(s->smu);
+        s->c0_buf = std::move(cw.buf);
+        s->c0_state = 2;
+        s->scv.notify_all();
+      } catch (...) {
+        s->warm.fail();
+        std::lock_guard<std::mutex> l(s->smu);
+        s->c0_state = 3;
+        s->scv.notify_all();
+      }
+    });
+    s->opener = std::thread([s] {
+      std::string err;
+      try {
+        run_pass1(s->data.data(), s->data.size(), s->opt, s->st, &s->p1, &s->prog);
+      } catch (const std::exception& e) {
+        err = e.what();
+        std::lock_guard<std::mutex> lock(s->prog.mu);
+        s->prog.done = true;
+        s->prog.cv.notify_all();
+      }
+      bool probed = false;
+      size_t e0 = SIZE_MAX;
+      uint64_t modes0 = 0;
+      uint32_t alpha0 = 0;
+      {
+        std::unique_lock<std::mutex> l(s->smu);
+        s->scv.wait(l, [&] { return s->probe_done; });
+        probed = s->pipe_probed;
+        e0 = s->pipe_e0;
+        modes0 = s->pipe_modes0;
+        alpha0 = s->pipe_alpha;
+        if (err.empty() && !s->open_err.empty()) err = s->open_err;
+      }
+      if (err.empty()) {
+        try {
+          chunk_ranges(s->p1.slices, s->st.n_chunks, &s->ranges);
+          if (probed && !s->ranges.empty() && e0 != s->ranges[0].second)
+            throw std::logic_error("pipelined chunk-0 extent != final sectioning");
+          bool share = s->opt.chunk_mode == 0 && s->ranges.size() > 1;
+          for (auto [b, e] : s->ranges)
+            s->nz_modes.push_back(
+                s->nz_modes.empty()
+                    ? (probed ? (s->alpha_off = alpha0, modes0)
+                              : pick_nz_modes(s->p1.slices, b, e, s->opt, 0,
+                                              &s->alpha_off))
+                    : (share ? s->nz_modes[0]
+                             : pick_nz_modes(s->p1.slices, b, e, s->opt,
+                                             s->alpha_off, nullptr)));
+          s->warm_slices = pick_warm_slices(s->p1.slices, s->ranges);
+          if (probed && s->warm.src_slices != s->warm_slices)
+            throw std::logic_error("pipelined warm policy != final warm policy");
+        } catch (const std::exception& e) {
+          err = e.what();
+        }
+      }
+      std::lock_guard<std::mutex> lock(s->smu);
+      if (s->open_err.empty()) s->open_err = std::move(err);
+      s->open_done = true;
+      s->scv.notify_all();
+    });
     return s;
   } catch (const std::exception& e) {
     g_error = e.what();
@@ -2122,6 +2296,7 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
   using namespace artc;
   auto* se = static_cast<ArtcSession*>(h);
   try {
+    if (!session_ready(se)) return -1;
     if (se->opt.model_profile != 2)
       throw std::runtime_error("slim analysis requires model_profile=2 (frozen batches)");
     const uint32_t sup_u = sup > 0 ? uint32_t(sup) : 16;
@@ -2136,11 +2311,30 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
     const size_t n_chunks = se->ranges.size();
     as->bufs.resize(n_chunks);
     as->status.assign(n_chunks, 0);
-    as->warm.src_slices = se->warm_slices;
     auto work = [se, as, sup_u, want_probs] {
       using namespace artc;
       for (size_t ci; (ci = as->next.fetch_add(1)) < se->ranges.size();) {
         try {
+          // Chunk 0 is usually pre-produced by the session opener's pipe
+          // (started mid-pass1); consume it unless the request deviates from
+          // the product defaults it was built with.
+          if (ci == 0 && !want_probs) {
+            std::unique_lock<std::mutex> sl(se->smu);
+            if (se->c0_state >= 1 && se->c0_sup == sup_u) {
+              se->scv.wait(sl, [&] { return se->c0_state >= 2; });
+              if (se->c0_state == 2) {
+                std::vector<uint8_t> buf = std::move(se->c0_buf);
+                se->c0_state = 0;  // consumed
+                sl.unlock();
+                std::lock_guard<std::mutex> lock(as->mu);
+                as->bufs[0] = std::move(buf);
+                as->status[0] = 1;
+                as->cv.notify_all();
+                continue;
+              }
+              // pre-produce failed: fall through and re-run for the error
+            }
+          }
           auto [b, e] = se->ranges[ci];
           std::vector<PriorModel::Coded> trace;
           std::vector<uint16_t> probs;
@@ -2150,8 +2344,8 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
           double t0 = timing_enabled() ? now_s() : 0;
           run_chunk_model(se->p1.slices, b, e, se->opt, tmp, &trace, &probs, &dual0,
                           se->nz_modes[ci], /*encode_blob=*/false,
-                          ci == 0 && as->warm.src_slices ? &as->warm : nullptr,
-                          ci > 0 && as->warm.src_slices ? &as->warm : nullptr, &sig0,
+                          ci == 0 && se->warm_slices ? &se->warm : nullptr,
+                          ci > 0 && se->warm_slices ? &se->warm : nullptr, &sig0,
                           se->alpha_off);
           if (timing_enabled())
             fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
@@ -2159,7 +2353,7 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
           t0 = timing_enabled() ? now_s() : 0;
           // All warm chunks start from the same v16 snapshot: chunks >= 2
           // reference chunk 1's dual0/sig0 instead of re-shipping them.
-          const bool share = ci >= 2 && as->warm.src_slices > 0;
+          const bool share = ci >= 2 && se->warm_slices > 0;
           Writer cw;
           write_slim_chunk(cw, trace, probs, want_probs, dual0, sig0,
                            se->opt.batch_size ? se->opt.batch_size : 1, sup_u,
@@ -2232,6 +2426,7 @@ int artc_session_analyze2(void* h, int sup, int flags, uint8_t** out, size_t* ou
   using namespace artc;
   auto* se = static_cast<ArtcSession*>(h);
   try {
+    if (!session_ready(se)) return -1;
     const Options& opt = se->opt;
     const Pass1& p1 = se->p1;
     const auto& ranges = se->ranges;
@@ -2431,6 +2626,7 @@ int artc_session_pack(void* h, const uint8_t* blob_data, const uint64_t* blob_le
   using namespace artc;
   auto* se = static_cast<ArtcSession*>(h);
   try {
+    if (!session_ready(se)) return -1;
     if (n_blobs != se->st.n_chunks) {
       g_error = "blob count != chunk count";
       return -1;

@@ -17,6 +17,16 @@
 
 #include "recode.h"
 
+extern "C" {
+void* artc_session_open(const uint8_t*, size_t, int, int, uint32_t, int);
+void artc_session_close(void*);
+int artc_session_analyze_begin(void*, int, int);
+int artc_session_analyze_header(void*, uint8_t**, size_t*);
+int artc_session_analyze_chunk(void*, uint32_t, uint8_t**, size_t*);
+void artc_free(uint8_t*);
+const char* artc_last_error();
+}
+
 int main(int argc, char** argv) {
   if (argc < 2) {
     fprintf(stderr, "usage: tsan_check <clip> [clip ...]\n");
@@ -43,6 +53,34 @@ int main(int argc, char** argv) {
                 chunk_mode);
         return 1;
       }
+    }
+    // Session analyze ABI: pipelined open (pass1 + probe + chunk-0
+    // pre-analyze threads) feeding the streaming per-chunk export workers.
+    {
+      setenv("ARTC_SECTION_BINS", "50000", 1);
+      void* h = artc_session_open(data.data(), data.size(), 16, 0, 1024, 2);
+      if (!h) {
+        fprintf(stderr, "session_open failed: %s\n", artc_last_error());
+        return 1;
+      }
+      int n = artc_session_analyze_begin(h, 16, 0);
+      if (n < 0) {
+        fprintf(stderr, "analyze_begin failed: %s\n", artc_last_error());
+        return 1;
+      }
+      uint8_t* out = nullptr;
+      size_t out_len = 0;
+      if (artc_session_analyze_header(h, &out, &out_len)) return 1;
+      artc_free(out);
+      for (int c = 0; c < n; ++c) {
+        if (artc_session_analyze_chunk(h, uint32_t(c), &out, &out_len)) {
+          fprintf(stderr, "analyze_chunk %d failed: %s\n", c, artc_last_error());
+          return 1;
+        }
+        artc_free(out);
+      }
+      artc_session_close(h);
+      unsetenv("ARTC_SECTION_BINS");
     }
     printf("%s ok\n", argv[a]);
   }
