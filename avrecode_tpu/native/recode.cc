@@ -1732,10 +1732,18 @@ struct ArtcSession {
   size_t pipe_e0 = SIZE_MAX;  // chunk 0 extent the pipe worked on
   uint64_t pipe_modes0 = 0;
   uint32_t pipe_alpha = 0;
-  // Pre-produced chunk 0 slim export (product defaults: no probs).
+  // Pre-produced chunk 0 analyze products. The trace walk is sup-independent
+  // and dominates the chunk's cost; the slim export is additionally
+  // pre-rendered at the Python default sup (ARTC_MODEL_SUP, 128 — see
+  // ops/model_pass.py::default_sup) and re-rendered from the stored walk on
+  // a mismatch.
   int c0_state = 0;           // 0 none, 1 in progress, 2 ready, 3 failed
-  uint32_t c0_sup = 0;
+  uint32_t c0_sup = 0;        // sup the pre-rendered c0_buf was built with
   std::vector<uint8_t> c0_buf;
+  std::vector<artc::PriorModel::Coded> c0_trace;
+  std::vector<uint16_t> c0_probs;
+  std::vector<artc::Dual> c0_dual0;
+  std::vector<artc::Estimator> c0_sig0;
   std::unique_ptr<AnalyzeState> astate;  // live streaming analyze, if any
   std::thread pipe;    // probe + chunk-0 pre-analyze (outlives the opener)
   std::thread opener;  // pass1 + session field finalization
@@ -1814,7 +1822,10 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
         s->probe_done = true;
         if (any && perr.empty() && s->opt.model_profile == 2) {
           s->c0_state = 1;  // pre-produce below
-          s->c0_sup = 16;
+          s->c0_sup = 128;  // Python-side default (ops/model_pass.default_sup)
+          if (const char* e = getenv("ARTC_MODEL_SUP"))
+            if (*e) s->c0_sup = uint32_t(strtoul(e, nullptr, 10));
+          if (!s->c0_sup) s->c0_sup = 128;
         }
         s->scv.notify_all();
       }
@@ -1844,10 +1855,14 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
                          s->opt.batch_size ? s->opt.batch_size : 1, s->c0_sup,
                          false, false);
         if (timing_enabled())
-          fprintf(stderr, "[artc] analyze chunk 0: slim export %.3fs (pre)\n",
-                  now_s() - t0);
+          fprintf(stderr, "[artc] analyze chunk 0: slim export %.3fs (pre, sup %u)\n",
+                  now_s() - t0, s->c0_sup);
         std::lock_guard<std::mutex> l(s->smu);
         s->c0_buf = std::move(cw.buf);
+        s->c0_trace = std::move(trace);
+        s->c0_probs = std::move(probs);
+        s->c0_dual0 = std::move(dual0);
+        s->c0_sig0 = std::move(sig0);
         s->c0_state = 2;
         s->scv.notify_all();
       } catch (...) {
@@ -2315,16 +2330,44 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
       using namespace artc;
       for (size_t ci; (ci = as->next.fetch_add(1)) < se->ranges.size();) {
         try {
-          // Chunk 0 is usually pre-produced by the session opener's pipe
-          // (started mid-pass1); consume it unless the request deviates from
-          // the product defaults it was built with.
-          if (ci == 0 && !want_probs) {
+          // Chunk 0's walk is usually pre-produced by the session opener's
+          // pipe (started mid-pass1). Consume the pre-rendered export when
+          // the request matches it; otherwise re-render the export from the
+          // stored (sup-independent) walk products.
+          if (ci == 0) {
             std::unique_lock<std::mutex> sl(se->smu);
-            if (se->c0_state >= 1 && se->c0_sup == sup_u) {
+            if (se->c0_state >= 1) {
               se->scv.wait(sl, [&] { return se->c0_state >= 2; });
               if (se->c0_state == 2) {
-                std::vector<uint8_t> buf = std::move(se->c0_buf);
+                std::vector<uint8_t> buf;
+                if (!want_probs && se->c0_sup == sup_u) {
+                  buf = std::move(se->c0_buf);
+                } else {
+                  auto trace = std::move(se->c0_trace);
+                  auto probs = std::move(se->c0_probs);
+                  auto dual0 = std::move(se->c0_dual0);
+                  auto sig0 = std::move(se->c0_sig0);
+                  sl.unlock();
+                  double t0 = timing_enabled() ? now_s() : 0;
+                  Writer cw;
+                  write_slim_chunk(cw, trace, probs, want_probs, dual0, sig0,
+                                   se->opt.batch_size ? se->opt.batch_size : 1,
+                                   sup_u, false, false);
+                  if (timing_enabled())
+                    fprintf(stderr,
+                            "[artc] analyze chunk 0: slim export %.3fs (re-render, sup %u)\n",
+                            now_s() - t0, sup_u);
+                  buf = std::move(cw.buf);
+                  sl.lock();
+                }
                 se->c0_state = 0;  // consumed
+                se->c0_buf.clear();
+                se->c0_trace.clear();
+                se->c0_trace.shrink_to_fit();
+                se->c0_probs.clear();
+                se->c0_probs.shrink_to_fit();
+                se->c0_dual0.clear();
+                se->c0_sig0.clear();
                 sl.unlock();
                 std::lock_guard<std::mutex> lock(as->mu);
                 as->bufs[0] = std::move(buf);
