@@ -828,7 +828,9 @@ class SliceWalker {
     int cbp = 0;
     for (int b8 = 0; b8 < 4; ++b8) {
       int inc = cbp_luma_cond(b8, cbp, true) + 2 * cbp_luma_cond(b8, cbp, false);
-      cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther) << b8;
+      // aux = the 8x8 index: the model keys the bin on the previous frame's
+      // cbp bit for this same 8x8 (v27).
+      cbp |= io_.decision(kCtxCbpLuma + inc, kKlassOther, b8) << b8;
     }
     return cbp;
   }

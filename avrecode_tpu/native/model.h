@@ -105,7 +105,16 @@ class PriorModel {
   static constexpr size_t kBypResAuxBase = kBypOtherAuxBase + 3 * 8;
   // mvd sign bins keyed on (component, sign of the neighbor mvd sum) — v23.
   static constexpr size_t kMvdSignBase = kBypResAuxBase + 3 * 8;
-  static constexpr size_t kNumDualKeys = kMvdSignBase + 3 * 12;
+  // coded_block_pattern bins conditioned on the previous frame's cbp at the
+  // same MB (v27): luma bins on (spec inc, 8x8 index, prev-frame bit of that
+  // 8x8), chroma bins on (spec ctx offset, prev-frame chroma class). CABAC
+  // only sees spatial neighbors (ctxIdxInc); static regions make cbp
+  // strongly temporally persistent.
+  static constexpr size_t kCbpBase = kMvdSignBase + 3 * 12;
+  static constexpr size_t kCbpLumaStride = size_t(4) * 4 * 2;  // inc x b8 x prev
+  static constexpr size_t kCbpChromaStride = size_t(8) * 3;    // ctx-off x prev class
+  static constexpr size_t kNumDualKeys =
+      kCbpBase + 3 * (kCbpLumaStride + kCbpChromaStride);
   // Off-mode (classic adaptive-EOB) significance keys live after the
   // nnz-conditioned region; same table + formula with a neutral prior.
   static constexpr size_t kSigOffStride = size_t(6) * kSigPosClasses * 2 * 16;  // cat,pos,dc,obs
@@ -226,9 +235,11 @@ class PriorModel {
       cur_ ^= 1;
       frames_[cur_].reset(mb_width, mb_height);
       skip_grid_[cur_].assign(size_t(mb_width) * mb_height, 0);
+      cbp_grid_[cur_].assign(size_t(mb_width) * mb_height, 0);
       if (frames_[cur_ ^ 1].w != mb_width || frames_[cur_ ^ 1].h != mb_height) {
         frames_[cur_ ^ 1].reset(mb_width, mb_height);
         skip_grid_[cur_ ^ 1].assign(size_t(mb_width) * mb_height, 0);
+        cbp_grid_[cur_ ^ 1].assign(size_t(mb_width) * mb_height, 0);
       }
     }
   }
@@ -242,6 +253,34 @@ class PriorModel {
     auto& g = skip_grid_[cur_];
     size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
     if (idx < g.size()) g[idx] = uint8_t(bit);
+  }
+  // Previous-frame CBP state at the same MB (v27 cbp keys), tracked from the
+  // coded cbp bins themselves. I_16x16 / I_PCM MBs never code cbp bins, so
+  // their grid entry stays 0 — an approximation both codec sides share.
+  // Layout per MB byte: bits 0-3 luma 8x8 bits, bit 4 chroma nonzero,
+  // bit 5 chroma == 2.
+  int prev_cbp_luma(int b8) const {
+    const auto& g = cbp_grid_[cur_ ^ 1];
+    size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
+    return idx < g.size() ? (g[idx] >> b8) & 1 : 0;
+  }
+  int prev_cbp_chroma() const {
+    const auto& g = cbp_grid_[cur_ ^ 1];
+    size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
+    int v = idx < g.size() ? g[idx] : 0;
+    return (v & 0x20) ? 2 : ((v & 0x10) ? 1 : 0);
+  }
+  void note_cbp_bit(int ctx, int aux, int bit) {
+    auto& g = cbp_grid_[cur_];
+    size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
+    if (idx >= g.size() || !bit) return;
+    if (ctx < kCtxCbpLuma + 4) {
+      if (aux >= 0 && aux < 4) g[idx] |= uint8_t(1u << aux);
+    } else if (ctx < kCtxCbpChroma + 4) {
+      g[idx] |= 0x10;  // chroma nonzero
+    } else {
+      g[idx] |= 0x20;  // chroma == 2
+    }
   }
   void begin_mb(int x, int y) {
     mb_x_ = x;
@@ -401,6 +440,18 @@ class PriorModel {
         }
         if (aux >= 0 && ctx == kCtxIntra4x4PredRem)
           return kIntraRemBase + size_t(sc_) * 8 + size_t(aux & 7);
+        // v27: cbp bins conditioned on the previous frame's cbp at this MB.
+        if (ctx >= kCtxCbpLuma && ctx < kCtxCbpChroma + 8) {
+          size_t cb = kCbpBase + size_t(sc_) * (kCbpLumaStride + kCbpChromaStride);
+          if (ctx < kCtxCbpLuma + 4) {
+            if (aux >= 0)
+              return cb + (size_t(ctx - kCtxCbpLuma) * 4 + size_t(aux & 3)) * 2 +
+                     size_t(prev_cbp_luma(aux & 3));
+          } else {
+            return cb + kCbpLumaStride + size_t(ctx - kCtxCbpChroma) * 3 +
+                   size_t(prev_cbp_chroma());
+          }
+        }
         if (aux >= 0 && ctx == kCtxBypass)
           return kBypOtherAuxBase + size_t(sc_) * 8 + size_t(aux > 7 ? 7 : aux);
         if ((ctx >= kCtxMbTypeP && ctx < kCtxMbTypeP + 4) ||
@@ -625,15 +676,17 @@ class PriorModel {
   }
   uint32_t bin_prob(int ctx, BinKlass klass, int aux = -1) {
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
+    cached_aux_ = int16_t(aux);
     cached_dual_key_ = uint32_t(route(ctx, klass, aux));
     cached_prior_ = bin_prior(ctx, klass);
     return prob_for(kind, cached_dual_key_, cached_prior_);
   }
   void bin_update(int ctx, BinKlass klass, int bit) {
-    (void)ctx;
     uint8_t kind = slow_only(klass) ? kKindDualSlow : kKindDual;
     note_coded(kind, cached_dual_key_, bit);
     if (klass == kKlassSkip) set_skip(bit);
+    if (klass == kKlassOther && ctx >= kCtxCbpLuma && ctx < kCtxCbpChroma + 8)
+      note_cbp_bit(ctx, cached_aux_, bit);
   }
   // (kind,key,prior) of the last bin_prob/sig_prob computation, for tracing.
   uint8_t last_kind(BinKlass klass) const {
@@ -1108,6 +1161,7 @@ class PriorModel {
   // prob->update key reuse (see sig_prob NOTE).
   uint32_t cached_sig_key_ = 0, cached_dual_key_ = 0;
   uint16_t cached_prior_ = 0;  // prior of the last *_prob call (trace reuse)
+  int16_t cached_aux_ = -1;    // aux of the last bin_prob call (cbp tracking)
   const uint16_t* state_prob_;  // cached state_prob_q15() (see mirror_prob)
   int sig_hist_ = 0;  // last 3 significance bins (off-mode sig key Markov)
   std::vector<Coded> pending_;
@@ -1118,6 +1172,7 @@ class PriorModel {
   uint32_t alpha_off_ = kSigMixAlphaOff;
   int profile_ = 0;
   std::vector<uint8_t> skip_grid_[2];
+  std::vector<uint8_t> cbp_grid_[2];  // v27 cbp keys (see note_cbp_bit)
   bool seeded_ = false;
   bool chroma422_ = false;
   CabacContexts mirror_{};

@@ -90,7 +90,13 @@ namespace artc {
 // measured here and REJECTED: both adjacent-block and edge-sum variants
 // lose 0.02-0.10pp vs the v25 MB-level sum on natural and synthetic CAVLC —
 // partition-local classes dilute the estimators; see RESULTS.md.)
-constexpr uint8_t kContainerVersion = 26;
+// v27: CABAC coded_block_pattern bins keyed on the previous frame's cbp at
+// the same MB (luma per-8x8 bit via the bin's aux, chroma class) on top of
+// the spec's spatial ctxIdxInc — static regions make cbp temporally
+// persistent, which CABAC cannot see. Measured (100-frame 640x480 natural
+// clips + bench corpus): sparse qp30 -0.214pp, camera crf26 -0.129pp,
+// dense bench.mp4 -0.018pp, 720p natural -0.016pp — wins everywhere.
+constexpr uint8_t kContainerVersion = 27;
 
 // Build id injected by CMake (git revision at configure time; build_native
 // re-runs configure on every source-triggered rebuild so it tracks HEAD).
