@@ -96,6 +96,9 @@ namespace artc {
 // persistent, which CABAC cannot see. Measured (100-frame 640x480 natural
 // clips + bench corpus): sparse qp30 -0.214pp, camera crf26 -0.129pp,
 // dense bench.mp4 -0.018pp, 720p natural -0.016pp — wins everywhere.
+// Also in v27: B mb_type bins split on the previous frame's any-residual
+// bit (same grid): sparse -0.050pp, camera -0.021pp, screen -0.030pp on
+// top of the cbp keys.
 constexpr uint8_t kContainerVersion = 27;
 
 // Build id injected by CMake (git revision at configure time; build_native
