@@ -37,6 +37,11 @@ struct CavlcStream {
     int32_t a, b;
   };
   std::vector<Event> mb_events;  // begin_mb positions (for model spatial state)
+  // Slice geometry for the model's per-MB temporal grids (in-memory only —
+  // the decode side re-derives the same values from the parsed headers).
+  int mb_width = 0, mb_height = 0;
+  uint8_t slice_class = 0;  // 0 I, 1 P(/SP), 2 B
+  bool new_picture = false;
 };
 
 // Compress side: decode bits, record values.

@@ -283,6 +283,11 @@ class PriorModel {
     int v = idx < g.size() ? g[idx] : 0;
     return (v & 0x20) ? 2 : ((v & 0x10) ? 1 : 0);
   }
+  void note_cavlc_resid() {
+    auto& g = cbp_grid_[cur_];
+    size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
+    if (idx < g.size()) g[idx] |= 1;
+  }
   void note_cbp_bit(int ctx, int aux, int bit) {
     auto& g = cbp_grid_[cur_];
     size_t idx = size_t(mb_y_) * frames_[cur_].w + mb_x_;
@@ -973,6 +978,14 @@ class PriorModel {
 
   template <class BitIO>
   int32_t code_cavlc(BitIO&& io, uint8_t role, uint8_t aux, int32_t put_value, bool put) {
+    // CAVLC temporal keys (v27): cbp values keyed additionally on the
+    // previous frame's any-residual bit at this MB. The recorded aux is
+    // unchanged — the bit only enters the key derivation, identically on
+    // both codec paths (the model tracks its own grid from total_coeff;
+    // geometry from the recorded slice/mb events — see process_cavlc).
+    // Measured: natural CAVLC qp26 -0.29pp, qp32 -0.23pp, B-CAVLC -0.04pp,
+    // tiny synthetic clips neutral.
+    if (role == 7 /*kRCbp*/) aux = uint8_t(aux | (prev_mb_resid() << 1));
     int nb = cavlc_fixed_bits(role, aux);
     auto key_at = [&](int node) { return uint32_t(cavlc_key(role, aux, node)); };
     if (nb > 0) {
@@ -1036,8 +1049,12 @@ class PriorModel {
       }
       if (!put) uv = 8 + m - 1;  // uv is only read on get below
     }
-    if (put) return put_value;
+    if (put) {
+      if (role == 10 /*kRTotalCoeff*/ && put_value > 0) note_cavlc_resid();
+      return put_value;
+    }
     uint32_t out = (val < 8) ? val : uv;
+    if (role == 10 /*kRTotalCoeff*/ && out > 0) note_cavlc_resid();
     if (cavlc_signed(role)) {
       int32_t v = int32_t((out + 1) >> 1);
       return (out & 1) ? v : -v;

@@ -130,6 +130,10 @@ static void walk_cavlc_job(SliceJob& j) {
   const auto& rbsp = j.rbsp;
   SliceRecord rec;
   rec.coding = 1;
+  rec.cstream.mb_width = j.sps.mb_width();
+  rec.cstream.mb_height = j.sh.pic_mb_height(j.sps);
+  rec.cstream.slice_class = uint8_t(j.sh.is_intra() ? 0 : (j.sh.is_b() ? 2 : 1));
+  rec.cstream.new_picture = j.sh.first_mb_in_slice == 0;
   CavlcPicture cpic;
   cpic.reset(j.sps.mb_width(), j.sh.pic_mb_height(j.sps));
   CavlcRecorder crec(rbsp.data(), rbsp.size(), j.sh.header_end_bit, &rec.cstream);
@@ -1279,6 +1283,9 @@ std::vector<uint8_t> decompress(const uint8_t* data, size_t size, Stats* stats) 
       BitWriter bw;
       for (size_t b = 0; b < s.header_bits; ++b)
         bw.put_bit((s.header_rbsp[1 + (b >> 3)] >> (7 - (b & 7))) & 1);
+      cs.model->begin_slice(sh.is_intra() ? 0 : (sh.is_b() ? 2 : 1),
+                            sh.first_mb_in_slice == 0, sps->mb_width(),
+                            sh.pic_mb_height(*sps));
       CavlcModelSource src(*cs.model, *cs.rans, s.n_values);
       CavlcPicture cpic;
       cpic.reset(sps->mb_width(), sh.pic_mb_height(*sps));

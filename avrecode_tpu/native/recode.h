@@ -98,7 +98,10 @@ namespace artc {
 // dense bench.mp4 -0.018pp, 720p natural -0.016pp — wins everywhere.
 // Also in v27: B mb_type bins split on the previous frame's any-residual
 // bit (same grid): sparse -0.050pp, camera -0.021pp, screen -0.030pp on
-// top of the cbp keys.
+// top of the cbp keys. And the CAVLC analogue: cbp VALUES keyed on the
+// prev-frame any-residual bit (model-side grids driven by the recorded
+// slice/mb events — the parallel walkers cannot see cross-picture state):
+// natural CAVLC qp26 -0.29pp, qp32 -0.23pp, B-CAVLC -0.04pp.
 constexpr uint8_t kContainerVersion = 27;
 
 // Build id injected by CMake (git revision at configure time; build_native
@@ -427,7 +430,21 @@ class ModelEncoder {
   // CAVLC slices: transport every recorded syntax value through the adaptive
   // value model (capability extension; reference passes CAVLC through raw).
   void process_cavlc(const CavlcStream& cs) {
-    for (const auto& v : cs.values) {
+    // Per-MB temporal grids for the v27 CAVLC cbp keys: slice geometry +
+    // begin_mb positions drive the same model grids the CABAC path uses;
+    // the decode side makes the identical calls from its parsed headers and
+    // walker (recode.cc decode_slice).
+    m_.begin_slice(cs.slice_class, cs.new_picture, cs.mb_width, cs.mb_height);
+    size_t ev = 0;
+    const size_t n_ev = cs.mb_events.size();
+    size_t next_ev_at = ev < n_ev ? cs.mb_events[ev].at : SIZE_MAX;
+    for (size_t vi = 0; vi < cs.values.size(); ++vi) {
+      while (vi == next_ev_at) {
+        m_.begin_mb(cs.mb_events[ev].a, cs.mb_events[ev].b);
+        ++ev;
+        next_ev_at = ev < n_ev ? cs.mb_events[ev].at : SIZE_MAX;
+      }
+      const auto& v = cs.values[vi];
       if (v.role == kRPcmPad || v.role == kRPcmByte) {
         // I_PCM transport: fixed p=1/2 bins, no adaptive state (mirrors the
         // CABAC path's kEvPcm handling).
@@ -459,7 +476,7 @@ class CavlcModelSource {
   CavlcModelSource(PriorModel& m, RansInterleavedDecoder& rans, uint32_t n_values)
       : m_(m), rans_(rans), remaining_(n_values) {}
   bool more_data() const { return remaining_ > 0; }
-  void begin_mb(int, int) {}
+  void begin_mb(int x, int y) { m_.begin_mb(x, y); }
   int32_t next(uint8_t role, uint8_t aux) {
     if (remaining_ == 0) throw std::runtime_error("cavlc value stream exhausted");
     --remaining_;
