@@ -986,6 +986,9 @@ class PriorModel {
     // Measured: natural CAVLC qp26 -0.29pp, qp32 -0.23pp, B-CAVLC -0.04pp,
     // tiny synthetic clips neutral.
     if (role == 7 /*kRCbp*/) aux = uint8_t(aux | (prev_mb_resid() << 1));
+    // mb_type values on the same temporal bit (qp26 -0.04pp, qp32 -0.04pp,
+    // B-CAVLC -0.15pp, tiny synthetic clips neutral).
+    if (role == 1 /*kRMbType*/) aux = uint8_t(aux | (prev_mb_resid() << 2));
     int nb = cavlc_fixed_bits(role, aux);
     auto key_at = [&](int node) { return uint32_t(cavlc_key(role, aux, node)); };
     if (nb > 0) {
