@@ -989,6 +989,7 @@ class PriorModel {
     // mb_type values on the same temporal bit (qp26 -0.04pp, qp32 -0.04pp,
     // B-CAVLC -0.15pp, tiny synthetic clips neutral).
     if (role == 1 /*kRMbType*/) aux = uint8_t(aux | (prev_mb_resid() << 2));
+    // (kRRefIdx on the same temporal bit measured noise-level — not taken.)
     int nb = cavlc_fixed_bits(role, aux);
     auto key_at = [&](int node) { return uint32_t(cavlc_key(role, aux, node)); };
     if (nb > 0) {
