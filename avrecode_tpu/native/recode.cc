@@ -584,8 +584,12 @@ struct WarmCtx {
   bool failed = false;
   void publish(const PriorModel& m) {
     std::lock_guard<std::mutex> lock(mu);
-    if (ready) return;
+    if (ready && !failed) return;
+    // A failed publish (pipe's chunk-0 pre-produce died) is replaceable: the
+    // analyze fall-through re-runs chunk 0 and its snapshot must win, or
+    // every warm chunk >= 1 would keep erroring after a transient failure.
     m.snapshot_tables(snap);
+    failed = false;
     ready = true;
     cv.notify_all();
   }
@@ -1004,7 +1008,13 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
         pcv.notify_all();
       }
     } catch (...) {
-      pipe_err = std::current_exception();
+      // pipe_err is read by the main thread both right after the probe_ready
+      // wait and after pipe.join(); publish it under pm so the early read is
+      // synchronized (join() covers the late one).
+      {
+        std::lock_guard<std::mutex> l(pm);
+        pipe_err = std::current_exception();
+      }
       warm.fail();
       std::lock_guard<std::mutex> l(pm);
       probe_ready = true;
@@ -1036,11 +1046,14 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   bool share_modes = opt.chunk_mode == 0 && ranges.size() > 1;
   // alpha_off / modes0 / warm policy (all produced by the pipe's probe) feed
   // every other chunk.
+  bool early_err;
   {
     std::unique_lock<std::mutex> l(pm);
     pcv.wait(l, [&] { return probe_ready; });
+    early_err = pipe_err != nullptr;  // read under pm: no race with the
+                                      // pipe's catch-block write
   }
-  if (pipe_err) {
+  if (early_err) {
     pipe.join();
     std::rethrow_exception(pipe_err);
   }
@@ -1053,34 +1066,43 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   // Chunks 1..n-1 in parallel with the pipe's chunk 0 (chunks are
   // independent by format design; the reference is strictly single-threaded,
   // recode.cpp:122).
+  std::exception_ptr worker_err;
   if (ranges.size() > 1) {
     std::atomic<size_t> next{1};
     std::mutex mu;
+    // warm.wait() throws if the pipe's chunk-0 pass failed after probe_ready;
+    // catch it (first error wins) instead of letting the exception escape a
+    // std::thread and call std::terminate.
     auto worker = [&] {
-      for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
-        auto [b, e] = ranges[c];
-        Stats local;
-        uint64_t modes = share_modes
-                             ? modes0
-                             : pick_nz_modes(p1.slices, b, e, opt, alpha_off, nullptr);
-        auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr,
-                                    nullptr, modes, true, nullptr,
-                                    warm.src_slices ? &warm : nullptr, nullptr,
-                                    alpha_off);
-        std::lock_guard<std::mutex> lock(mu);
-        nz_modes[c] = modes;
-        st.recoded_bytes += blob.size();
-        st.total_bins += local.total_bins;
-        for (int k = 0; k < kNumBinKlasses; ++k) {
-          st.bill.mbits[k] += local.bill.mbits[k];
-          st.bill.count[k] += local.bill.count[k];
-          st.bill.cabac_mbits[k] += local.bill.cabac_mbits[k];
+      try {
+        for (size_t c; (c = next.fetch_add(1)) < ranges.size();) {
+          auto [b, e] = ranges[c];
+          Stats local;
+          uint64_t modes = share_modes
+                               ? modes0
+                               : pick_nz_modes(p1.slices, b, e, opt, alpha_off, nullptr);
+          auto blob = run_chunk_model(p1.slices, b, e, opt, local, nullptr, nullptr,
+                                      nullptr, modes, true, nullptr,
+                                      warm.src_slices ? &warm : nullptr, nullptr,
+                                      alpha_off);
+          std::lock_guard<std::mutex> lock(mu);
+          nz_modes[c] = modes;
+          st.recoded_bytes += blob.size();
+          st.total_bins += local.total_bins;
+          for (int k = 0; k < kNumBinKlasses; ++k) {
+            st.bill.mbits[k] += local.bill.mbits[k];
+            st.bill.count[k] += local.bill.count[k];
+            st.bill.cabac_mbits[k] += local.bill.cabac_mbits[k];
+          }
+          st.bill.eob_cabac_mbits += local.bill.eob_cabac_mbits;
+          st.bill.nz_mbits += local.bill.nz_mbits;
+          st.bill.nz_count += local.bill.nz_count;
+          st.bill.eob_count += local.bill.eob_count;
+          blobs[c] = std::move(blob);
         }
-        st.bill.eob_cabac_mbits += local.bill.eob_cabac_mbits;
-        st.bill.nz_mbits += local.bill.nz_mbits;
-        st.bill.nz_count += local.bill.nz_count;
-        st.bill.eob_count += local.bill.eob_count;
-        blobs[c] = std::move(blob);
+      } catch (...) {
+        std::lock_guard<std::mutex> lock(mu);
+        if (!worker_err) worker_err = std::current_exception();
       }
     };
     unsigned n_workers =
@@ -1093,6 +1115,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
   }
   pipe.join();
   if (pipe_err) std::rethrow_exception(pipe_err);
+  if (worker_err) std::rethrow_exception(worker_err);
   if (!ranges.empty()) {
     nz_modes[0] = modes0;
     st.recoded_bytes += blob0.size();
@@ -1837,10 +1860,11 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
         s->scv.notify_all();
       }
       if (!(any && perr.empty() && s->opt.model_profile == 2)) return;
-      // Pre-produce chunk 0's analyze export (sup = 16, no probs — the
-      // product defaults; analyze_begin re-runs chunk 0 itself on a
-      // mismatch). Publishes the v16 warm snapshot for the other chunks'
-      // walks as a side effect, well before chunk 0's export finishes.
+      // Pre-produce chunk 0's analyze export (sup = 128 / ARTC_MODEL_SUP —
+      // the Python product default set above; no probs. analyze_begin re-runs
+      // chunk 0 itself on a sup/probs mismatch, e.g. a C-ABI caller using the
+      // raw default sup=16). Publishes the v16 warm snapshot for the other
+      // chunks' walks as a side effect, well before chunk 0's export finishes.
       try {
         const auto& sl = *s->prog.slices;
         std::vector<PriorModel::Coded> trace;
@@ -2362,8 +2386,10 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
                                    sup_u, false, false);
                   if (timing_enabled())
                     fprintf(stderr,
-                            "[artc] analyze chunk 0: slim export %.3fs (re-render, sup %u)\n",
-                            now_s() - t0, sup_u);
+                            "[artc] analyze chunk 0: slim export %.3fs (re-render: %s; "
+                            "sup %u, pre-produced %u)\n",
+                            now_s() - t0, want_probs ? "probs requested" : "sup mismatch",
+                            sup_u, se->c0_sup);
                   buf = std::move(cw.buf);
                   sl.lock();
                 }
