@@ -38,6 +38,7 @@ class ArtcStatsC(ctypes.Structure):
         ("nz_mbits", ctypes.c_uint64),
         ("nz_count", ctypes.c_uint64),
         ("eob_count", ctypes.c_uint64),
+        ("ref_mbits", ctypes.c_uint64),
     ]
 
 
@@ -53,6 +54,9 @@ class Stats:
     n_chunks: int = 0
     total_bins: int = 0
     bill: dict = field(default_factory=dict)
+    # Reference-model head-to-head total (bytes the reference's model would
+    # have spent on the same bins; 0 unless ARTC_REFMODEL=1 — refmodel.h).
+    ref_model_bytes: float = 0.0
 
     @classmethod
     def from_c(cls, c: ArtcStatsC) -> "Stats":
@@ -71,6 +75,7 @@ class Stats:
             "cabac_bytes": c.eob_cabac_mbits / 8000.0,
         }
         return cls(
+            ref_model_bytes=c.ref_mbits / 8000.0,
             input_bytes=int(c.input_bytes),
             output_bytes=int(c.output_bytes),
             cabac_in_bytes=int(c.cabac_in_bytes),

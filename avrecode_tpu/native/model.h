@@ -55,6 +55,9 @@ struct Billing {
   uint64_t cabac_mbits[kNumBinKlasses] = {0};
   uint64_t eob_cabac_mbits = 0;
   uint64_t nz_mbits = 0, nz_count = 0, eob_count = 0;
+  // What the REFERENCE's model (refmodel.h side-car, ARTC_REFMODEL=1) would
+  // have spent on the same bins — the measured avrecode baseline. 0 when off.
+  uint64_t ref_mbits = 0;
 };
 
 class PriorModel {
@@ -889,6 +892,12 @@ class PriorModel {
     int prev = frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_);
     return prev >= 4 ? 3 : (prev >= 2 ? 2 : prev);
   }
+  // Raw neighbor/temporal counts for the current block (refmodel.h inputs;
+  // -1 = neighbor outside the picture).
+  int nz_left_i() const { return neighbor_count_i(-1, 0); }
+  int nz_above_i() const { return neighbor_count_i(0, -1); }
+  int nz_prev_raw() const { return frames_[cur_ ^ 1].get(mb_x_, mb_y_, slot_); }
+  bool chroma422() const { return chroma422_; }
   size_t nz_unary_key(int idx) const {
     size_t key = ((size_t(idx) * 8 + nz_pred_class()) * 4 + nz_prev_class()) * 6 + cat_;
     return kNzBase + size_t(sc_) * kNzStride + key;
@@ -1141,6 +1150,12 @@ class PriorModel {
       if (x < 0 || y < 0 || x >= w || y >= h) return 0;
       return cnt[(size_t(y) * w + x) * kNumBlockSlots + slot];
     }
+    // As get(), but distinguishes "outside the picture" (-1) from a zero
+    // count (refmodel.h availability-aware neighbor priors).
+    int get_i(int x, int y, int slot) const {
+      if (x < 0 || y < 0 || x >= w || y >= h) return -1;
+      return cnt[(size_t(y) * w + x) * kNumBlockSlots + slot];
+    }
     void set(int x, int y, int slot, uint8_t v) {
       cnt[(size_t(y) * w + x) * kNumBlockSlots + slot] = v;
       // Cross-replicate so 4x4 and 8x8 slot lookups both work at transform
@@ -1165,7 +1180,10 @@ class PriorModel {
 
   // Left/above neighbor nonzero-count for the current block's slot (spatial
   // prior; reference recode.cpp:865-872 uses the scan8 grid equivalently).
-  uint8_t neighbor_count(int dx, int dy) const {
+  // The _i variant returns -1 when the neighbor is outside the picture
+  // (refmodel.h needs the availability distinction); neighbor_count clamps
+  // that to 0 — bit-identical to its pre-refmodel behavior.
+  int neighbor_count_i(int dx, int dy) const {
     const NZFrame& f = frames_[cur_];
     if (slot_ >= kSlotLuma4x4 && slot_ < kSlotLuma8x8) {
       int blk = slot_ - kSlotLuma4x4;
@@ -1173,7 +1191,7 @@ class PriorModel {
       int mx = mb_x_, my = mb_y_;
       if (gx < 0) { gx = 3; --mx; }
       if (gy < 0) { gy = 3; --my; }
-      return f.get(mx, my, kSlotLuma4x4 + kBlk4x4Idx[gx + 4 * gy]);
+      return f.get_i(mx, my, kSlotLuma4x4 + kBlk4x4Idx[gx + 4 * gy]);
     }
     if (slot_ >= kSlotLuma8x8 && slot_ < kSlotChromaDC) {
       int b8 = slot_ - kSlotLuma8x8;
@@ -1181,7 +1199,7 @@ class PriorModel {
       int mx = mb_x_, my = mb_y_;
       if (gx < 0) { gx = 1; --mx; }
       if (gy < 0) { gy = 1; --my; }
-      return f.get(mx, my, kSlotLuma8x8 + gx + 2 * gy);
+      return f.get_i(mx, my, kSlotLuma8x8 + gx + 2 * gy);
     }
     if (slot_ >= kSlotChromaAC) {
       int idx = slot_ - kSlotChromaAC;
@@ -1191,10 +1209,14 @@ class PriorModel {
       int mx = mb_x_, my = mb_y_;
       if (gx < 0) { gx = 1; --mx; }
       if (gy < 0) { gy = gh - 1; --my; }
-      return f.get(mx, my, kSlotChromaAC + 8 * c + gx + 2 * gy);
+      return f.get_i(mx, my, kSlotChromaAC + 8 * c + gx + 2 * gy);
     }
     // DC slots: same slot of the adjacent MB.
-    return f.get(mb_x_ + dx, mb_y_ + dy, slot_);
+    return f.get_i(mb_x_ + dx, mb_y_ + dy, slot_);
+  }
+  uint8_t neighbor_count(int dx, int dy) const {
+    int v = neighbor_count_i(dx, dy);
+    return uint8_t(v < 0 ? 0 : v);
   }
 
   std::vector<Dual> dual_;

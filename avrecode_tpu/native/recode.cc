@@ -669,6 +669,21 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
     enc.set_trace(trace);
     model.set_flush_replay(trace);  // flush replays the trace tail (no pending_ dup)
   }
+  // Reference-model head-to-head (refmodel.h): price the same CABAC bins
+  // under the reference's model in parallel. Measurement-only — the coded
+  // output is untouched; run single-chunk (ARTC_SECTION_BINS high) for the
+  // reference's continuous single-pass semantics.
+  std::unique_ptr<RefModel> ref;
+  {
+    static const bool want_ref = [] {
+      const char* e = getenv("ARTC_REFMODEL");
+      return e && atoi(e);
+    }();
+    if (want_ref) {
+      ref = std::make_unique<RefModel>();
+      enc.set_ref_model(ref.get());
+    }
+  }
   for (size_t si = begin; si < end; ++si) {
     if (slices[si].coding == 1) {
       enc.process_cavlc(slices[si].cstream);
@@ -692,6 +707,7 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
   st.bill.nz_mbits += model.bill.nz_mbits;
   st.bill.nz_count += model.bill.nz_count;
   st.bill.eob_count += model.bill.eob_count;
+  if (ref) st.bill.ref_mbits += ref->mbits();
   if (probs_out) *probs_out = probs;
   if (!encode_blob) return {};  // analysis-only callers discard the blob
   double tr = timing_enabled() ? now_s() : 0;
@@ -1098,6 +1114,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
           st.bill.nz_mbits += local.bill.nz_mbits;
           st.bill.nz_count += local.bill.nz_count;
           st.bill.eob_count += local.bill.eob_count;
+          st.bill.ref_mbits += local.bill.ref_mbits;
           blobs[c] = std::move(blob);
         }
       } catch (...) {
@@ -1129,6 +1146,7 @@ std::vector<uint8_t> compress(const uint8_t* data, size_t size, const Options& o
     st.bill.nz_mbits += st0.bill.nz_mbits;
     st.bill.nz_count += st0.bill.nz_count;
     st.bill.eob_count += st0.bill.eob_count;
+    st.bill.ref_mbits += st0.bill.ref_mbits;
     blobs[0] = std::move(blob0);
   }
   if (timing_enabled())
@@ -1495,6 +1513,7 @@ struct ArtcStats {
   uint64_t klass_cabac_mbits[artc::kNumBinKlasses];
   uint64_t eob_cabac_mbits;
   uint64_t nz_mbits, nz_count, eob_count;
+  uint64_t ref_mbits;  // reference-model side-car total (ARTC_REFMODEL=1)
 };
 
 static void fill_stats(const artc::Stats& st, ArtcStats* out) {
@@ -1517,6 +1536,7 @@ static void fill_stats(const artc::Stats& st, ArtcStats* out) {
   out->nz_mbits = st.bill.nz_mbits;
   out->nz_count = st.bill.nz_count;
   out->eob_count = st.bill.eob_count;
+  out->ref_mbits = st.bill.ref_mbits;
 }
 
 static thread_local std::string g_error;

@@ -38,6 +38,7 @@
 #include "ts.h"
 #include "rans.h"
 #include "cavlc_stream.h"
+#include "refmodel.h"
 #include "symbol_stream.h"
 
 namespace artc {
@@ -205,6 +206,9 @@ class ModelEncoder {
   // them. Cuts ~60% of the probe's per-bin work (it was two extra full model
   // passes per file).
   void set_sig_only(bool s) { sig_only_ = s; }
+  // Reference-model head-to-head side-car (refmodel.h, ARTC_REFMODEL=1):
+  // prices every bin under the reference's model in parallel.
+  void set_ref_model(RefModel* r) { ref_ = r; }
 
   void process(const SymbolStream& ss) {
     size_t ev = 0;
@@ -227,10 +231,20 @@ class ModelEncoder {
         m_.note_passthrough();  // keep flush epochs stream-aligned
         continue;
       }
+      // Reference side-car: every non-significance bin is one per-context
+      // estimator keyed on ctx identity (bypass/terminate collapse onto
+      // kCtxBypass/kCtxTerminate — the reference's shared estimators).
+      // Sig bins are keyed in the kKlassSig case; EOB bins cost it zero.
+      if (ref_ && b.klass != kKlassSig && b.klass != kKlassEob)
+        ref_->bin(b.ctx, b.bin);
       switch (b.klass) {
         case kKlassSig: {
           if (m_.nz_on()) ensure_nnz();
           else if (m_.needs_nnz()) m_.mark_in_sig();
+          if (ref_) {
+            ref_->ensure_nz();
+            ref_->sig(b.pos, b.bin);
+          }
           m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
           uint32_t sp = m_.sig_prob(b.ctx, b.pos);
           // Trace from the cached (key, prior) the prob call derived — the
@@ -329,10 +343,14 @@ class ModelEncoder {
       case kEvBeginBlock:
         cur_block_nnz_ = e.d;  // recorder-annotated nonzero count
         m_.begin_block(e.a, e.b, e.c);
+        if (ref_)
+          ref_->begin_block(e.b, e.c, e.d, m_.nz_left_i(), m_.nz_above_i(),
+                            m_.nz_prev_raw(), m_.chroma422());
         break;
       case kEvEndBlock: m_.end_block(); break;
       case kEvImplicitLast:
         if (m_.nz_on()) ensure_nnz();
+        if (ref_) ref_->ensure_nz();
         m_.note_implicit_last();
         break;
       case kEvPcm: {
@@ -344,6 +362,7 @@ class ModelEncoder {
           if (trace_)
             trace_->push_back({uint8_t(bit), PriorModel::kKindPrior, 0,
                                uint16_t(kProbScale / 2)});
+          if (ref_) ref_->raw_bit();  // reference copies PCM outside its model
           push(bit, kProbScale / 2, kKlassBypassOther);
           m_.note_passthrough();  // keep batch boundaries stream-aligned
         };
@@ -421,6 +440,7 @@ class ModelEncoder {
   std::vector<uint8_t>& bits_;
   std::vector<uint16_t>& probs_;
   std::vector<PriorModel::Coded>* trace_ = nullptr;
+  RefModel* ref_ = nullptr;  // reference head-to-head side-car (off = null)
   int cur_block_nnz_ = 0;
   bool discard_ = false;
   bool sig_only_ = false;
