@@ -122,15 +122,19 @@ def main():
         data = f.read()
     mb = len(data) / 1e6
 
-    # ---- correctness gate + host baseline (best-of-5: the shared VM's
-    # timing noise exceeds 2x; min is the standard noise-floor estimator) ----
+    # ---- correctness gate + host baseline (best-of-9: the shared VM's
+    # timing noise exceeds 2x; min is the standard noise-floor estimator,
+    # and the full spread is reported so a noisy capture is visible in the
+    # JSON instead of silently deflating the scored number) ----
+    pipeline.compress(data[:200_000], batch_size=BATCH)  # build + warm caches
     host_times = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.time()
         comp_host, st = pipeline.compress(data, batch_size=BATCH)
         host_times.append(time.time() - t0)
     host_s = min(host_times)
-    # Ambient-load flag: if the spread of the 5 runs exceeds 60%, the VM is
+    host_med = sorted(host_times)[len(host_times) // 2]
+    # Ambient-load flag: if the spread of the runs exceeds 60%, the VM is
     # busy and every number below carries that caveat.
     vm_loaded = (max(host_times) - host_s) / host_s > 0.6
     dec_s = float("inf")
@@ -139,8 +143,32 @@ def main():
         dec, _ = pipeline.decompress(comp_host)
         dec_s = min(dec_s, time.time() - t0)
     host_ok = dec == data
-    log(f"bench: host path done ({host_s:.1f}s best-of-5, ok={host_ok}, "
+    log(f"bench: host path done ({host_s:.1f}s best-of-9, ok={host_ok}, "
         f"loaded={vm_loaded})")
+
+    # ---- GOP-parallel scaling, driver-captured (BASELINE config 3): the
+    # multi-GOP clip compressed with GOP chunking on 1 CPU vs all CPUs.
+    # sched_setaffinity bounds the serial run; the parallel run uses the
+    # box's full core set (2 here — the scaling axis the 'gop' mesh dim
+    # extends across chips).
+    gop_clip = os.path.join(REPO, "benchdata", "multigop720.mp4")
+    with open(gop_clip, "rb") as f:
+        gop_data = f.read()
+    all_cpus = os.sched_getaffinity(0)
+    gop_1cpu_s = gop_par_s = float("inf")
+    for _ in range(3):
+        os.sched_setaffinity(0, {min(all_cpus)})
+        t0 = time.time()
+        comp_gop, _ = pipeline.compress(gop_data, chunk_mode=1, batch_size=BATCH)
+        gop_1cpu_s = min(gop_1cpu_s, time.time() - t0)
+        os.sched_setaffinity(0, all_cpus)
+        t0 = time.time()
+        comp_gop, _ = pipeline.compress(gop_data, chunk_mode=1, batch_size=BATCH)
+        gop_par_s = min(gop_par_s, time.time() - t0)
+    gop_dec, _ = pipeline.decompress(comp_gop)
+    host_ok = host_ok and gop_dec == gop_data
+    log(f"bench: gop scaling {gop_1cpu_s:.2f}s/1cpu -> {gop_par_s:.2f}s/"
+        f"{len(all_cpus)}cpu (x{gop_1cpu_s / gop_par_s:.2f})")
 
     # ---- device path in a watchdogged subprocess (a wedged TPU must not
     # hang the benchmark; fall back to the host number, flagged) ----
@@ -218,7 +246,13 @@ def main():
         "compression_ratio": round(len(comp_used) / len(data), 5),
         "input_mb": round(mb, 3),
         "host_path_mb_s": round(mb / host_s, 3),
+        "host_path_mb_s_median": round(mb / host_med, 3),
+        "host_run_spread_s": [round(t, 3) for t in sorted(host_times)],
         "host_decompress_mb_s": round(mb / dec_s, 3),
+        "gop_scaling_1cpu_s": round(gop_1cpu_s, 3),
+        "gop_scaling_parallel_s": round(gop_par_s, 3),
+        "gop_scaling_x": round(gop_1cpu_s / gop_par_s, 3),
+        "gop_scaling_cpus": len(all_cpus),
         "vm_loaded": vm_loaded,
         "device_e2e_s": round(dev_s, 3) if device_ok else None,
         "device_colocated_s": round(max(dev_s - wire_s, 0.0), 3) if device_ok else None,
