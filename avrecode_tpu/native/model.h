@@ -787,6 +787,28 @@ class PriorModel {
     cached_prior_ = sig_prior(ctx, pos);
     return prob_for(kKindSig, cached_sig_key_, cached_prior_);
   }
+  // Key/prior derivation without the probability math — the trace-only
+  // analyze walk (device path) records (kind, key, prior) and the device
+  // computes every probability itself, so the 2-3 divisions per bin of
+  // prob_for are pure waste there. Must stay in lockstep with the *_prob
+  // twins above/below (same cached_* writes).
+  void sig_key_prior(int ctx, int pos) {
+    cached_sig_key_ = uint32_t(sig_key(pos));
+    cached_prior_ = sig_prior(ctx, pos);
+  }
+  void eob_key_prior(int ctx, int pos) {
+    cached_sig_key_ = uint32_t(eob_key(pos));
+    cached_prior_ = uint16_t(mirror_prob(ctx));
+  }
+  void res_key_prior(int ctx, int pos) {
+    cached_dual_key_ = uint32_t(res_key(ctx, pos));
+    cached_prior_ = res_prior(ctx);
+  }
+  void bin_key_prior(int ctx, BinKlass klass, int aux = -1) {
+    cached_aux_ = int16_t(aux);
+    cached_dual_key_ = uint32_t(route(ctx, klass, aux));
+    cached_prior_ = bin_prior(ctx, klass);
+  }
   // Cached (key, prior) of the last *_prob call — the trace recorder's view
   // (avoids a second key derivation per traced bin; see sig_prob NOTE).
   uint32_t cached_sig_key() const { return cached_sig_key_; }

@@ -647,7 +647,8 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
                                             WarmCtx* warm_make = nullptr,
                                             WarmCtx* warm_use = nullptr,
                                             std::vector<Estimator>* sig0 = nullptr,
-                                            uint32_t alpha_off = 0) {
+                                            uint32_t alpha_off = 0,
+                                            bool trace_only = false) {
   PriorModel model;
   model.set_profile(opt.model_profile);
   model.set_batch_size(opt.batch_size);
@@ -668,6 +669,7 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
   if (trace) {
     enc.set_trace(trace);
     model.set_flush_replay(trace);  // flush replays the trace tail (no pending_ dup)
+    enc.set_trace_only(trace_only);  // device path: keys only, no prob math
   }
   // Reference-model head-to-head (refmodel.h): price the same CABAC bins
   // under the reference's model in parallel. Measurement-only — the coded
@@ -1896,7 +1898,7 @@ void* artc_session_open(const uint8_t* data, size_t size, int lanes, int chunk_m
         run_chunk_model(sl, 0, e0, s->opt, tmp, &trace, &probs, &dual0, modes0,
                         /*encode_blob=*/false,
                         s->warm.src_slices ? &s->warm : nullptr, nullptr, &sig0,
-                        alpha0);
+                        alpha0, /*trace_only=*/true);
         if (timing_enabled())
           fprintf(stderr, "[artc] analyze chunk 0: trace walk %.3fs (%zu bins, pre)\n",
                   now_s() - t0, trace.size());
@@ -2385,13 +2387,15 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
           // pipe (started mid-pass1). Consume the pre-rendered export when
           // the request matches it; otherwise re-render the export from the
           // stored (sup-independent) walk products.
-          if (ci == 0) {
+          if (ci == 0 && !want_probs) {
+            // want_probs cannot consume the pre-produce: its trace-only walk
+            // records no probability stream (fall through to a full re-run).
             std::unique_lock<std::mutex> sl(se->smu);
             if (se->c0_state >= 1) {
               se->scv.wait(sl, [&] { return se->c0_state >= 2; });
               if (se->c0_state == 2) {
                 std::vector<uint8_t> buf;
-                if (!want_probs && se->c0_sup == sup_u) {
+                if (se->c0_sup == sup_u) {
                   buf = std::move(se->c0_buf);
                 } else {
                   auto trace = std::move(se->c0_trace);
@@ -2401,15 +2405,14 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
                   sl.unlock();
                   double t0 = timing_enabled() ? now_s() : 0;
                   Writer cw;
-                  write_slim_chunk(cw, trace, probs, want_probs, dual0, sig0,
-                                   se->opt.batch_size ? se->opt.batch_size : 1,
+                  write_slim_chunk(cw, trace, probs, /*has_probs=*/false, dual0,
+                                   sig0, se->opt.batch_size ? se->opt.batch_size : 1,
                                    sup_u, false, false);
                   if (timing_enabled())
                     fprintf(stderr,
-                            "[artc] analyze chunk 0: slim export %.3fs (re-render: %s; "
-                            "sup %u, pre-produced %u)\n",
-                            now_s() - t0, want_probs ? "probs requested" : "sup mismatch",
-                            sup_u, se->c0_sup);
+                            "[artc] analyze chunk 0: slim export %.3fs (re-render: "
+                            "sup %u != pre-produced %u)\n",
+                            now_s() - t0, sup_u, se->c0_sup);
                   buf = std::move(cw.buf);
                   sl.lock();
                 }
@@ -2442,7 +2445,7 @@ int artc_session_analyze_begin(void* h, int sup, int flags) {
                           se->nz_modes[ci], /*encode_blob=*/false,
                           ci == 0 && se->warm_slices ? &se->warm : nullptr,
                           ci > 0 && se->warm_slices ? &se->warm : nullptr, &sig0,
-                          se->alpha_off);
+                          se->alpha_off, /*trace_only=*/!want_probs);
           if (timing_enabled())
             fprintf(stderr, "[artc] analyze chunk %zu: trace walk %.3fs (%zu bins)\n",
                     ci, now_s() - t0, trace.size());

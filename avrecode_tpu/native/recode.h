@@ -209,6 +209,12 @@ class ModelEncoder {
   // Reference-model head-to-head side-car (refmodel.h, ARTC_REFMODEL=1):
   // prices every bin under the reference's model in parallel.
   void set_ref_model(RefModel* r) { ref_ = r; }
+  // Trace-only walk (device path, probs not exported): record (kind, key,
+  // prior) + advance model state, but skip the probability math and the
+  // bits_/probs_ stores — the device computes every probability itself, so
+  // prob_for's 2-3 divisions per bin are pure waste on the e2e critical
+  // path. Billing stays zero (the analyze path discards its Stats).
+  void set_trace_only(bool t) { trace_only_ = t; }
 
   void process(const SymbolStream& ss) {
     size_t ev = 0;
@@ -245,8 +251,13 @@ class ModelEncoder {
             ref_->ensure_nz();
             ref_->sig(b.pos, b.bin);
           }
-          m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
-          uint32_t sp = m_.sig_prob(b.ctx, b.pos);
+          uint32_t sp = 0;
+          if (trace_only_) {
+            m_.sig_key_prior(b.ctx, b.pos);
+          } else {
+            m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            sp = m_.sig_prob(b.ctx, b.pos);
+          }
           // Trace from the cached (key, prior) the prob call derived — the
           // second derivation per bin was the device-walk hot spot.
           if (trace_)
@@ -274,11 +285,19 @@ class ModelEncoder {
             m_.bill.eob_cabac_mbits += b.cabac_mbits;
           } else if (m_.eob_parity()) {
             m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            // The mirror probability IS the trace payload here (kKindPrior
+            // passthrough), so it is computed even in trace-only mode.
             uint32_t pp = m_.eob_parity_prob(b.ctx);
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindPrior, 0, uint16_t(pp)});
             push(b.bin, pp, kKlassEob);
             m_.note_passthrough();
+          } else if (trace_only_) {
+            m_.eob_key_prior(b.ctx, b.pos);
+            if (trace_)
+              trace_->push_back({b.bin, PriorModel::kKindSig, m_.cached_sig_key(),
+                                 m_.cached_prior()});
+            m_.eob_update(b.pos, b.bin);
           } else {
             m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
             uint32_t pa = m_.eob_prob(b.ctx, b.pos);
@@ -299,8 +318,13 @@ class ModelEncoder {
         }
         case kKlassRes: {
           if (b.ctx < kCtxBypass && b.pos >= 0) {
-            m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
-            uint32_t rp = m_.res_prob(b.ctx, b.pos);
+            uint32_t rp = 0;
+            if (trace_only_) {
+              m_.res_key_prior(b.ctx, b.pos);
+            } else {
+              m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+              rp = m_.res_prob(b.ctx, b.pos);
+            }
             if (trace_)
               trace_->push_back({b.bin, PriorModel::kKindDual,
                                  m_.cached_dual_key(), m_.cached_prior()});
@@ -311,8 +335,13 @@ class ModelEncoder {
           [[fallthrough]];
         }
         default: {
-          m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
-          uint32_t bp = m_.bin_prob(b.ctx, BinKlass(b.klass), b.pos);
+          uint32_t bp = 0;
+          if (trace_only_) {
+            m_.bin_key_prior(b.ctx, BinKlass(b.klass), b.pos);
+          } else {
+            m_.bill.cabac_mbits[b.klass] += b.cabac_mbits;
+            bp = m_.bin_prob(b.ctx, BinKlass(b.klass), b.pos);
+          }
           if (trace_)
             trace_->push_back({b.bin, m_.last_kind(BinKlass(b.klass)),
                                m_.cached_dual_key(), m_.cached_prior()});
@@ -386,7 +415,8 @@ class ModelEncoder {
         [this](uint32_t key, int putbit) {
           if (trace_)
             trace_->push_back({uint8_t(putbit), PriorModel::kKindDual, key, 0});
-          push_nz(putbit, m_.prob_for(PriorModel::kKindDual, key, 0));
+          if (!trace_only_)
+            push_nz(putbit, m_.prob_for(PriorModel::kKindDual, key, 0));
           return putbit;
         },
         cnt);
@@ -412,6 +442,7 @@ class ModelEncoder {
     return cost_tab_.t[pp >> 3];
   }
   void push(int bit, uint32_t p, uint8_t klass) {
+    if (trace_only_) return;  // device path: no (bit, prob) stream, no billing
     if (!discard_) {
       bits_.push_back(uint8_t(bit));
       probs_.push_back(uint16_t(p));
@@ -444,6 +475,7 @@ class ModelEncoder {
   int cur_block_nnz_ = 0;
   bool discard_ = false;
   bool sig_only_ = false;
+  bool trace_only_ = false;
   uint32_t last_p_ = 0;  // last pushed prob (ARTC_BILL_CTX diagnostics)
 
  public:
@@ -482,7 +514,8 @@ class ModelEncoder {
       m_.code_cavlc(
           [this](uint32_t key, int putbit) {
             if (trace_) trace_->push_back({uint8_t(putbit), PriorModel::kKindDual, key, 0});
-            push(putbit, m_.prob_for(PriorModel::kKindDual, key, 0), kKlassOther);
+            if (!trace_only_)
+              push(putbit, m_.prob_for(PriorModel::kKindDual, key, 0), kKlassOther);
             return putbit;
           },
           v.role, v.aux, v.value, /*put=*/true);
