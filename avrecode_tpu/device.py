@@ -62,16 +62,14 @@ class ChunkAnalysis:
 
 
 def _np_unpack(words: np.ndarray, pos: np.ndarray, w: int) -> np.ndarray:
-    """Host-side mirror of ops.model_pass._unpack_dev: w-bit little-endian
-    entries out of a u32 word stream (recode.cc BitPacker layout)."""
-    bitpos = pos.astype(np.int64) * w
-    wi = bitpos >> 5
-    off = (bitpos & 31).astype(np.uint64)
+    """Host-side mirror of ops.model_pass._unpack_dev: w-bit no-straddle
+    entries out of a u32 word stream (recode.cc BitPacker::put_ns — entry j
+    lives wholly inside word j // (32//w))."""
+    epw = 32 // w
+    q = pos.astype(np.int64) // epw
+    off = ((pos.astype(np.int64) - q * epw) * w).astype(np.uint64)
     wd = words.astype(np.uint64)
-    lo = wd[wi] >> off
-    hi = np.where(off > 0, wd[np.minimum(wi + 1, len(wd) - 1)]
-                  << (np.uint64(32) - off), np.uint64(0))
-    return (lo | hi) & np.uint64((1 << w) - 1)
+    return (wd[q] >> off) & np.uint64((1 << w) - 1)
 
 
 @dataclass
@@ -570,6 +568,7 @@ def _stage_v4(an: Analysis, c: SlimChunk, cache: dict | None = None) -> StagedCh
     import jax.numpy as jnp
     from .ops import model_pass as mp
     ns, ud, us, m, n = c.ns, c.ud, c.us, c.m, c.n
+    assert m < 1 << 24, m  # _div_floor2 exactness bound (wire unpack divides)
     nsub = ns * an.sup
     wire_nbytes = 0
 

@@ -2038,8 +2038,23 @@ struct BitPacker {
     words[word + 1] |= uint32_t(x >> 32);
     bits += w;
   }
+  // No-straddle put: entry j of a w-bit stream lives entirely inside word
+  // j / (32/w) (32 mod w tail bits per word stay zero). Costs up to
+  // 32/(32/w)/w - 1 extra wire bits per entry; buys the device a SINGLE
+  // gather per entry instead of a straddling pair (ops/model_pass
+  // unpack_routed) — the rank substream gathers were the largest term of
+  // the on-chip wire expand (RESULTS.md r4 gather economics).
+  void put_ns(uint32_t v, uint32_t w) {
+    if (32 - (bits & 31) < w) bits = (bits + 31) & ~31ull;
+    put(v, w);
+  }
   void finish() {
     if (words.size() < 2) words.resize(2, 0);
+  }
+  // Word count a no-straddle stream of `count` w-bit entries occupies.
+  static uint64_t ns_words(uint64_t count, uint32_t w) {
+    const uint64_t epw = 32 / w;
+    return (count + epw - 1) / epw;
   }
 };
 
@@ -2217,10 +2232,14 @@ static void write_slim_chunk(artc::Writer& w,
   for (uint32_t cand = 1; cand <= wb; ++cand) {
     const uint64_t hot = (1ull << cand) >= max_run ? live_total
                                                    : rank_hist[(1ull << cand) - 1];
-    const uint64_t cost = cand * hot + wb * (live_total - hot);
+    // Cost in no-straddle WORDS (the wire's real unit under put_ns).
+    const uint64_t cost =
+        BitPacker::ns_words(hot, cand) + BitPacker::ns_words(live_total - hot, wb);
     if (cost < best_cost) { best_cost = cost; wa = cand; }
   }
 
+  // Rank + COO-slot streams pack no-straddle (put_ns): the device unpacks
+  // each entry with ONE word gather (ops/model_pass unpack_routed/_unpack_dev).
   BitPacker hp, ap, bp, cp;
   uint64_t nA = 0, nB = 0;
   for (uint64_t i = 0; i < n; ++i) {
@@ -2228,11 +2247,11 @@ static void write_slim_chunk(artc::Writer& w,
     const bool cold = k != PriorModel::kKindPrior && bin_rank[i] >= (1u << wa);
     hp.put((uint32_t(bin_bit[i]) << 3) | (k << 1) | (cold ? 1 : 0), 4);
     if (k == PriorModel::kKindPrior) continue;
-    if (cold) { bp.put(bin_rank[i], wb); ++nB; } else { ap.put(bin_rank[i], wa); ++nA; }
+    if (cold) { bp.put_ns(bin_rank[i], wb); ++nB; } else { ap.put_ns(bin_rank[i], wa); ++nA; }
   }
   hp.finish(); ap.finish(); bp.finish();
   const uint32_t wcs = ceil_log2(std::max(U, 2u));
-  for (uint16_t v : coo_slot) cp.put(v, wcs);
+  for (uint16_t v : coo_slot) cp.put_ns(v, wcs);
   cp.finish();
 
   w.u64(n);

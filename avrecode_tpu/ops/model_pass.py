@@ -76,6 +76,19 @@ def _div_floor(num, den):
     return q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
 
 
+def _div_floor2(num, den):
+    """floor(num / den), exact for 0 <= num < 2^24 (vs _div_floor's 2^22-ish
+    quotient bound): the float32 estimate's absolute error is < 2 there
+    (<= 2 roundings x 2^-24 relative), and two fixup rounds correct +-2.
+    Used for the wire-unpack position divides, where num ranges over the
+    padded bin count m (< 2^24 by construction, asserted at staging)."""
+    q = (num.astype(jnp.float32) * (1.0 / den.astype(jnp.float32))).astype(jnp.int32)
+    for _ in range(2):
+        r = num - q * den
+        q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q
+
+
 # Residual-level bins (container v15): Dirichlet count-weighted mix with the
 # mirrored-CABAC prior, selected per bin by the prior's bit-15 tag on
 # kKindDual bins. Must match native/model.h kResDirAlpha / kResDirFastBoost.
@@ -198,20 +211,16 @@ def model_pass_v2(kinds, priors, pre1, pret, bin_u, dk_d, dk_s, dd, ds, dual0, s
 
 
 def _unpack_dev(words, pos, w):
-    """Gathers w-bit little-endian entries (entry j occupies stream bits
-    [j*w, j*w + w), bit k living in u32 word k>>5 at position k&31) out of a
-    packed word stream. w is a TRACED scalar, so chunks with different pack
-    widths reuse one compiled program; `words` carries >= 1 tail word so the
-    straddle gather stays in bounds (recode.cc BitPacker)."""
-    bitpos = pos * w  # i32: streams stay well under 2^31 bits per chunk
-    wi = bitpos >> 5
-    off = (bitpos & 31).astype(jnp.uint32)
-    w0 = words[wi]
-    w1 = words[wi + 1]
-    lo = w0 >> off
-    hi = jnp.where(off == 0, jnp.uint32(0), w1 << ((jnp.uint32(32) - off) & 31))
+    """Gathers w-bit no-straddle entries out of a packed word stream: entry j
+    lives entirely inside word j // (32//w) at bit offset (j % (32//w)) * w
+    (recode.cc BitPacker::put_ns) — ONE word gather per entry instead of a
+    straddling pair. w is a TRACED scalar, so chunks with different pack
+    widths reuse one compiled program."""
+    epw = 32 // w
+    q = _div_floor2(pos, epw)
+    off = ((pos - q * epw) * w).astype(jnp.uint32)
     mask = (jnp.uint32(1) << jnp.uint32(w)) - 1
-    return ((lo | hi) & mask).astype(jnp.int32)
+    return ((words[q] >> off) & mask).astype(jnp.int32)
 
 
 @jax.jit
@@ -297,24 +306,24 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     def as_u8(x):
         return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
 
-    def unpack_routed(bitpos, base, w):
-        """w-bit entries at per-element (stream base, bit position) —
-        absolute blob offsets, no bounds clamp (see docstring for the
-        in-bounds argument). Routing the hot/cold streams through ONE unpack
-        halves the gather count vs unpacking both streams and selecting
-        (225 -> 108 ms measured on the 6.3M-bin bench chunk)."""
-        wi = base + (bitpos >> 5)
-        off = (bitpos & 31).astype(jnp.uint32)
+    def unpack_routed(pos, base, w):
+        """w-bit no-straddle entries (recode.cc BitPacker::put_ns: entry j
+        lives wholly inside word j // (32//w)) at per-element (stream base,
+        entry index) — absolute blob offsets, no bounds clamp (see docstring
+        for the in-bounds argument). Routing the hot/cold streams through
+        ONE unpack halved the gather count (225 -> 108 ms on the 6.3M-bin
+        bench chunk); the no-straddle layout halves it again (the w1 straddle
+        gather is gone — the rank pair was the largest expand term)."""
+        epw = 32 // w
+        q = _div_floor2(pos, epw)
+        wi = base + q
+        off = ((pos - q * epw) * w).astype(jnp.uint32)
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
         pb = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
         w0 = jax.lax.gather(blob, wi[:, None], dn, slice_sizes=(1,), mode=pb)
-        w1 = jax.lax.gather(blob, (wi + 1)[:, None], dn, slice_sizes=(1,), mode=pb)
-        lo = w0 >> off
-        hi = jnp.where(off == 0, jnp.uint32(0),
-                       w1 << ((jnp.uint32(32) - off) & 31))
         mask = (jnp.uint32(1) << jnp.uint32(w)) - 1
-        return ((lo | hi) & mask).astype(jnp.int32)
+        return ((w0 >> off) & mask).astype(jnp.int32)
 
     wa, wb, wcs, n, n_coo = sc[0], sc[1], sc[2], sc[3], sc[4]
     i = jax.lax.iota(jnp.int32, m)
@@ -332,7 +341,7 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     b_sel = (live & (cls == 1)).astype(jnp.int32)
     pos_a = jnp.cumsum(a_sel) - a_sel
     pos_b = jnp.cumsum(b_sel) - b_sel
-    rank = unpack_routed(jnp.where(cls == 1, pos_b * wb, pos_a * wa),
+    rank = unpack_routed(jnp.where(cls == 1, pos_b, pos_a),
                          jnp.where(cls == 1, offs[2], offs[1]),
                          jnp.where(cls == 1, wb, wa))
     # COO slots: clamped unpack (the bucketed nc can overrun the packed
@@ -348,11 +357,22 @@ def wire_expand4_blob(blob, sc, *, m: int, nsub: int, U: int, ud: int,
     cnts = coo_cnt.astype(jnp.int32)
     starts = jnp.cumsum(cnts) - cnts
     sbase = jnp.broadcast_to(starts[:, None], (nsub, batch)).reshape(-1)
-    sidx = jnp.clip(sbase + rank, 0, nc - 1)
-    slot = jnp.where(live, cs[sidx], ud - 1)
-    # Priors: dict gather + escape scatter on the npi-domain, padded/sliced
+    dn1 = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,))
+    pb = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
+    # Per-bin slot lookup: sbase + rank < n_coo <= nc for live bins by
+    # construction (rank < its sub-batch's run length, whose segment ends
+    # within the stream); dead bins read entry 0 (sbase alone can equal
+    # n_coo == nc for trailing empty sub-batches) — PROMISE skips the
+    # per-element clamp.
+    sidx = jnp.where(live, sbase + rank, 0)
+    slot = jnp.where(live, jax.lax.gather(cs, sidx[:, None], dn1,
+                                          slice_sizes=(1,), mode=pb), ud - 1)
+    # Priors: dict gather (u8 index < 256 = the dict segment's element count,
+    # PROMISE-safe) + escape scatter on the npi-domain, padded/sliced
     # statically to m (never a self-gather), neutral 1 beyond n.
-    pr = as_u16(seg(5))[as_u8(seg(4)).astype(jnp.int32)].astype(jnp.int32)
+    pr = jax.lax.gather(as_u16(seg(5)), as_u8(seg(4)).astype(jnp.int32)[:, None],
+                        dn1, slice_sizes=(1,), mode=pb).astype(jnp.int32)
     pr = pr.at[seg(6).astype(jnp.int32)].set(as_u16(seg(7)).astype(jnp.int32),
                                              mode="drop")
     prf = (jax.lax.slice(pr, (0,), (m,)) if npi >= m
