@@ -109,10 +109,30 @@ def _device_worker(q, data, batch):
             last = lx.encode_interleaved_start(bits, probs, st.n, K)
         int(jnp.sum(last[3]) + jnp.sum(probs[:8].astype(jnp.int32)))
         mbins_s = st.m * reps / (time.time() - t0) / 1e6
+
+        # Colocated chip rate: model + lane scan on the DENSE planes resident
+        # (a PCIe/same-host attach ships ~11 B/bin trivially and skips the
+        # wire expand — the expand only exists to survive the tunnel).
+        from avrecode_tpu.ops import model_pass as mpx
+        ex = mpx.wire_expand4_blob(st.blob, st.sc, **st.statics["expand"])
+        dense = [jnp.asarray(np.asarray(x)) for x in ex[:7]]
+        int(jnp.sum(dense[0][:4].astype(jnp.int32)))
+
+        def dense_chain():
+            p, b = mpx.model_pass_v4(*dense[:4], dense[5], dense[6], dense[4],
+                                     st.dual0, sig0_idx=st.s_idx,
+                                     sig0_val=st.s_val, **st.statics["model"])
+            return lx.encode_interleaved_start(b, p, st.n, K)[3]
+        int(jnp.sum(dense_chain()))  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            out = dense_chain()
+        int(jnp.sum(out))
+        dense_mbins_s = st.m * reps / (time.time() - t0) / 1e6
         q.put(("ok", dev_s, mbins_s, bytes(comp_dev), wire_mb, wire_s,
-               sum(s.n for s in staged)))
+               sum(s.n for s in staged), dense_mbins_s))
     except Exception as e:  # pragma: no cover
-        q.put(("err", str(e), 0.0, b"", 0.0, 0.0, 0.0))
+        q.put(("err", str(e), 0.0, b"", 0.0, 0.0, 0.0, 0.0))
 
 
 def main():
@@ -185,15 +205,16 @@ def main():
     device_ok = False
     device_err = ""
     dev_s = float("inf")
-    mbins_s = 0.0
+    mbins_s = dense_mbins_s = 0.0
     comp_dev = b""
     wire_mb = wire_s = 0.0
     bins_dev = 0
     try:
-        status, a, b, c, wmb, ws, nb = q.get(timeout=timeout_s)
+        status, a, b, c, wmb, ws, nb, dmb = q.get(timeout=timeout_s)
         if status == "ok":
             device_ok = True
-            dev_s, mbins_s, comp_dev, wire_mb, wire_s, bins_dev = a, b, c, wmb, ws, nb
+            (dev_s, mbins_s, comp_dev, wire_mb, wire_s, bins_dev,
+             dense_mbins_s) = a, b, c, wmb, ws, nb, dmb
         else:
             device_err = str(a)
             log(f"bench: device worker error: {a}")
@@ -259,6 +280,7 @@ def main():
         "device_wire_mb": round(wire_mb, 1),
         "device_wire_s": round(wire_s, 3),
         "device_model_mbins_s": round(mbins_s, 1),
+        "device_colocated_mbins_s": round(dense_mbins_s, 1),
         "device_bins": bins_dev,
         "bins": st.total_bins,
     }))

@@ -70,6 +70,20 @@ def main():
         return lx.encode_interleaved_start(b, p, st.n, K)[3]
     t_chain = timeit(chain)
 
+    # Colocated projection: a PCIe/same-host attach ships the DENSE planes
+    # (~11 B/bin, trivial at >= 16 GB/s) and skips the wire expand entirely —
+    # the chain is just model + lane scan on resident inputs.
+    dense = [jnp.asarray(np.asarray(x)) for x in ex[:7]]
+    sync(dense[0])
+
+    def dense_chain():
+        p, b = mp.model_pass_v4(*dense[:4], dense[5], dense[6], dense[4],
+                                st.dual0, sig0_idx=st.s_idx, sig0_val=st.s_val,
+                                **st.statics["model"])
+        return lx.encode_interleaved_start(b, p, st.n, K)[3]
+    dense_chain()  # warm
+    t_dense = timeit(dense_chain)
+
     print(json.dumps({
         "clip": os.path.basename(clip), "chunk_bins": int(st.n), "m": int(st.m),
         "reps": reps, "differential_ok": ok,
@@ -77,6 +91,8 @@ def main():
         "expand_model_ms": round(t_exp_model * 1e3, 1),
         "chain_ms": round(t_chain * 1e3, 1),
         "chain_mbins_s": round(st.m / t_chain / 1e6, 1),
+        "dense_chain_ms": round(t_dense * 1e3, 1),
+        "dense_chain_mbins_s": round(st.m / t_dense / 1e6, 1),
         "wire_mb": round(sum(s.wire_nbytes for s in staged) / 1e6, 1),
     }))
     return 0 if ok else 1
