@@ -1630,7 +1630,7 @@ int artc_rans_decode(const uint8_t* blob, size_t blob_len, const uint16_t* probs
 // decisions / bypass bins / terminate-0 probes against a mutating context
 // bank, decode with an independently initialized bank, compare every bin.
 // Exercises flush + renorm edges no x264 stream emits. Returns 0 on success.
-int artc_cabac_fuzz(uint64_t seed, int n) {
+static int cabac_fuzz_impl(uint64_t seed, int n, int mps_pct) {
   using namespace artc;
   try {
     auto rng = [s = seed]() mutable {
@@ -1647,11 +1647,18 @@ int artc_cabac_fuzz(uint64_t seed, int n) {
     CabacEncoder enc;
     std::vector<uint8_t> ops;   // 0 = decision, 1 = bypass, 2 = terminate(0)
     std::vector<int> ctxs, bins;
+    // mps_pct > 0: bias decision bins toward (or away from) the context's
+    // MPS. Heavy MPS bias drives contexts to their extreme states, where the
+    // encoder emits long deferred-0xff / outstanding runs and carry ripples
+    // into held bytes — the byte-wise renorm's delicate paths.
     for (int i = 0; i < n; ++i) {
       int op = int(rng() % 16);
       int bin = int(rng() & 1);
       if (op < 12) {
         int cx = int(rng() % kNumCabacContexts);
+        if (mps_pct > 0)
+          bin = (int(rng() % 100) < mps_pct) ? ectx.val_mps[cx]
+                                             : 1 - ectx.val_mps[cx];
         enc.encode_decision(ectx, cx, bin);
         ops.push_back(0);
         ctxs.push_back(cx);
@@ -1691,6 +1698,14 @@ int artc_cabac_fuzz(uint64_t seed, int n) {
     g_error = e.what();
     return -1;
   }
+}
+
+int artc_cabac_fuzz(uint64_t seed, int n) { return cabac_fuzz_impl(seed, n, 0); }
+
+// Biased differential fuzz: mps_pct in [1, 100] steers decision bins toward
+// the MPS (see cabac_fuzz_impl) to stress the encoder's carry machinery.
+int artc_cabac_fuzz_biased(uint64_t seed, int n, int mps_pct) {
+  return cabac_fuzz_impl(seed, n, mps_pct);
 }
 
 }  // extern "C"

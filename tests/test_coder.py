@@ -134,6 +134,18 @@ def test_cabac_encoder_decoder_differential(seed, n):
     assert rc == 0, lib.artc_last_error().decode()
 
 
+@pytest.mark.parametrize("mps_pct", [50, 90, 99])
+@pytest.mark.parametrize("seed", [7, 11, 0xC0FFEE])
+def test_cabac_encoder_carry_stress(seed, mps_pct):
+    """MPS-biased streams drive contexts to their extreme probability states,
+    where the byte-wise encoder's deferred-0xff runs and held-byte carry
+    ripples (cabac.h shovel) occur constantly — differential vs the decoder
+    over long streams."""
+    lib = _selftest_lib()
+    rc = lib.artc_cabac_fuzz_biased(seed, 200_000, mps_pct)
+    assert rc == 0, lib.artc_last_error().decode()
+
+
 def test_tsan_clean(corpus_dir, tmp_path):
     """Builds the library under ThreadSanitizer and drives the threaded
     pipelines (pass-1 walkers, sectioned model pool, probe threads, parallel
