@@ -686,6 +686,12 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
       enc.set_ref_model(ref.get());
     }
   }
+  static const bool bill_cavlc = [] {
+    const char* e = getenv("ARTC_BILL_CAVLC");
+    return e && atoi(e);
+  }();
+  uint64_t role_mb[32] = {0};
+  if (bill_cavlc) enc.set_role_bill(role_mb);
   for (size_t si = begin; si < end; ++si) {
     if (slices[si].coding == 1) {
       enc.process_cavlc(slices[si].cstream);
@@ -710,6 +716,12 @@ static std::vector<uint8_t> run_chunk_model(const std::vector<SliceRecord>& slic
   st.bill.nz_count += model.bill.nz_count;
   st.bill.eob_count += model.bill.eob_count;
   if (ref) st.bill.ref_mbits += ref->mbits();
+  if (bill_cavlc) {
+    fprintf(stderr, "[artc] cavlc role bill (bytes):\n");
+    for (int r = 0; r < 32; ++r)
+      if (role_mb[r])
+        fprintf(stderr, "  role %2d: %8.1f\n", r, double(role_mb[r]) / 8000.0);
+  }
   if (probs_out) *probs_out = probs;
   if (!encode_blob) return {};  // analysis-only callers discard the blob
   double tr = timing_enabled() ? now_s() : 0;

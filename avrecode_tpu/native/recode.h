@@ -103,7 +103,15 @@ namespace artc {
 // prev-frame any-residual bit (model-side grids driven by the recorded
 // slice/mb events — the parallel walkers cannot see cross-picture state):
 // natural CAVLC qp26 -0.29pp, qp32 -0.23pp, B-CAVLC -0.04pp.
-constexpr uint8_t kContainerVersion = 27;
+// v28: short fixed-bit CAVLC values (rem_intra4x4_pred_mode, T1 signs,
+// 1-bit flags) keyed on the binary-tree node (bit index + decoded prefix)
+// instead of the bit position — the CAVLC analogue of v20's CABAC rem tree
+// keys. Measured: natural qp26/qp32 -0.033/-0.039pp, synthetic qp14
+// -0.122pp, B-CAVLC -0.093pp — wins on every clip. (Rejected the same
+// session, measured noise-or-loss: a 4-class prev-frame MB key for B
+// mb_type, and a heavier mirror weight on the mb_type/cbp/skip key
+// families — the post-v27 residual ctx losses are mixing-optimal already.)
+constexpr uint8_t kContainerVersion = 28;
 
 // Build id injected by CMake (git revision at configure time; build_native
 // re-runs configure on every source-triggered rebuild so it tracks HEAD).
@@ -209,6 +217,9 @@ class ModelEncoder {
   // Reference-model head-to-head side-car (refmodel.h, ARTC_REFMODEL=1):
   // prices every bin under the reference's model in parallel.
   void set_ref_model(RefModel* r) { ref_ = r; }
+  // Diagnostic per-CAVLC-role cost accounting (ARTC_BILL_CAVLC): caller
+  // provides a uint64[32] mbit accumulator.
+  void set_role_bill(uint64_t* t) { role_bill_ = t; }
   // Trace-only walk (device path, probs not exported): record (kind, key,
   // prior) + advance model state, but skip the probability math and the
   // bits_/probs_ stores — the device computes every probability itself, so
@@ -476,6 +487,8 @@ class ModelEncoder {
   bool discard_ = false;
   bool sig_only_ = false;
   bool trace_only_ = false;
+  uint8_t cur_role_ = 0;             // role of the CAVLC value being coded
+  uint64_t* role_bill_ = nullptr;    // ARTC_BILL_CAVLC per-role mbits
   uint32_t last_p_ = 0;  // last pushed prob (ARTC_BILL_CTX diagnostics)
 
  public:
@@ -511,11 +524,15 @@ class ModelEncoder {
         }
         continue;
       }
+      cur_role_ = v.role;
       m_.code_cavlc(
           [this](uint32_t key, int putbit) {
             if (trace_) trace_->push_back({uint8_t(putbit), PriorModel::kKindDual, key, 0});
-            if (!trace_only_)
-              push(putbit, m_.prob_for(PriorModel::kKindDual, key, 0), kKlassOther);
+            if (!trace_only_) {
+              uint32_t p = m_.prob_for(PriorModel::kKindDual, key, 0);
+              push(putbit, p, kKlassOther);
+              if (role_bill_) role_bill_[cur_role_ & 31] += cost_mb(putbit, p);
+            }
             return putbit;
           },
           v.role, v.aux, v.value, /*put=*/true);
