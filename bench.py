@@ -135,12 +135,33 @@ def _device_worker(q, data, batch):
         q.put(("err", str(e), 0.0, b"", 0.0, 0.0, 0.0, 0.0))
 
 
+def _cpu_calibration():
+    """Fixed integer+memory workload, best-of-3 — an absolute load reference.
+    Quiet-VM baseline on this box: ~0.21 s (recorded round 5). A uniformly
+    busy VM slows every rep the same amount, which the spread-based
+    vm_loaded flag cannot see; the ratio calib/0.21 normalizes host numbers
+    across driver runs."""
+    import numpy as np
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        x = np.arange(20_000_000, dtype=np.uint64)
+        for _ in range(3):
+            x ^= x << 13
+            x ^= x >> 7
+            x ^= x << 17
+        int(x[::4096].sum())
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main():
     from avrecode_tpu import pipeline
 
     with open(CLIP, "rb") as f:
         data = f.read()
     mb = len(data) / 1e6
+    calib_s = _cpu_calibration()
 
     # ---- correctness gate + host baseline (best-of-9: the shared VM's
     # timing noise exceeds 2x; min is the standard noise-floor estimator,
@@ -275,6 +296,8 @@ def main():
         "gop_scaling_x": round(gop_1cpu_s / gop_par_s, 3),
         "gop_scaling_cpus": len(all_cpus),
         "vm_loaded": vm_loaded,
+        "cpu_calib_s": round(calib_s, 3),
+        "cpu_calib_quiet_s": 0.21,
         "device_e2e_s": round(dev_s, 3) if device_ok else None,
         "device_colocated_s": round(max(dev_s - wire_s, 0.0), 3) if device_ok else None,
         "device_wire_mb": round(wire_mb, 1),
