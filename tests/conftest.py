@@ -56,6 +56,11 @@ def corpus_dir(tmp_path_factory):
         # MPEG-PS (VOB-style MPEG-2 packs; PES-fragmented like TS).
         "ipb_high.mpg": "w=160 h=128 frames=12 gop=6 bframes=2 profile=high qp=26",
         "multislice.264": "w=320 h=240 frames=6 gop=3 bframes=1 profile=high qp=24 slices=3",
+        # Extreme QPs stress the slim wire's width space (qp51: near-empty
+        # residuals -> tiny COO runs / small wa/wb; qp6: dense residuals ->
+        # wide runs) — the no-straddle unpack must be exact at every width.
+        "q51.mp4": "w=320 h=240 frames=12 gop=6 bframes=2 profile=high qp=51",
+        "q6.mp4": "w=160 h=128 frames=4 gop=2 bframes=1 profile=high qp=6",
         "cavlc.mp4": "w=128 h=96 frames=4 profile=baseline cabac=0 bframes=0",
         # Stress configs: multi-ref, weighted P+B pred, all partitions,
         # trellis, AUD NALs, custom deblock (walker must not fall back).

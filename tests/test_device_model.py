@@ -112,6 +112,25 @@ def test_slim_wire_bit_exact(small_clip):
         assert wire < 8 * c.n + c.dual0.nbytes
 
 
+@pytest.mark.parametrize("clip", ["q51.mp4", "q6.mp4"])
+def test_slim_wire_extreme_widths(corpus_dir, clip):
+    """Extreme QPs exercise unusual pack widths (wa/wb/wcs) in the
+    no-straddle wire (BitPacker::put_ns / _unpack_dev): qp51 yields tiny
+    frequency runs (small widths), qp6 dense ones. Bit-exact differential +
+    roundtrip per chunk."""
+    from avrecode_tpu import device, pipeline
+    with open(os.path.join(corpus_dir, clip), "rb") as f:
+        data = f.read()
+    an = device.analyze(data, batch_size=1024, model_profile=2)
+    assert an.slim
+    widths = set()
+    for c in an.chunks:
+        widths.add((c.wa, c.wb, c.wcs))
+        assert np.array_equal(device.device_probs(an, c), c.host_probs)
+    rep = pipeline.roundtrip(data, batch_size=1024, model_profile=2)
+    assert rep.ok, widths
+
+
 def test_slim_multichunk_roundtrip(corpus_dir):
     """Slim path over per-GOP chunks (chunk_mode=1) through the host decoder."""
     from avrecode_tpu import device, pipeline
