@@ -945,6 +945,7 @@ def compress_mesh(data: bytes, mesh, lanes: int = 16, chunk_mode: int = 1,
         US = max(c.us for c in chunks)
         NS = max(c.ns for c in chunks)
         M = NS * sup * an.batch
+        assert M < 1 << 24, M  # _div_floor2 exactness bound (wire unpack)
         K = force_lanes or pick_lanes(max(c.n for c in chunks))
         n_dual_ext = an.n_dual + 1
         # Mesh-uniform blob layout: elementwise max over chunks (closed under
